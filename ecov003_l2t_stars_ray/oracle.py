@@ -1,0 +1,135 @@
+"""Single-process oracle engine (pandas/numpy, float64).
+
+Independently computes the tier rollups + gap-filled values the Ray engine
+must reproduce (FIXTURES.md "Oracle"). This is the golden reference the
+upstream project lacks (its tests are import smoke tests only,
+``tests/test_import_ECOv003_L2T_STARS.py:1-2``): semantics are defined HERE
+and the distributed engine is required to match.
+
+Semantics contract:
+- ordering: stable (conv_id, turn_idx) sort defines turn order, never ts
+  (ties in ts are legal) — analog of sorted filename globs (``jl:133,136``);
+- latency obs: for every turn with a predecessor (turn_idx-1 present),
+  value = (ts - ts_prev) / 1e6 seconds, bucketed at the LATER turn's ts;
+- turn_rate obs: every turn contributes value 1.0;
+- tier t aggregates count/min/max/sum over raw observations with
+  bucket_start = floor(ts, width_t); mean = sum / count;
+- dense axis per (conv, metric, tier) spans first..last observed bucket;
+  empty buckets get count=0, NaN aggregates, gap_filled=True;
+- gap-fill: local-level Kalman filter, cold-start mean 0.12 / sd 0.01
+  (reference defaults ``jl:42-47``), process var 0.05, obs var 1e-6,
+  smoothing the bucket mean for latency and the bucket count for turn_rate.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+
+from .schema import COLD_START, OBS_NOISE_VAR, PROCESS_NOISE_VAR, TIERS
+
+_SMOOTH_ON = {"turn_rate": "sum", "latency": "mean"}
+
+
+def observations(transcripts: pd.DataFrame) -> pd.DataFrame:
+    """Per-turn observation stream: columns (conv_id, ts_us, metric, value)."""
+    df = transcripts.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+    ts_us = df["ts"].astype("datetime64[us]").astype(np.int64).to_numpy()
+    conv = df["conv_id"].to_numpy()
+    idx = df["turn_idx"].to_numpy()
+    has_prev = np.zeros(len(df), dtype=bool)
+    has_prev[1:] = (conv[1:] == conv[:-1]) & (idx[1:] == idx[:-1] + 1)
+    gap = np.full(len(df), np.nan)
+    gap[has_prev] = (ts_us[has_prev] - np.roll(ts_us, 1)[has_prev]) / 1e6
+
+    turn = pd.DataFrame(
+        {"conv_id": conv, "ts_us": ts_us, "metric": "turn_rate", "value": 1.0}
+    )
+    lat = pd.DataFrame(
+        {
+            "conv_id": conv[has_prev],
+            "ts_us": ts_us[has_prev],
+            "metric": "latency",
+            "value": gap[has_prev],
+        }
+    )
+    return pd.concat([turn, lat], ignore_index=True)
+
+
+def _kalman(y: np.ndarray, observed: np.ndarray,
+            prior_mean: float | None = None,
+            prior_var: float | None = None) -> tuple[np.ndarray, np.ndarray]:
+    m = COLD_START["mean"] if prior_mean is None else prior_mean
+    p = COLD_START["sd"] ** 2 if prior_var is None else prior_var
+    value = np.empty(len(y))
+    sd = np.empty(len(y))
+    for i in range(len(y)):
+        p = p + PROCESS_NOISE_VAR
+        if observed[i]:
+            k = p / (p + OBS_NOISE_VAR)
+            m = m + k * (y[i] - m)
+            p = (1.0 - k) * p
+        value[i] = m
+        sd[i] = math.sqrt(p)
+    return value, sd
+
+
+def tier_rollup(transcripts: pd.DataFrame, smooth: bool = True) -> pd.DataFrame:
+    """All tiers for all (conv, metric) series; the golden output table."""
+    obs = observations(transcripts)
+    out = []
+    for tier, width in TIERS.items():
+        obs_t = obs.copy()
+        obs_t["bucket_us"] = obs_t["ts_us"] // width * width
+        agg = (
+            obs_t.groupby(["conv_id", "metric", "bucket_us"])["value"]
+            .agg(["count", "min", "max", "sum"])
+            .reset_index()
+        )
+        for (conv, metric), g in agg.groupby(["conv_id", "metric"]):
+            g = g.sort_values("bucket_us")
+            b = g["bucket_us"].to_numpy()
+            axis = np.arange(b[0], b[-1] + width, width, dtype=np.int64)
+            pos = np.searchsorted(axis, b)
+            n = len(axis)
+            count = np.zeros(n, dtype=np.int64)
+            vmin = np.full(n, np.nan)
+            vmax = np.full(n, np.nan)
+            vsum = np.full(n, np.nan)
+            count[pos] = g["count"].to_numpy()
+            vmin[pos] = g["min"].to_numpy()
+            vmax[pos] = g["max"].to_numpy()
+            vsum[pos] = g["sum"].to_numpy()
+            observed = count > 0
+            mean = np.full(n, np.nan)
+            mean[observed] = vsum[observed] / count[observed]
+            if smooth:
+                y = vsum if _SMOOTH_ON[metric] == "sum" else mean
+                value, sd = _kalman(np.where(observed, y, 0.0), observed)
+            else:
+                value = np.where(observed, vsum if _SMOOTH_ON[metric] == "sum" else mean, np.nan)
+                sd = np.full(n, np.nan)
+            out.append(
+                pd.DataFrame(
+                    {
+                        "conv_id": conv,
+                        "metric": metric,
+                        "tier": tier,
+                        "bucket_start": axis.view("datetime64[us]"),
+                        "count": count,
+                        "min": vmin,
+                        "max": vmax,
+                        "sum": vsum,
+                        "mean": mean,
+                        "value": value,
+                        "value_sd": sd,
+                        "gap_filled": ~observed,
+                    }
+                )
+            )
+    return (
+        pd.concat(out, ignore_index=True)
+        .sort_values(["tier", "conv_id", "metric", "bucket_start"], ignore_index=True)
+    )

@@ -1,0 +1,91 @@
+"""The flagship pipeline: transcripts -> raw-metric partials -> tier rollups.
+
+Shape (one shuffle total):
+
+    read_parquet(conv_id, turn_idx, ts)          # text pruned at the read
+      -> map_batches(partial_rollup, pyarrow)    # map-side combiner
+      -> groupby(conv_id).map_groups(finalize)   # THE shuffle; bucket-level
+      -> write_parquet(partition by tier)        # resumable layout
+
+Reference lifecycle analog: SURVEY.md §3.1 steps 6-8 (staging -> fusion ->
+assembly), with the file handoffs replaced by object-store Arrow blocks and
+the Julia `Distributed` pool by Ray's streaming executor.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+from ..functions.rollup import partial_rollup
+from ..stages.finalize import TIER_OUT_COLUMNS, finalize_conversation
+
+# Per-process cache for broadcast prior-state lookups: ray.get() of the same
+# ObjectRef deserializes per call, so memoize per worker (K6 one-time-init
+# analog, reference ``login.py:15-21``).
+_STATE_CACHE: dict[str, dict] = {}
+
+
+def _resolve_state(ref) -> dict | None:
+    if ref is None:
+        return None
+    key = ref.hex()
+    if key not in _STATE_CACHE:
+        _STATE_CACHE.clear()
+        _STATE_CACHE[key] = ray.get(ref)
+    return _STATE_CACHE[key]
+
+
+def read_transcripts(path: str, with_text: bool = False) -> ray.data.Dataset:
+    """Read the transcript Parquet corpus, pruning columns at the read.
+
+    ``text`` makes blocks heavy (SURVEY.md §7.5) — it is only loaded for the
+    invariant-check path.
+    """
+    cols = ["conv_id", "turn_idx", "ts"] + (["role", "text", "tool"] if with_text else [])
+    return ray.data.read_parquet(path, columns=cols)
+
+
+def rollup_tiers(
+    ds: ray.data.Dataset,
+    prior_state_ref=None,
+    smooth: bool = True,
+) -> ray.data.Dataset:
+    """transcripts Dataset -> tier rows (1m/1h/1d, FIXTURES.md F2 schema)."""
+    parts = ds.map_batches(partial_rollup, batch_format="pyarrow")
+
+    def _finalize(group: pd.DataFrame) -> pd.DataFrame:
+        out = finalize_conversation(group, _resolve_state(prior_state_ref), smooth)
+        if not len(out):
+            return pd.DataFrame({c: pd.Series(dtype=d) for c, d in _EMPTY_DTYPES.items()})
+        return out
+
+    return parts.groupby("conv_id").map_groups(_finalize, batch_format="pandas")
+
+
+_EMPTY_DTYPES = {
+    "conv_id": "object", "metric": "object", "tier": "object",
+    "bucket_start": "datetime64[us]", "count": "int64",
+    "min": "float64", "max": "float64", "sum": "float64", "mean": "float64",
+    "value": "float64", "value_sd": "float64", "gap_filled": "bool",
+}
+
+
+def write_tiers(tiers: ray.data.Dataset, out_dir: str) -> None:
+    """Write tier-partitioned Parquet (resumable layout: one dir per tier)."""
+    os.makedirs(out_dir, exist_ok=True)
+    tiers.write_parquet(out_dir, partition_cols=["tier"])
+
+
+def tiers_to_pandas(tiers: ray.data.Dataset) -> pd.DataFrame:
+    """Materialize tier rows for tests/small results (sorted, stable)."""
+    df = tiers.to_pandas()
+    if "bucket_start" in df and not pd.api.types.is_datetime64_any_dtype(df["bucket_start"]):
+        df["bucket_start"] = pd.to_datetime(df["bucket_start"])
+    return df.sort_values(
+        ["tier", "conv_id", "metric", "bucket_start"], ignore_index=True
+    )[TIER_OUT_COLUMNS]

@@ -1,0 +1,40 @@
+"""Session-scoped Ray fixture — ONE ray.init per pytest session."""
+
+from __future__ import annotations
+
+import pytest
+import ray
+
+
+@pytest.fixture(scope="session", autouse=True)
+def ray_session():
+    ray.init(
+        address="local",
+        num_cpus=4,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    yield
+    ray.shutdown()
+
+
+@pytest.fixture(scope="session")
+def small_transcripts():
+    """Deterministic small corpus (FIXTURES.md F1 'small' scale)."""
+    from ecov003_l2t_stars_ray.sources.synthetic import generate_transcripts
+
+    return generate_transcripts(n_convs=60, seed=42, mean_turns=40)
+
+
+@pytest.fixture(scope="session")
+def small_corpus_dir(tmp_path_factory):
+    from ecov003_l2t_stars_ray.sources.synthetic import write_corpus
+
+    d = tmp_path_factory.mktemp("corpus")
+    write_corpus(str(d), n_convs=60, seed=42, mean_turns=40, n_shards=4)
+    return str(d)

@@ -1,0 +1,79 @@
+"""Tier rollup: Ray engine vs the single-process pandas oracle.
+
+Counts and min/max are exact; sum/mean/smoothed values are compared at
+float64 tolerance (distributed partial-sum order differs from the oracle's
+single-pass order; see SURVEY.md §7.5 on exact-match semantics).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data
+
+from ecov003_l2t_stars_ray import oracle
+from ecov003_l2t_stars_ray.pipelines.rollup_pipeline import (
+    read_transcripts,
+    rollup_tiers,
+    tiers_to_pandas,
+)
+
+
+def _compare(got: pd.DataFrame, want: pd.DataFrame):
+    key = ["tier", "conv_id", "metric", "bucket_start"]
+    got = got.sort_values(key, ignore_index=True)
+    want = want.sort_values(key, ignore_index=True)
+    assert len(got) == len(want), f"row count {len(got)} != {len(want)}"
+    for k in key:
+        assert (got[k].to_numpy() == want[k].to_numpy()).all(), f"key mismatch in {k}"
+    assert (got["count"].to_numpy() == want["count"].to_numpy()).all()
+    assert (got["gap_filled"].to_numpy() == want["gap_filled"].to_numpy()).all()
+    for col in ["min", "max"]:
+        np.testing.assert_array_equal(got[col].to_numpy(), want[col].to_numpy())
+    for col in ["sum", "mean", "value", "value_sd"]:
+        np.testing.assert_allclose(
+            got[col].to_numpy(), want[col].to_numpy(), rtol=1e-9, atol=1e-12,
+            err_msg=col,
+        )
+
+
+@pytest.mark.parametrize("smooth", [False, True])
+def test_rollup_matches_oracle(small_transcripts, smooth):
+    pdf = small_transcripts.to_pandas()
+    want = oracle.tier_rollup(pdf, smooth=smooth)
+
+    ds = ray.data.from_arrow(small_transcripts).repartition(8)
+    got = tiers_to_pandas(rollup_tiers(ds, smooth=smooth))
+    _compare(got, want)
+
+
+def test_rollup_from_parquet_shards(small_corpus_dir, small_transcripts):
+    """Reading the shard-partitioned corpus gives identical tiers."""
+    want = oracle.tier_rollup(small_transcripts.to_pandas(), smooth=True)
+    ds = read_transcripts(small_corpus_dir)
+    got = tiers_to_pandas(rollup_tiers(ds, smooth=True))
+    _compare(got, want)
+
+
+def test_scrambled_input_same_result(small_transcripts):
+    """Latency resolution is layout-independent: a fully shuffled input
+    (every predecessor in a different block) still matches the oracle."""
+    pdf = small_transcripts.to_pandas().sample(frac=1.0, random_state=7)
+    want = oracle.tier_rollup(pdf, smooth=True)
+    ds = ray.data.from_pandas(pdf.reset_index(drop=True)).repartition(16)
+    got = tiers_to_pandas(rollup_tiers(ds, smooth=True))
+    _compare(got, want)
+
+
+def test_tier_cascade_exact(small_transcripts):
+    """1h/1d rows equal direct aggregation of raw observations (cascade is
+    exact because sum/count/min/max compose)."""
+    want = oracle.tier_rollup(small_transcripts.to_pandas(), smooth=False)
+    ds = ray.data.from_arrow(small_transcripts)
+    got = tiers_to_pandas(rollup_tiers(ds, smooth=False))
+    for tier in ("1h", "1d"):
+        g = got[got.tier == tier]
+        w = want[want.tier == tier]
+        assert len(g) == len(w) > 0
+        assert (g["count"].to_numpy() == w["count"].to_numpy()).all()

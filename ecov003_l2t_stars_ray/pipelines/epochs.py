@@ -1,0 +1,235 @@
+"""Incremental epoch runner: watermark close rule + state chain + resume.
+
+Epoch model (the reference's incremental-ingest semantics made explicit):
+
+- Epoch N consumes its NEW input fragments plus any fragment flagged
+  "pending" by epoch N-1 (re-read whole; bucket-level dedup below).
+- Close rule: watermark_N = max ts across the epoch's input; buckets
+  ending after ``watermark_N - GIVEUP_BUCKETS x 1m`` stay OPEN — their
+  turns are deferred (their fragments flagged pending) and re-processed
+  next epoch. Analog of VIIRS_GIVEUP_DAYS: data younger than the horizon
+  => wait; older => proceed (``constants.py:27``,
+  ``generate_STARS_inputs.py:220-231``).
+- Prior state (epoch N-1 checkpoint) makes re-reads idempotent: finalize
+  drops buckets <= the per-series ``last_bucket``, so re-processing a
+  pending fragment never double-counts committed buckets — and the re-read
+  rows still serve as latency predecessors for deferred turns (reference
+  analog: HLS window start = prior_date + 1 day, ``L2T_STARS.py:327-335``).
+- Late data older than the committed horizon is dropped deterministically
+  by the same bucket filter.
+- Resume: every (partition, tier) cell commits to the lineage manifest
+  after its Parquet lands; a restarted epoch skips committed partitions.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.dataset as pads
+import ray
+import ray.data
+
+from ..schema import DEFAULT_NUM_PARTITIONS, GIVEUP_BUCKETS, TIERS, US_PER_MIN
+from ..state.checkpoint import derive_state, load_state, save_state, state_path
+from ..state.manifest import Manifest
+from .rollup_pipeline import read_transcripts, rollup_tiers
+
+
+def partition_of(conv: pd.Series, num_partitions: int) -> np.ndarray:
+    """Deterministic conv_id -> partition hash (stable across processes)."""
+    h = pd.util.hash_pandas_object(conv.astype("object"), index=False).to_numpy()
+    return (h % np.uint64(num_partitions)).astype(np.int32)
+
+
+def _epoch_meta_path(root: str, epoch: int) -> str:
+    return os.path.join(root, "manifest", f"epoch-e{epoch:05d}.json")
+
+
+def run_epoch(
+    input_fragments: list[str],
+    root: str,
+    epoch: int,
+    num_partitions: int = 8,
+    giveup_buckets: int = GIVEUP_BUCKETS,
+    smooth: bool = True,
+) -> dict:
+    """Process one epoch; returns a summary dict (watermark, rows, cells)."""
+    manifest = Manifest(os.path.join(root, "manifest"))
+    state_root = os.path.join(root, "state")
+    out_root = os.path.join(root, "tiers", f"epoch={epoch:05d}")
+
+    # fragments = new + pending carried over from the previous epoch
+    prev_meta = _epoch_meta_path(root, epoch - 1)
+    carried: list[str] = []
+    if os.path.exists(prev_meta):
+        with open(prev_meta) as f:
+            carried = json.load(f).get("pending_fragments", [])
+    fragments = sorted(set(input_fragments) | set(carried))
+    prior_ref = None
+    prior = load_state(state_root, epoch - 1)
+    if prior is not None:
+        prior_ref = ray.put(prior)
+
+    ds = read_transcripts(fragments)
+
+    # watermark: cheap single-column scan (ts only)
+    watermark_us = int(
+        pd.Timestamp(ray.data.read_parquet(fragments, columns=["ts"]).max("ts")).value
+        // 1000
+    )
+    # close rule: buckets ending after this stay open (per tier, enforced in
+    # finalize); giveup_buckets == 0 means flush — everything closes.
+    from ..schema import US_PER_DAY
+
+    close_us = (
+        None if giveup_buckets == 0 else watermark_us - giveup_buckets * US_PER_MIN
+    )
+
+    # fragments holding rows in a still-open DAY bucket (the coarsest tier)
+    # must be re-read next epoch; parquet footer stats only, no data read.
+    open_day_start = (
+        (watermark_us if close_us is None else close_us) // US_PER_DAY * US_PER_DAY
+    )
+    pending_fragments = (
+        []
+        if close_us is None
+        else [p for p in fragments if _fragment_max_ts_us(p) >= open_day_start]
+    )
+
+    committed = manifest.committed(epoch)
+    done_parts = {p for (p, tier, _e) in committed if tier == "all"}
+
+    if len(done_parts) == num_partitions and os.path.exists(
+        state_path(state_root, epoch)
+    ):
+        return {"epoch": epoch, "skipped": True, "watermark_us": watermark_us,
+                "close_us": close_us, "cells": 0, "rows": 0,
+                "pending_fragments": pending_fragments}
+
+    # crash hygiene: clear output dirs of partitions whose cells never
+    # committed (half-written Parquet from an interrupted attempt), then
+    # recompute only those partitions (reference analog: delete-and-refetch
+    # of corrupted downloads, ``VNP09GA.py:158-165``)
+    import shutil
+
+    for d in glob.glob(os.path.join(out_root, "tier=*", "partition_id=*")):
+        if int(d.rsplit("=", 1)[1]) not in done_parts:
+            shutil.rmtree(d, ignore_errors=True)
+
+    if done_parts:
+        skip = np.array(sorted(done_parts))
+
+        def _skip_done(t: pa.Table) -> pa.Table:
+            part = partition_of(t["conv_id"].to_pandas(), num_partitions)
+            return t.filter(pa.array(~np.isin(part, skip)))
+
+        ds = ds.map_batches(_skip_done, batch_format="pyarrow")
+
+    tiers = rollup_tiers(
+        ds, prior_state_ref=prior_ref, smooth=smooth, close_us=close_us
+    )
+
+    def _add_partition(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["partition_id"] = partition_of(df["conv_id"], num_partitions)
+        return df
+
+    tiers = tiers.map_batches(_add_partition, batch_format="pandas")
+    os.makedirs(out_root, exist_ok=True)
+    tiers.write_parquet(out_root, partition_cols=["tier", "partition_id"])
+
+    # commit cells from written parquet footers (no second pipeline pass)
+    n_cells = 0
+    total_rows = 0
+    for tier in TIERS:
+        for part_dir in sorted(glob.glob(os.path.join(out_root, f"tier={tier}", "partition_id=*"))):
+            pid = int(part_dir.rsplit("=", 1)[1])
+            rows = pads.dataset(part_dir).count_rows()
+            manifest.commit(pid, tier, epoch, fragments, watermark_us, rows, part_dir)
+            n_cells += 1
+            total_rows += rows
+        # also mark partition-complete cells for resume bookkeeping
+    for pid in range(num_partitions):
+        manifest.commit(pid, "all", epoch, fragments, watermark_us, 0, out_root)
+
+    # state checkpoint: derived from this epoch's tier output merged over prior
+    tier_df = pads.dataset(out_root, partitioning="hive").to_table().to_pandas()
+    if "tier" in tier_df and len(tier_df):
+        new_state = derive_state(tier_df, epoch)
+    else:
+        new_state = derive_state(
+            pd.DataFrame(columns=["conv_id", "metric", "tier", "bucket_start", "value", "value_sd"]),
+            epoch,
+        )
+    if prior is not None:
+        prior_df = pd.DataFrame(
+            [
+                {
+                    "conv_id": c, "metric": m, "tier": t,
+                    "mean": mu, "sd": float(np.sqrt(var)),
+                    "bias_mean": 0.0, "bias_sd": 0.001,
+                    "last_bucket": pd.Timestamp(lb, unit="us"), "epoch": np.int32(epoch),
+                }
+                for (c, m, t), (mu, var, lb) in prior.items()
+            ]
+        )
+        new_state = (
+            pd.concat([prior_df, new_state], ignore_index=True)
+            .sort_values("last_bucket")
+            .groupby(["conv_id", "metric", "tier"], sort=True)
+            .tail(1)
+            .reset_index(drop=True)
+        )
+    save_state(new_state, state_root, epoch)
+
+    os.makedirs(os.path.dirname(_epoch_meta_path(root, epoch)), exist_ok=True)
+    with open(_epoch_meta_path(root, epoch), "w") as f:
+        json.dump(
+            {"epoch": epoch, "watermark_us": watermark_us, "close_us": close_us,
+             "pending_fragments": pending_fragments, "rows": total_rows},
+            f,
+        )
+    return {
+        "epoch": epoch,
+        "watermark_us": watermark_us,
+        "close_us": close_us,
+        "cells": n_cells,
+        "rows": total_rows,
+        "pending_fragments": pending_fragments,
+    }
+
+
+def _fragment_max_ts_us(path: str) -> int:
+    """Max ts from parquet row-group statistics (no data read)."""
+    import pyarrow.parquet as pq
+
+    md = pq.read_metadata(path)
+    names = {md.schema.column(i).name: i for i in range(md.num_columns)}
+    col = names["ts"]
+    best = -(1 << 62)
+    for rg in range(md.num_row_groups):
+        stats = md.row_group(rg).column(col).statistics
+        if stats is not None and stats.has_min_max:
+            v = stats.max
+            ts = int(pd.Timestamp(v).value // 1000)
+            best = max(best, ts)
+    return best
+
+
+def read_tiers(root: str, epochs: list[int]) -> pd.DataFrame:
+    """Concatenate committed tier output across epochs (small results)."""
+    frames = []
+    for e in epochs:
+        d = os.path.join(root, "tiers", f"epoch={e:05d}")
+        if os.path.isdir(d):
+            frames.append(pads.dataset(d, partitioning="hive").to_table().to_pandas())
+    if not frames:
+        return pd.DataFrame()
+    df = pd.concat(frames, ignore_index=True)
+    df["tier"] = df["tier"].astype(str)
+    return df

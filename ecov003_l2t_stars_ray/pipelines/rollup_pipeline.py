@@ -54,12 +54,15 @@ def rollup_tiers(
     ds: ray.data.Dataset,
     prior_state_ref=None,
     smooth: bool = True,
+    close_us: int | None = None,
 ) -> ray.data.Dataset:
     """transcripts Dataset -> tier rows (1m/1h/1d, FIXTURES.md F2 schema)."""
     parts = ds.map_batches(partial_rollup, batch_format="pyarrow")
 
     def _finalize(group: pd.DataFrame) -> pd.DataFrame:
-        out = finalize_conversation(group, _resolve_state(prior_state_ref), smooth)
+        out = finalize_conversation(
+            group, _resolve_state(prior_state_ref), smooth, close_us
+        )
         if not len(out):
             return pd.DataFrame({c: pd.Series(dtype=d) for c, d in _EMPTY_DTYPES.items()})
         return out
@@ -84,6 +87,7 @@ def write_tiers(tiers: ray.data.Dataset, out_dir: str) -> None:
 def tiers_to_pandas(tiers: ray.data.Dataset) -> pd.DataFrame:
     """Materialize tier rows for tests/small results (sorted, stable)."""
     df = tiers.to_pandas()
+    df = df[df["metric"] != "_context"]  # state-chain bookkeeping rows
     if "bucket_start" in df and not pd.api.types.is_datetime64_any_dtype(df["bucket_start"]):
         df["bucket_start"] = pd.to_datetime(df["bucket_start"])
     return df.sort_values(

@@ -74,6 +74,7 @@ STATE_SCHEMA = pa.schema(
     [
         ("conv_id", pa.string()),
         ("metric", pa.string()),
+        ("tier", pa.string()),
         ("mean", pa.float64()),
         ("sd", pa.float64()),
         ("bias_mean", pa.float64()),

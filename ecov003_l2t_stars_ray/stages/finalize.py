@@ -63,6 +63,7 @@ def finalize_conversation(
     group: pd.DataFrame,
     prior_state: dict | None = None,
     smooth: bool = True,
+    close_us: int | None = None,
 ) -> pd.DataFrame:
     """map_groups body: one conversation's partials -> all tier rows.
 
@@ -70,6 +71,11 @@ def finalize_conversation(
     last_bucket_us)} checkpoint map for incremental epochs (K4 analog);
     buckets <= last_bucket are assumed already committed and the smoother
     resumes from the stored state.
+
+    ``close_us``: watermark close rule — only buckets that END at or before
+    ``close_us`` are emitted, *per tier* (a 1m bucket can close while its
+    1h/1d parents stay open; the open parents are re-derived next epoch
+    from re-read fragments). Give-up analog of ``constants.py:27``.
     """
     conv_id = group["conv_id"].iloc[0]
 
@@ -77,7 +83,28 @@ def finalize_conversation(
     part = group[group["kind"] == KIND_PARTIAL]
     needs = group[group["kind"] == KIND_NEED]
     provides = group[group["kind"] == KIND_PROVIDE]
+    # cross-EPOCH latency: the previous epoch checkpoints the conversation's
+    # last processed turn as a context record; inject it as a provide row so
+    # a turn deferred across the epoch boundary still finds its predecessor.
+    if prior_state is not None:
+        ctx = prior_state.get((conv_id, "_context", "raw"))
+        if ctx is not None:
+            last_idx, _unused, last_ts_us = ctx
+            provides = pd.concat(
+                [
+                    provides,
+                    pd.DataFrame(
+                        {"conv_id": [conv_id], "kind": [KIND_PROVIDE],
+                         "metric": [-1], "bucket_us": [0], "count": [0],
+                         "vmin": [np.nan], "vmax": [np.nan], "vsum": [np.nan],
+                         "turn_idx": [np.int32(int(last_idx))],
+                         "ts_us": [np.int64(last_ts_us)]}
+                    ),
+                ],
+                ignore_index=True,
+            )
     extra = None
+    provides = provides.drop_duplicates(subset=["turn_idx"])
     if len(needs):
         m = needs.merge(
             provides,
@@ -111,6 +138,8 @@ def finalize_conversation(
     out = []
     finer = tier_1m
     for tier, width in TIERS.items():
+        # cascade from the UNfiltered finer tier; the close rule is applied
+        # per tier inside _densify_and_smooth (bucket_end <= close)
         rows = finer if width == US_PER_MIN else _cascade(finer, width)
         finer = rows
         for mcode, mname in METRIC_NAMES.items():
@@ -119,9 +148,26 @@ def finalize_conversation(
                 continue
             out.append(
                 _densify_and_smooth(
-                    conv_id, mname, tier, width, mrows, prior_state, smooth
+                    conv_id, mname, tier, width, mrows, prior_state, smooth,
+                    close_us,
                 )
             )
+    # context record: the conversation's last turn seen this epoch, emitted
+    # as a bookkeeping row (metric="_context", tier="raw") so the state
+    # checkpoint can carry it forward for cross-epoch latency resolution.
+    boundary = pd.concat([needs, provides], ignore_index=True)
+    if len(boundary):
+        last = boundary.loc[boundary["turn_idx"].idxmax()]
+        out.append(
+            pd.DataFrame(
+                {"conv_id": [conv_id], "metric": ["_context"], "tier": ["raw"],
+                 "bucket_start": pd.Series([np.int64(last["ts_us"])]).to_numpy().view("datetime64[us]"),
+                 "count": [np.int64(last["turn_idx"])],
+                 "min": [np.nan], "max": [np.nan], "sum": [np.nan],
+                 "mean": [np.nan], "value": [float(last["turn_idx"])],
+                 "value_sd": [np.nan], "gap_filled": [False]}
+            )
+        )
     if not out:
         return pd.DataFrame(columns=TIER_OUT_COLUMNS)
     return pd.concat(out, ignore_index=True)[TIER_OUT_COLUMNS]
@@ -135,9 +181,14 @@ def _densify_and_smooth(
     rows: pd.DataFrame,
     prior_state: dict | None,
     smooth: bool,
+    close_us: int | None = None,
 ) -> pd.DataFrame:
     """Dense bucket axis + Kalman gap-fill for one (conv, metric, tier)."""
     rows = rows.sort_values("bucket_us")
+    if close_us is not None:
+        rows = rows[rows["bucket_us"] + width_us <= close_us]
+        if not len(rows):
+            return pd.DataFrame(columns=TIER_OUT_COLUMNS)
     buckets = rows["bucket_us"].to_numpy()
 
     prior_mean = prior_var = None
@@ -146,7 +197,11 @@ def _densify_and_smooth(
         st = prior_state.get((conv_id, metric, tier))
         if st is not None:
             prior_mean, prior_var, last_bucket = st
-            start = max(start, last_bucket + width_us)
+            # continuous axis: resume exactly one bucket after the committed
+            # checkpoint so inter-epoch gap buckets are predicted forward,
+            # identical to an uninterrupted run; buckets <= last_bucket were
+            # already committed (or are late beyond give-up) and are dropped.
+            start = last_bucket + width_us
             keep = buckets >= start
             rows, buckets = rows[keep], buckets[keep]
             if not len(rows):

@@ -1,0 +1,143 @@
+"""Incremental epochs: watermark close rule, state chain, manifest resume.
+
+Golden check: running the corpus as two incremental epochs + a flush epoch
+must reproduce the full-batch oracle rollup exactly (same dense axes, same
+Kalman recurrence continued through the checkpoint) — the reference's
+prior/posterior chain semantics (``L2T_STARS.py:327-335``).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from ecov003_l2t_stars_ray import oracle
+from ecov003_l2t_stars_ray.pipelines.epochs import read_tiers, run_epoch
+from ecov003_l2t_stars_ray.state.manifest import Manifest
+
+
+@pytest.fixture(scope="module")
+def epoch_setup(tmp_path_factory, small_transcripts):
+    base = tmp_path_factory.mktemp("epochs")
+    pdf = small_transcripts.to_pandas()
+    ts_us = pdf["ts"].astype("datetime64[us]").astype(np.int64)
+    mid = int(np.quantile(ts_us, 0.6))
+    frag_dir = base / "frags"
+    os.makedirs(frag_dir)
+    f1 = str(frag_dir / "f1.parquet")
+    f2 = str(frag_dir / "f2.parquet")
+    pq.write_table(
+        pa.Table.from_pandas(pdf[ts_us <= mid], preserve_index=False), f1
+    )
+    pq.write_table(
+        pa.Table.from_pandas(pdf[ts_us > mid], preserve_index=False), f2
+    )
+    return str(base / "root"), f1, f2, pdf
+
+
+def _combined(root, epochs):
+    df = read_tiers(root, epochs)
+    df = df[df["metric"] != "_context"].copy()
+    df["bucket_start"] = df["bucket_start"].astype("datetime64[us]")
+    return df.sort_values(
+        ["tier", "conv_id", "metric", "bucket_start"], ignore_index=True
+    )
+
+
+def test_incremental_epochs_match_full_batch(epoch_setup):
+    root, f1, f2, pdf = epoch_setup
+    r1 = run_epoch([f1], root, epoch=1, num_partitions=4)
+    assert r1["rows"] > 0 and r1["cells"] > 0
+    r2 = run_epoch([f2], root, epoch=2, num_partitions=4)
+    # flush epoch: close the give-up horizon so every bucket finalizes
+    r3 = run_epoch([], root, epoch=3, num_partitions=4, giveup_buckets=0)
+
+    got = _combined(root, [1, 2, 3])
+    want = oracle.tier_rollup(pdf, smooth=True)
+
+    key = ["tier", "conv_id", "metric", "bucket_start"]
+    got_i = got.set_index(key).sort_index()
+    want_i = want.set_index(key).sort_index()
+    assert len(got_i) == len(want_i), (len(got_i), len(want_i))
+    assert (got_i.index == want_i.index).all()
+    assert (got_i["count"].to_numpy() == want_i["count"].to_numpy()).all()
+    assert (got_i["gap_filled"].to_numpy() == want_i["gap_filled"].to_numpy()).all()
+    np.testing.assert_array_equal(got_i["min"].to_numpy(), want_i["min"].to_numpy())
+    np.testing.assert_array_equal(got_i["max"].to_numpy(), want_i["max"].to_numpy())
+    for col in ["sum", "mean", "value", "value_sd"]:
+        np.testing.assert_allclose(
+            got_i[col].to_numpy(), want_i[col].to_numpy(),
+            rtol=1e-7, atol=1e-9, err_msg=col,
+        )
+
+
+def test_manifest_cells_and_rerun_skips(epoch_setup):
+    root, f1, f2, _ = epoch_setup
+    man = Manifest(os.path.join(root, "manifest"))
+    cells = man.committed(1)
+    assert any(t == "1m" for (_p, t, _e) in cells)
+    # identical rerun of a committed epoch is a no-op
+    r = run_epoch([f1], root, epoch=1, num_partitions=4)
+    assert r.get("skipped") is True
+
+
+def test_late_data_beyond_giveup_dropped(tmp_path, small_transcripts):
+    """A turn arriving in epoch 2 whose bucket was committed in epoch 1 is
+    excluded deterministically (VIIRS_GIVEUP_DAYS analog)."""
+    root = str(tmp_path / "root")
+    pdf = small_transcripts.to_pandas()
+    conv = pdf["conv_id"].iloc[0]
+    cdf = pdf[pdf["conv_id"] == conv].reset_index(drop=True)
+
+    f1 = str(tmp_path / "f1.parquet")
+    pq.write_table(pa.Table.from_pandas(cdf, preserve_index=False), f1)
+    run_epoch([f1], root, epoch=1, num_partitions=2, giveup_buckets=0)
+    before = _combined(root, [1])
+
+    # craft one late turn: ts far in the conversation's past
+    late = cdf.tail(1).copy()
+    late["turn_idx"] = late["turn_idx"] + 1
+    late["ts"] = cdf["ts"].iloc[0]
+    f2 = str(tmp_path / "f2.parquet")
+    pq.write_table(pa.Table.from_pandas(late, preserve_index=False), f2)
+    run_epoch([f2], root, epoch=2, num_partitions=2, giveup_buckets=0)
+    after = _combined(root, [1, 2])
+
+    t1 = before[(before.tier == "1m") & (before.metric == "turn_rate")]
+    t2 = after[(after.tier == "1m") & (after.metric == "turn_rate")]
+    # the late turn fell in an already-committed bucket: counts unchanged
+    assert t1["count"].sum() == t2["count"].sum()
+
+
+def test_partial_commit_resume(tmp_path, small_transcripts):
+    """Deleting some committed cells forces recompute of only those
+    partitions; result is identical afterwards."""
+    root = str(tmp_path / "root")
+    pdf = small_transcripts.to_pandas()
+    f1 = str(tmp_path / "f1.parquet")
+    pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), f1)
+    run_epoch([f1], root, epoch=1, num_partitions=4, giveup_buckets=0)
+    full = _combined(root, [1])
+
+    # simulate a crash: drop partition 0's commit marker + its output
+    man_dir = os.path.join(root, "manifest")
+    for p in glob.glob(os.path.join(man_dir, "cell-p00000-*-e00001.parquet")):
+        os.remove(p)
+    os.remove(os.path.join(root, "state", "state-e00001.parquet"))
+    import shutil
+
+    for d in glob.glob(os.path.join(root, "tiers", "epoch=00001", "tier=*", "partition_id=0")):
+        shutil.rmtree(d)
+
+    r = run_epoch([f1], root, epoch=1, num_partitions=4, giveup_buckets=0)
+    assert not r.get("skipped")
+    again = _combined(root, [1])
+    pd.testing.assert_frame_equal(
+        full.reset_index(drop=True), again.reset_index(drop=True)
+    )

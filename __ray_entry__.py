@@ -1,44 +1,426 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract: entry() smoke, queries() vs oracle_sql() via DuckDB.
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE import — nothing here (or in the
+library) calls ray.init()/ray.shutdown().
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Column-name + rounding contract: every float aggregate is ROUND(x, 6) on
+both the Ray and SQL sides so distributed partial-sum ordering cannot flip
+the driver's value hash.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pandas as pd
+
+
+# ---------------------------------------------------------------- flagship
+def _derive_transcripts(sf_dir: str):
+    """events -> transcript-shaped Dataset (conv_id, turn_idx, role, text,
+    tool, ts): one conversation per user, turns ordered by (ts, event_id)."""
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "event_type", "props", "ts"],
+    )
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        uid = int(g["user_id"].iloc[0])
+        return pd.DataFrame(
+            {
+                "conv_id": f"conv-{uid:08d}",
+                "turn_idx": np.arange(len(g), dtype=np.int32),
+                "role": g["event_type"].to_numpy(),
+                "text": g["props"].to_numpy(),
+                "tool": "",
+                "ts": g["ts"].astype("datetime64[us]").to_numpy(),
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: sf0.001 events -> transcripts -> raw->1m->1h->1d rollup."""
+    from ecov003_l2t_stars_ray.pipelines.rollup_pipeline import (
+        rollup_tiers,
+        tiers_to_pandas,
+    )
+
+    transcripts = _derive_transcripts("/root/testdata/sf0.001")
+    return tiers_to_pandas(rollup_tiers(transcripts, smooth=True))
+
+
+# ----------------------------------------------------------------- queries
+def _transcript_latency_1m(sf_dir: str) -> pd.DataFrame:
+    from ecov003_l2t_stars_ray.pipelines.rollup_pipeline import (
+        rollup_tiers,
+        tiers_to_pandas,
+    )
+
+    tiers = tiers_to_pandas(rollup_tiers(_derive_transcripts(sf_dir), smooth=False))
+    t = tiers[(tiers.tier == "1m") & (tiers.metric == "latency") & (tiers["count"] > 0)]
+    out = pd.DataFrame(
+        {
+            "conv_id": t["conv_id"].to_numpy(),
+            "bucket_start": t["bucket_start"].to_numpy(),
+            "n": t["count"].to_numpy(),
+            "min_gap": np.round(t["min"].to_numpy(), 6),
+            "max_gap": np.round(t["max"].to_numpy(), 6),
+            "sum_gap": np.round(t["sum"].to_numpy(), 6),
+        }
+    )
+    return out.sort_values(["conv_id", "bucket_start"], ignore_index=True)
+
+
+def _tier_rollup_synthetic(sf_dir: str) -> pd.DataFrame:
+    """Engine's own corpus: deterministic synthetic transcripts (seeded by
+    sf) -> full smoothed tier rollup. Rows-only check (oracle is the
+    in-repo pandas engine, exercised in pytest)."""
+    import ray.data
+
+    from ecov003_l2t_stars_ray.pipelines.rollup_pipeline import (
+        rollup_tiers,
+        tiers_to_pandas,
+    )
+    from ecov003_l2t_stars_ray.sources.synthetic import generate_transcripts
+
+    n_convs = {"sf0.001": 40, "sf0.01": 120, "sf0.1": 400}.get(
+        os.path.basename(sf_dir.rstrip("/")), 60
+    )
+    table = generate_transcripts(n_convs=n_convs, seed=42, mean_turns=40)
+    ds = ray.data.from_arrow(table).repartition(8)
+    return tiers_to_pandas(rollup_tiers(ds, smooth=True))
+
+
+def _gorilla_chunks(sf_dir: str) -> pd.DataFrame:
+    """Gorilla-compress the synthetic tier output; per-tier byte stats
+    (rows-only; roundtrip exactness is pytest-verified)."""
+    from ecov003_l2t_stars_ray.stages.compress import compress_batch
+
+    tiers = _tier_rollup_synthetic(sf_dir)
+    chunks = compress_batch(tiers)
+    out = (
+        pd.DataFrame(
+            {
+                "tier": chunks["tier"],
+                "n_points": chunks["n_points"],
+                "n_bytes": chunks["payload"].map(len).astype("int64"),
+            }
+        )
+        .groupby("tier", as_index=False)
+        .agg(series=("n_points", "count"), points=("n_points", "sum"),
+             bytes=("n_bytes", "sum"))
+        .sort_values("tier", ignore_index=True)
+    )
+    return out
+
+
+def _ann_topk(sf_dir: str) -> pd.DataFrame:
+    import ray.data
+
+    from ecov003_l2t_stars_ray.pipelines.similarity import brute_force_topk
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    qdf = emb.to_pandas()
+    qdf = qdf[qdf["vec_id"] < 8].sort_values("vec_id")
+    out = brute_force_topk(
+        emb,
+        qdf["vec_id"].to_numpy(),
+        np.stack(qdf["embedding"].to_numpy()),
+        k=5,
+    )
+    out["cosine"] = out["cosine"].round(6)
+    return out[["query_id", "vec_id", "cosine"]]
+
+
+def _srp_ann(sf_dir: str) -> pd.DataFrame:
+    import ray.data
+
+    from ecov003_l2t_stars_ray.pipelines.similarity import SRPIndexedSearch
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    qdf = emb.to_pandas()
+    qdf = qdf[qdf["vec_id"] < 8].sort_values("vec_id")
+    idx = SRPIndexedSearch(n_planes=8, seed=7, dim=len(qdf["embedding"].iloc[0]))
+    indexed = idx.build(emb)
+    out = idx.search(
+        indexed, qdf["vec_id"].to_numpy(), np.stack(qdf["embedding"].to_numpy()), k=5
+    )
+    out["cosine"] = out["cosine"].round(6)
+    return out[["query_id", "vec_id", "cosine"]]
+
+
+def _minhash_near_dups(sf_dir: str) -> pd.DataFrame:
+    import ray.data
+
+    from ecov003_l2t_stars_ray.pipelines.dedup import (
+        jaccard_verify,
+        minhash_candidates,
+    )
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    pairs = minhash_candidates(docs, k=5)
+    verified = jaccard_verify(docs, pairs, k=5, threshold=0.5)
+    verified["jaccard"] = verified["jaccard"].round(6)
+    return verified
+
+
+def _simhash_near_dups(sf_dir: str) -> pd.DataFrame:
+    import ray.data
+
+    from ecov003_l2t_stars_ray.pipelines.dedup import simhash_near_dups
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return simhash_near_dups(docs, hamming_k=6)
+
+
+def _embedding_near_dups(sf_dir: str) -> pd.DataFrame:
+    import ray.data
+
+    from ecov003_l2t_stars_ray.pipelines.dedup import embedding_near_dups
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    # synthetic embeddings are near-orthogonal (max offdiag cosine ~0.48);
+    # 0.35 keeps the candidate set non-empty yet selective
+    out = embedding_near_dups(emb, threshold=0.35)
+    out["cosine"] = out["cosine"].round(6)
+    return out
+
+
+def _media_decode(sf_dir: str) -> pd.DataFrame:
+    import ray.data
+
+    from ecov003_l2t_stars_ray.pipelines.multimodal import (
+        decode_features,
+        synthesize_media,
+    )
+
+    media = ray.data.from_arrow(synthesize_media(n=64, seed=42))
+    out = decode_features(media, fake_decoder=True).to_pandas()
+    out["feat0"] = out["feature"].map(lambda f: round(float(f[0]), 6))
+    return out[["media_id", "modality", "payload_bytes", "feat0"]].sort_values(
+        "media_id", ignore_index=True
+    )
+
+
+def _dedup_exact(sf_dir: str) -> pd.DataFrame:
+    import ray.data
+
+    from ecov003_l2t_stars_ray.pipelines.dedup import exact_dedup
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return (
+        exact_dedup(docs).to_pandas().sort_values("h", ignore_index=True)[
+            ["h", "keep_id", "n_copies"]
+        ]
+    )
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from ecov003_l2t_stars_ray.pipelines import analytics as A
+    from ecov003_l2t_stars_ray.pipelines import text_analysis as T
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # bucketed rollup ladder (A1/M13)
+        "rollup_1m": lambda sf: A.events_rollup(sf, "1m"),
+        "rollup_1h": lambda sf: A.events_rollup(sf, "1h"),
+        "rollup_1d": lambda sf: A.events_rollup(sf, "1d"),
+        # dense axis + gap flags (S4/J1); Kalman variant rows-only
+        "gap_fill_1m": A.gap_fill_1m,
+        "kalman_smooth_1m": A.kalman_smooth_events,
+        # lag/latency (cadence deltas)
+        "latency_stats": A.user_latency_stats,
+        # TPC-H-shaped aggregate + broadcast join
+        "pricing_summary": A.pricing_summary,
+        "revenue_per_nation": A.revenue_per_nation,
+        # sorts / top-k (O2/O4)
+        "top_users": A.top_users,
+        # joins: as-of (J1), priority coalesce (J4)
+        "asof_purchase_view": A.purchase_after_view_asof,
+        "coalesce_priority": A.coalesce_by_priority,
+        # watermark / late split (§2.9)
+        "late_events": A.late_events,
+        # dedup family
+        "dedup_exact": _dedup_exact,
+        "minhash_near_dups": _minhash_near_dups,
+        "simhash_near_dups": _simhash_near_dups,
+        "embedding_near_dups": _embedding_near_dups,
+        # text analysis
+        "doc_token_stats": T.doc_token_stats,
+        "doc_quality": T.doc_quality,
+        "doc_langid": T.doc_langid,
+        # similarity search
+        "ann_topk": _ann_topk,
+        "srp_ann": _srp_ann,
+        # engine-native pipelines
+        "transcript_latency_1m": _transcript_latency_1m,
+        "tier_rollup_synthetic": _tier_rollup_synthetic,
+        "gorilla_chunks": _gorilla_chunks,
+        "media_decode": _media_decode,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    rollup = """
+        SELECT user_id,
+               date_trunc('{unit}', ts) AS bucket_start,
+               COUNT(*) AS n,
+               ROUND(MIN(value), 6) AS min_value,
+               ROUND(MAX(value), 6) AS max_value,
+               ROUND(SUM(value), 6) AS sum_value,
+               ROUND(AVG(value), 6) AS avg_value
+        FROM events GROUP BY 1, 2
     """
-    return {}
+    return {
+        "rollup_1m": rollup.format(unit="minute"),
+        "rollup_1h": rollup.format(unit="hour"),
+        "rollup_1d": rollup.format(unit="day"),
+        "gap_fill_1m": """
+            WITH bounds AS (
+                SELECT user_id, date_trunc('minute', MIN(ts)) AS lo,
+                       date_trunc('minute', MAX(ts)) AS hi
+                FROM events GROUP BY 1
+            ), axis AS (
+                SELECT user_id,
+                       unnest(generate_series(lo, hi, INTERVAL 1 MINUTE)) AS bucket_start
+                FROM bounds
+            ), obs AS (
+                SELECT user_id, date_trunc('minute', ts) AS b, COUNT(*) AS n
+                FROM events GROUP BY 1, 2
+            )
+            SELECT a.user_id, a.bucket_start,
+                   COALESCE(o.n, 0) AS n,
+                   (o.n IS NULL) AS gap_filled
+            FROM axis a LEFT JOIN obs o
+              ON a.user_id = o.user_id AND a.bucket_start = o.b
+        """,
+        "latency_stats": """
+            WITH g AS (
+                SELECT user_id,
+                       CAST(date_diff('microsecond',
+                            LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                            ts) AS DOUBLE) / 1000000 AS gap_s
+                FROM events
+            )
+            SELECT user_id, COUNT(*) AS n_gaps,
+                   ROUND(AVG(gap_s), 6) AS avg_gap_s,
+                   ROUND(MIN(gap_s), 6) AS min_gap_s,
+                   ROUND(MAX(gap_s), 6) AS max_gap_s
+            FROM g WHERE gap_s IS NOT NULL GROUP BY user_id
+        """,
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   ROUND(SUM(l_quantity), 6) AS sum_qty,
+                   ROUND(SUM(l_extendedprice), 6) AS sum_base_price,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 6) AS sum_disc_price,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 6) AS sum_charge,
+                   ROUND(SUM(l_quantity) / COUNT(*), 6) AS avg_qty,
+                   ROUND(SUM(l_extendedprice) / COUNT(*), 6) AS avg_price,
+                   ROUND(SUM(l_discount) / COUNT(*), 6) AS avg_disc,
+                   COUNT(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "revenue_per_nation": """
+            SELECT n.n_name,
+                   ROUND(SUM(o.o_totalprice), 6) AS revenue,
+                   COUNT(*) AS n_orders
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            GROUP BY n.n_name
+        """,
+        "top_users": """
+            SELECT user_id, COUNT(*) AS n FROM events
+            GROUP BY user_id ORDER BY n DESC, user_id LIMIT 10
+        """,
+        "asof_purchase_view": """
+            SELECT p.event_id, p.user_id, p.ts, v.view_ts
+            FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+            ASOF LEFT JOIN
+                 (SELECT user_id, ts AS view_ts FROM events WHERE event_type = 'view') v
+              ON p.user_id = v.user_id AND p.ts >= v.view_ts
+        """,
+        "coalesce_priority": """
+            SELECT lang, doc_id AS keep_id, source FROM (
+                SELECT lang, doc_id, source,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY lang
+                           ORDER BY CAST(SUBSTR(source, 4) AS INT), doc_id
+                       ) AS rn
+                FROM documents
+            ) WHERE rn = 1
+        """,
+        "late_events": """
+            SELECT user_id, COUNT(*) AS n_late FROM events
+            WHERE ts < (SELECT MAX(ts) FROM events) - INTERVAL 1 DAY
+            GROUP BY user_id
+        """,
+        "dedup_exact": """
+            SELECT md5(text) AS h, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+            FROM documents GROUP BY 1
+        """,
+        "doc_token_stats": """
+            SELECT doc_id,
+                   LENGTH(text) AS n_chars_calc,
+                   LENGTH(regexp_extract_all(text, '\\S+')) AS n_tokens,
+                   md5(text) AS fp
+            FROM documents
+        """,
+        "doc_quality": """
+            SELECT doc_id,
+                   LENGTH(regexp_extract_all(text, '\\S+')) AS n_tokens,
+                   LENGTH(regexp_extract_all(text, '[.,;:!?]')) AS n_punct,
+                   CASE WHEN LENGTH(regexp_extract_all(text, '\\S+')) > 0
+                        THEN ROUND(LENGTH(regexp_extract_all(text, '\\S')) * 1.0
+                                   / LENGTH(regexp_extract_all(text, '\\S+')), 6)
+                        ELSE 0 END AS avg_token_len,
+                   CASE WHEN LENGTH(text) > 0
+                        THEN ROUND(LENGTH(regexp_extract_all(text, '[.,;:!?]')) * 1.0
+                                   / LENGTH(text), 6)
+                        ELSE 0 END AS punct_ratio
+            FROM documents
+        """,
+        "ann_topk": """
+            WITH q AS (
+                SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+                FROM embeddings WHERE vec_id < 8
+            ), s AS (
+                SELECT q.qid AS query_id, e.vec_id,
+                       list_cosine_similarity(q.qe, CAST(e.embedding AS DOUBLE[])) AS cos
+                FROM q CROSS JOIN embeddings e
+            )
+            SELECT query_id, vec_id, ROUND(cos, 6) AS cosine FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY query_id ORDER BY cos DESC, vec_id
+                ) AS rn FROM s
+            ) WHERE rn <= 5
+        """,
+        "transcript_latency_1m": """
+            WITH t AS (
+                SELECT user_id, event_id, ts
+                FROM events
+            ), g AS (
+                SELECT user_id, ts,
+                       CAST(date_diff('microsecond',
+                            LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                            ts) AS DOUBLE) / 1000000 AS gap_s
+                FROM t
+            )
+            SELECT 'conv-' || lpad(CAST(user_id AS VARCHAR), 8, '0') AS conv_id,
+                   date_trunc('minute', ts) AS bucket_start,
+                   COUNT(*) AS n,
+                   ROUND(MIN(gap_s), 6) AS min_gap,
+                   ROUND(MAX(gap_s), 6) AS max_gap,
+                   ROUND(SUM(gap_s), 6) AS sum_gap
+            FROM g WHERE gap_s IS NOT NULL GROUP BY 1, 2
+        """,
+    }

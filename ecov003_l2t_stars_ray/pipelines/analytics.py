@@ -1,0 +1,362 @@
+"""Operator-level pipelines over the driver's testdata tables.
+
+Each function takes ``sf_dir`` and returns a small result (pandas) for the
+driver's DuckDB-oracle comparison. Float aggregates are ROUNDed (6 dp) on
+BOTH sides so distributed partial-sum ordering cannot flip the value hash.
+
+These are the SURVEY.md §2 operators re-expressed over the generic
+``events`` / ``lineitem`` / ``documents`` / ``embeddings`` tables:
+bucketed rollups (M13/A1), lag-latency (daily-cadence deltas), dense-axis
+gap fill (S4/J1), priority coalesce (J4), as-of join (J1), dedup (A7),
+top-k (O2/O4), watermark/late split (streaming §2.9).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+from ray.data.aggregate import Count, Max, Min, Sum
+
+US = 1_000_000
+WIDTHS = {"1m": 60 * US, "1h": 3600 * US, "1d": 86400 * US}
+
+
+def _events(sf_dir: str, columns=None) -> ray.data.Dataset:
+    return ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=columns)
+
+
+def _round6(df: pd.DataFrame, cols) -> pd.DataFrame:
+    for c in cols:
+        df[c] = df[c].round(6)
+    return df
+
+
+# ------------------------------------------------------------ bucket rollups
+def events_rollup(sf_dir: str, tier: str) -> pd.DataFrame:
+    """Per-(user, bucket) count/min/max/sum/avg of value — map-side combine
+    then a small groupby over partials (A1/M13 analog)."""
+    width = WIDTHS[tier]
+    ds = _events(sf_dir, ["user_id", "ts", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        b = df["ts"].astype("datetime64[us]").astype(np.int64) // width * width
+        g = (
+            pd.DataFrame({"user_id": df["user_id"], "bucket_us": b, "v": df["value"]})
+            .groupby(["user_id", "bucket_us"], sort=False)["v"]
+            .agg(n="count", vmin="min", vmax="max", vsum="sum")
+            .reset_index()
+        )
+        return g
+
+    out = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(["user_id", "bucket_us"])
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Min("vmin", alias_name="min_value"),
+            Max("vmax", alias_name="max_value"),
+            Sum("vsum", alias_name="sum_value"),
+        )
+        .to_pandas()
+    )
+    out["avg_value"] = out["sum_value"] / out["n"]
+    out["bucket_start"] = out.pop("bucket_us").to_numpy().view("datetime64[us]")
+    out = _round6(out, ["min_value", "max_value", "sum_value", "avg_value"])
+    return out[
+        ["user_id", "bucket_start", "n", "min_value", "max_value", "sum_value", "avg_value"]
+    ].sort_values(["user_id", "bucket_start"], ignore_index=True)
+
+
+def gap_fill_1m(sf_dir: str) -> pd.DataFrame:
+    """Dense per-user minute axis with gap flags (S4/J1 dense-stack analog)."""
+    ds = _events(sf_dir, ["user_id", "ts"])
+    width = WIDTHS["1m"]
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        b = df["ts"].astype("datetime64[us]").astype(np.int64) // width * width
+        return (
+            pd.DataFrame({"user_id": df["user_id"], "bucket_us": b})
+            .groupby(["user_id", "bucket_us"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+
+    def densify(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.groupby("bucket_us", as_index=False)["n"].sum().sort_values("bucket_us")
+        b = g["bucket_us"].to_numpy()
+        axis = np.arange(b[0], b[-1] + width, width, dtype=np.int64)
+        n = np.zeros(len(axis), dtype=np.int64)
+        n[np.searchsorted(axis, b)] = g["n"].to_numpy()
+        return pd.DataFrame(
+            {
+                "user_id": g["user_id"].iloc[0] if "user_id" in g else None,
+                "bucket_start": axis.view("datetime64[us]"),
+                "n": n,
+                "gap_filled": n == 0,
+            }
+        )
+
+    def densify_group(g: pd.DataFrame) -> pd.DataFrame:
+        uid = g["user_id"].iloc[0]
+        out = densify(g)
+        out["user_id"] = uid
+        return out
+
+    out = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("user_id")
+        .map_groups(densify_group, batch_format="pandas")
+        .to_pandas()
+    )
+    return out[["user_id", "bucket_start", "n", "gap_filled"]].sort_values(
+        ["user_id", "bucket_start"], ignore_index=True
+    )
+
+
+def kalman_smooth_events(sf_dir: str) -> pd.DataFrame:
+    """Kalman gap-fill over per-user 1m counts (non-SQL; rows-only check)."""
+    from ..functions.kalman import kalman_gap_fill
+
+    dense = gap_fill_1m(sf_dir)
+    out = []
+    for uid, g in dense.groupby("user_id"):
+        obs = ~g["gap_filled"].to_numpy()
+        y = g["n"].to_numpy().astype(np.float64)
+        value, sd, _, _ = kalman_gap_fill(np.where(obs, y, 0.0), obs)
+        gg = g.copy()
+        gg["value"] = np.round(value, 6)
+        gg["value_sd"] = np.round(sd, 6)
+        out.append(gg)
+    return pd.concat(out, ignore_index=True)
+
+
+# ----------------------------------------------------------------- lag gaps
+def user_latency_stats(sf_dir: str) -> pd.DataFrame:
+    """Inter-event gap stats per user; order = (ts, event_id) for tie
+    stability (daily-cadence delta analog)."""
+    ds = _events(sf_dir, ["user_id", "event_id", "ts"])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        gaps = g["ts"].astype("datetime64[us]").astype(np.int64).diff().to_numpy()[1:] / 1e6
+        if not len(gaps):
+            return pd.DataFrame(
+                {"user_id": pd.Series(dtype="int64"), "n_gaps": pd.Series(dtype="int64"),
+                 "avg_gap_s": pd.Series(dtype="float64"), "min_gap_s": pd.Series(dtype="float64"),
+                 "max_gap_s": pd.Series(dtype="float64")}
+            )
+        return pd.DataFrame(
+            {"user_id": [g["user_id"].iloc[0]], "n_gaps": [len(gaps)],
+             "avg_gap_s": [round(float(gaps.mean()), 6)],
+             "min_gap_s": [round(float(gaps.min()), 6)],
+             "max_gap_s": [round(float(gaps.max()), 6)]}
+        )
+
+    return (
+        ds.groupby("user_id")
+        .map_groups(per_user, batch_format="pandas")
+        .to_pandas()
+        .sort_values("user_id", ignore_index=True)
+    )
+
+
+# -------------------------------------------------------------------- TPC-H
+def pricing_summary(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q1-shaped pricing summary with map-side combine."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+                 "l_discount", "l_tax", "l_shipdate"],
+    )
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        import pyarrow.compute as pc
+
+        t = t.filter(
+            pc.less_equal(t["l_shipdate"], pa.scalar(pd.Timestamp("1998-09-02")))
+        )
+        df = t.to_pandas()
+        df["disc_price"] = df["l_extendedprice"] * (1 - df["l_discount"])
+        df["charge"] = df["disc_price"] * (1 + df["l_tax"])
+        return (
+            df.groupby(["l_returnflag", "l_linestatus"], sort=False)
+            .agg(
+                sum_qty=("l_quantity", "sum"),
+                sum_base_price=("l_extendedprice", "sum"),
+                sum_disc_price=("disc_price", "sum"),
+                sum_charge=("charge", "sum"),
+                sum_disc=("l_discount", "sum"),
+                count_order=("l_quantity", "count"),
+            )
+            .reset_index()
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("sum_qty", alias_name="sum_qty"),
+            Sum("sum_base_price", alias_name="sum_base_price"),
+            Sum("sum_disc_price", alias_name="sum_disc_price"),
+            Sum("sum_charge", alias_name="sum_charge"),
+            Sum("sum_disc", alias_name="sum_disc"),
+            Sum("count_order", alias_name="count_order"),
+        )
+        .to_pandas()
+    )
+    out["avg_qty"] = out["sum_qty"] / out["count_order"]
+    out["avg_price"] = out["sum_base_price"] / out["count_order"]
+    out["avg_disc"] = out.pop("sum_disc") / out["count_order"]
+    out = _round6(
+        out,
+        ["sum_qty", "sum_base_price", "sum_disc_price", "sum_charge",
+         "avg_qty", "avg_price", "avg_disc"],
+    )
+    return out[
+        ["l_returnflag", "l_linestatus", "sum_qty", "sum_base_price",
+         "sum_disc_price", "sum_charge", "avg_qty", "avg_price", "avg_disc",
+         "count_order"]
+    ].sort_values(["l_returnflag", "l_linestatus"], ignore_index=True)
+
+
+def revenue_per_nation(sf_dir: str) -> pd.DataFrame:
+    """orders x customer x nation revenue — broadcast small-side join
+    (dimension tables via ray.put, no shuffle; J2-style lookup)."""
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    ).to_pandas()
+    nation = ray.data.read_parquet(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    ).to_pandas()
+    lookup = cust.merge(
+        nation, left_on="c_nationkey", right_on="n_nationkey"
+    ).set_index("c_custkey")["n_name"]
+    ref = ray.put(lookup)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        lk = ray.get(ref)
+        names = df["o_custkey"].map(lk)
+        return (
+            pd.DataFrame({"n_name": names, "rev": df["o_totalprice"]})
+            .groupby("n_name", sort=False)["rev"]
+            .agg(revenue="sum", n_orders="count")
+            .reset_index()
+        )
+
+    out = (
+        ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+        )
+        .map_batches(partial, batch_format="pandas")
+        .groupby("n_name")
+        .aggregate(Sum("revenue", alias_name="revenue"), Sum("n_orders", alias_name="n_orders"))
+        .to_pandas()
+    )
+    out = _round6(out, ["revenue"])
+    return out[["n_name", "revenue", "n_orders"]].sort_values("n_name", ignore_index=True)
+
+
+# --------------------------------------------------------- sorts/limits/topk
+def top_users(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """Top-k users by event count (deterministic tie-break by user_id)."""
+    out = (
+        _events(sf_dir, ["user_id"])
+        .groupby("user_id")
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
+        .sort_values(["n", "user_id"], ascending=[False, True], kind="mergesort")
+        .head(k)
+        .reset_index(drop=True)
+    )
+    return out[["user_id", "n"]]
+
+
+# ------------------------------------------------------------------- joins
+def purchase_after_view_asof(sf_dir: str) -> pd.DataFrame:
+    """As-of join: for each purchase, the latest view at ts <= purchase ts
+    per user (merge_asof per user group; J1 as-of analog)."""
+    ds = _events(sf_dir, ["event_id", "user_id", "event_type", "ts"])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        buys = g[g["event_type"] == "purchase"][["event_id", "user_id", "ts"]]
+        views = g[g["event_type"] == "view"][["ts"]].rename(columns={"ts": "view_ts"})
+        if not len(buys):
+            return pd.DataFrame(
+                {"event_id": pd.Series(dtype="int64"), "user_id": pd.Series(dtype="int64"),
+                 "ts": pd.Series(dtype="datetime64[us]"),
+                 "view_ts": pd.Series(dtype="datetime64[us]")}
+            )
+        if not len(views):
+            out = buys.copy()
+            out["view_ts"] = pd.NaT
+            return out
+        out = pd.merge_asof(
+            buys, views, left_on="ts", right_on="view_ts", direction="backward"
+        )
+        return out
+
+    out = (
+        ds.groupby("user_id")
+        .map_groups(per_user, batch_format="pandas")
+        .to_pandas()
+        .sort_values("event_id", ignore_index=True)
+    )
+    out["ts"] = out["ts"].astype("datetime64[us]")
+    out["view_ts"] = out["view_ts"].astype("datetime64[us]")
+    return out[["event_id", "user_id", "ts", "view_ts"]]
+
+
+def coalesce_by_priority(sf_dir: str) -> pd.DataFrame:
+    """Mosaic-coalesce analog (J4): per lang keep the doc from the
+    highest-priority source (min numeric source suffix, then min doc_id)."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "source"]
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["priority"] = df["source"].str.slice(3).astype(np.int64)
+        df = df.sort_values(["lang", "priority", "doc_id"], kind="mergesort")
+        return df.groupby("lang", sort=False).head(1)
+
+    out = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("lang")
+        .map_groups(
+            lambda g: g.sort_values(["priority", "doc_id"], kind="mergesort").head(1),
+            batch_format="pandas",
+        )
+        .to_pandas()
+        .sort_values("lang", ignore_index=True)
+    )
+    return out[["lang", "doc_id", "source"]].rename(columns={"doc_id": "keep_id"})
+
+
+# ------------------------------------------------------- watermark/late data
+def late_events(sf_dir: str) -> pd.DataFrame:
+    """Events older than (global watermark - 1 day) per user — the give-up
+    horizon split (VIIRS_GIVEUP_DAYS analog, ``constants.py:27``)."""
+    wm = pd.Timestamp(_events(sf_dir, ["ts"]).max("ts"))
+    cutoff = wm - pd.Timedelta(days=1)
+    ds = _events(sf_dir, ["user_id", "ts"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        import pyarrow.compute as pc
+
+        t = t.filter(pc.less(t["ts"], pa.scalar(cutoff)))
+        df = t.to_pandas()
+        return (
+            df.groupby("user_id", sort=False).size().reset_index(name="n_late")
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Sum("n_late", alias_name="n_late"))
+        .to_pandas()
+        .sort_values("user_id", ignore_index=True)[["user_id", "n_late"]]
+    )

@@ -1,0 +1,162 @@
+"""Similarity search over the ``embeddings`` table (list<float> column).
+
+- ``brute_force_topk``: exact cosine top-k — the query matrix is broadcast
+  once (``ray.put``), each batch does one numpy matmul and emits its LOCAL
+  top-k candidates, and a tiny per-query reduce keeps the global top-k.
+  Shuffle volume is O(n_queries x k x n_blocks), never the corpus.
+- ``SRPIndexedSearch``: the scale path — signed-random-projection (SRP)
+  bucketing; candidates are restricted to colliding buckets (multi-probe
+  over all hyperplane sign flips within radius 1), trading recall for a
+  corpus-size-independent candidate set.
+
+Stateful pieces (query matrix, hyperplanes) live in actor ``__init__`` via
+broadcast refs — the K6 one-time-setup pattern (``login.py:15-61``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray
+import ray.data
+
+
+def _to_matrix(col: pd.Series) -> np.ndarray:
+    m = np.stack(col.to_numpy()).astype(np.float64)
+    return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+
+
+class _BatchTopK:
+    """Actor-pool stage: local cosine top-k of one batch vs all queries."""
+
+    def __init__(self, query_ref, k: int):
+        self.query_ids, self.q = ray.get(query_ref)  # once per actor
+        self.k = k
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        m = _to_matrix(df["embedding"])
+        ids = df["vec_id"].to_numpy()
+        sims = self.q @ m.T  # (n_queries, batch)
+        k = min(self.k, sims.shape[1])
+        top = np.argpartition(-sims, k - 1, axis=1)[:, :k]
+        rows = np.repeat(np.arange(sims.shape[0]), k)
+        cols = top.ravel()
+        return pd.DataFrame(
+            {
+                "query_id": self.query_ids[rows],
+                "vec_id": ids[cols],
+                "cosine": sims[rows, cols],
+            }
+        )
+
+
+def brute_force_topk(
+    emb: ray.data.Dataset,
+    query_ids: np.ndarray,
+    query_matrix: np.ndarray,
+    k: int = 10,
+) -> pd.DataFrame:
+    """Exact cosine top-k per query; deterministic tie-break by vec_id."""
+    q = query_matrix.astype(np.float64)
+    q = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
+    ref = ray.put((np.asarray(query_ids), q))
+
+    local = emb.map_batches(
+        _BatchTopK,
+        fn_constructor_args=(ref, k),
+        batch_format="pandas",
+        batch_size=4096,
+        concurrency=2,
+    )
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cosine", "vec_id"], ascending=[False, True], kind="mergesort")
+        return g.head(k)
+
+    out = local.groupby("query_id").map_groups(final_topk, batch_format="pandas")
+    return (
+        out.to_pandas()
+        .sort_values(["query_id", "cosine", "vec_id"], ascending=[True, False, True],
+                     ignore_index=True)
+    )
+
+
+class SRPIndexedSearch:
+    """Signed-random-projection bucketed ANN (the 100 TB path).
+
+    Index build = one ``map_batches`` pass assigning each vector a bucket
+    (sign bits of ``n_planes`` fixed random hyperplanes). Search probes the
+    query's bucket plus all Hamming-radius-1 neighbors and brute-forces
+    only those candidates.
+    """
+
+    def __init__(self, n_planes: int = 8, seed: int = 7, dim: int = 64):
+        rng = np.random.default_rng(seed)
+        self.planes = rng.standard_normal((n_planes, dim))
+        self.n_planes = n_planes
+
+    def bucket_of(self, m: np.ndarray) -> np.ndarray:
+        bits = (m @ self.planes.T) > 0
+        return (bits << np.arange(self.n_planes)).sum(axis=1).astype(np.int64)
+
+    def build(self, emb: ray.data.Dataset) -> ray.data.Dataset:
+        planes = self.planes
+        n_planes = self.n_planes
+
+        def assign(df: pd.DataFrame) -> pd.DataFrame:
+            m = _to_matrix(df["embedding"])
+            bits = (m @ planes.T) > 0
+            df = df.copy()
+            df["bucket"] = (bits << np.arange(n_planes)).sum(axis=1).astype(np.int64)
+            return df
+
+        return emb.map_batches(assign, batch_format="pandas")
+
+    def search(
+        self,
+        indexed: ray.data.Dataset,
+        query_ids: np.ndarray,
+        query_matrix: np.ndarray,
+        k: int = 10,
+    ) -> pd.DataFrame:
+        q = query_matrix.astype(np.float64)
+        q = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
+        qb = self.bucket_of(q)
+        # multi-probe: own bucket + radius-1 sign flips
+        probes = {
+            int(b) ^ (1 << p) for b in qb for p in range(self.n_planes)
+        } | {int(b) for b in qb}
+        ref = ray.put((np.asarray(query_ids), q, probes))
+        kk = k
+
+        def scan(df: pd.DataFrame) -> pd.DataFrame:
+            ids_, qm, probe_set = ray.get(ref)
+            df = df[df["bucket"].isin(probe_set)]
+            if not len(df):
+                return pd.DataFrame({"query_id": pd.Series(dtype="int64"),
+                                     "vec_id": pd.Series(dtype="int64"),
+                                     "cosine": pd.Series(dtype="float64")})
+            m = _to_matrix(df["embedding"])
+            sims = qm @ m.T
+            vid = df["vec_id"].to_numpy()
+            kl = min(kk, sims.shape[1])
+            top = np.argpartition(-sims, kl - 1, axis=1)[:, :kl]
+            rows = np.repeat(np.arange(sims.shape[0]), kl)
+            cols = top.ravel()
+            return pd.DataFrame({"query_id": ids_[rows], "vec_id": vid[cols],
+                                 "cosine": sims[rows, cols]})
+
+        local = indexed.map_batches(scan, batch_format="pandas")
+
+        def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+            g = g.sort_values(["cosine", "vec_id"], ascending=[False, True],
+                              kind="mergesort")
+            return g.head(kk)
+
+        return (
+            local.groupby("query_id")
+            .map_groups(final_topk, batch_format="pandas")
+            .to_pandas()
+            .sort_values(["query_id", "cosine", "vec_id"],
+                         ascending=[True, False, True], ignore_index=True)
+        )

@@ -1,0 +1,111 @@
+"""Local stand-in for the driver's correctness gate.
+
+Runs every queries() entry and its oracle_sql() (when present) at the given
+sf dir, comparing row count, sorted column names, and an order-insensitive
+value hash (floats rounded to 9 dp before hashing, mirroring a tolerant
+driver compare; mismatches print a sample diff).
+
+Usage: python tools/check_oracle.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import sys
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1).copy()
+    for c in df.columns:
+        if pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].round(9)
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].astype("datetime64[us]")
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(list(df.columns), ignore_index=True)
+
+
+def compare(name: str, got: pd.DataFrame, want: pd.DataFrame) -> bool:
+    ok = True
+    if sorted(got.columns) != sorted(want.columns):
+        print(f"  [{name}] SCHEMA mismatch: {sorted(got.columns)} vs {sorted(want.columns)}")
+        return False
+    if len(got) != len(want):
+        print(f"  [{name}] ROWCOUNT mismatch: {len(got)} vs {len(want)}")
+        ok = False
+    g, w = _canon(got), _canon(want)
+    if len(g) == len(w):
+        try:
+            pd.testing.assert_frame_equal(g, w, check_dtype=False, check_exact=False,
+                                          rtol=1e-9, atol=1e-9)
+        except AssertionError as e:
+            print(f"  [{name}] VALUE mismatch: {str(e).splitlines()[-1][:200]}")
+            neq = (g != w) & ~(g.isna() & w.isna())
+            bad = neq.any(axis=1)
+            print(pd.concat([g[bad].head(3), w[bad].head(3)], axis=1).to_string()[:1500])
+            ok = False
+    return ok
+
+
+def main(sf_dir: str):
+    import ray
+
+    ray.init(address="local", num_cpus=8, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as entrymod
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    qs = entrymod.queries()
+    sqls = entrymod.oracle_sql()
+    passed = failed = rows_only = 0
+    for name, fn in qs.items():
+        try:
+            got = fn(sf_dir)
+            if hasattr(got, "to_pandas"):
+                got = got.to_pandas()
+        except Exception as e:
+            print(f"[{name}] QUERY ERROR: {type(e).__name__}: {e}")
+            failed += 1
+            continue
+        if name not in sqls:
+            print(f"[{name}] rows-only: {len(got)} rows")
+            rows_only += 1
+            continue
+        try:
+            want = con.execute(sqls[name]).df()
+        except Exception as e:
+            print(f"[{name}] SQL ERROR: {e}")
+            failed += 1
+            continue
+        if compare(name, got, want):
+            print(f"[{name}] OK ({len(got)} rows)")
+            passed += 1
+        else:
+            failed += 1
+    print(f"\n{passed} ok, {failed} failed, {rows_only} rows-only")
+    ray.shutdown()
+    return failed
+
+
+if __name__ == "__main__":
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    sys.exit(1 if main(sf) else 0)

@@ -1,0 +1,140 @@
+"""Benchmark harness.
+
+Headline: rolled-up turns/sec — synthetic transcript corpus (deterministic,
+cached under /tmp) through the full raw->1m->1h->1d rollup + Kalman
+gap-fill pipeline with a Parquet sink. Plus per-query timings over
+$GRAFT_SF_DIR testdata.
+
+    python bench.py              # one JSON line
+    python bench.py --scaling    # fresh 8-cpu and 32-cpu processes, same
+                                 # input; reports throughputs + efficiency
+
+Env: GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     RAY_GRAFT_CPUS (default 32).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+#: corpus size per sf tier: (n_convs, mean_turns)
+CORPUS = {"sf0.001": (200, 40), "sf0.01": (600, 45), "sf0.1": (4000, 60)}
+
+
+def corpus_dir() -> tuple[str, int]:
+    """Generate (once) and cache the deterministic bench corpus."""
+    sf = os.path.basename(SF_DIR.rstrip("/"))
+    n_convs, mean_turns = CORPUS.get(sf, CORPUS["sf0.1"])
+    d = f"/tmp/rollup_bench_corpus_{sf}"
+    marker = os.path.join(d, "_COMPLETE")
+    if not os.path.exists(marker):
+        from ecov003_l2t_stars_ray.sources.synthetic import write_corpus
+
+        shutil.rmtree(d, ignore_errors=True)
+        write_corpus(d, n_convs=n_convs, seed=42, mean_turns=mean_turns, n_shards=32)
+        open(marker, "w").close()
+    import pyarrow.parquet as pq
+    import glob as g
+
+    n_turns = sum(pq.read_metadata(p).num_rows for p in g.glob(f"{d}/shard=*.parquet"))
+    return d, n_turns
+
+
+def run_bench() -> dict:
+    import ray
+    import ray.data
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    from ecov003_l2t_stars_ray.pipelines.rollup_pipeline import (
+        read_transcripts,
+        rollup_tiers,
+    )
+
+    corpus, n_turns = corpus_dir()
+    # warm the page cache (measure compute + shuffle, not first disk read)
+    read_transcripts(corpus).count()
+
+    out_dir = f"/tmp/rollup_bench_out_{NUM_CPUS}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    t0 = time.perf_counter()
+    tiers = rollup_tiers(read_transcripts(corpus), smooth=True)
+    tiers.write_parquet(out_dir)
+    headline_sec = time.perf_counter() - t0
+    turns_per_sec = n_turns / headline_sec
+
+    # representative operator queries over the driver's testdata
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __ray_entry__ as entrymod
+
+    qs = entrymod.queries()
+    q_times: dict[str, float] = {}
+    for name in [
+        "rollup_1m", "rollup_1h", "rollup_1d", "latency_stats",
+        "pricing_summary", "revenue_per_nation", "top_users",
+        "asof_purchase_view", "dedup_exact", "doc_token_stats", "ann_topk",
+    ]:
+        t0 = time.perf_counter()
+        qs[name](SF_DIR)
+        q_times[name] = round(time.perf_counter() - t0, 3)
+
+    ray.shutdown()
+    return {
+        "metric": "rollup_pipeline_sec (raw->1m->1h->1d + Kalman gap-fill + parquet sink)",
+        "value": round(headline_sec, 3),
+        "unit": "sec",
+        "turns": n_turns,
+        "turns_per_sec": round(turns_per_sec, 1),
+        "queries": q_times,
+        "sf": os.path.basename(SF_DIR.rstrip("/")),
+        "num_cpus": NUM_CPUS,
+    }
+
+
+def run_scaling() -> dict:
+    """Same job, two fresh processes at 8 and 32 CPUs; efficiency =
+    (throughput_32 / throughput_8) / 4."""
+
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = run(8), run(32)
+    tp_lo, tp_hi = lo["turns_per_sec"], hi["turns_per_sec"]
+    eff = (tp_hi / tp_lo) / (32 / 8)
+    return {
+        "metric": "scaling_efficiency (turns/sec, 8 vs 32 cpus, same input)",
+        "sec_8": lo["value"], "sec_32": hi["value"],
+        "turns_per_sec_8": tp_lo, "turns_per_sec_32": tp_hi,
+        "scaling_efficiency": round(eff, 3),
+        "turns": hi["turns"], "sf": hi["sf"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

@@ -52,6 +52,13 @@ METRIC_LATENCY = 1
 METRIC_NAMES = {METRIC_TURN_RATE: "turn_rate", METRIC_LATENCY: "latency"}
 
 
+def partition_of(conv: pd.Series, num_partitions: int) -> np.ndarray:
+    """Deterministic conv_id -> hash partition (stable across processes;
+    pandas siphash with its fixed default key, PYTHONHASHSEED-independent)."""
+    h = pd.util.hash_pandas_object(conv.astype("object"), index=False).to_numpy()
+    return (h % np.uint64(num_partitions)).astype(np.int32)
+
+
 def partial_rollup(batch: pa.Table) -> pa.Table:
     """map_batches(fn, batch_format="pyarrow") combiner.
 

@@ -4,11 +4,16 @@ Each function takes ``sf_dir`` and returns a small result (pandas) for the
 driver's DuckDB-oracle comparison. Float aggregates are ROUNDed (6 dp) on
 BOTH sides so distributed partial-sum ordering cannot flip the value hash.
 
-These are the SURVEY.md §2 operators re-expressed over the generic
-``events`` / ``lineitem`` / ``documents`` / ``embeddings`` tables:
-bucketed rollups (M13/A1), lag-latency (daily-cadence deltas), dense-axis
-gap fill (S4/J1), priority coalesce (J4), as-of join (J1), dedup (A7),
-top-k (O2/O4), watermark/late split (streaming §2.9).
+All aggregations follow the engine's canonical shape (see
+``functions.shuffle.hash_combine``): vectorized map-side partials, one
+int-keyed hash shuffle, vectorized per-partition combine — never the
+per-block-expensive builtin Aggregate operator, never a per-tiny-group
+Python call.
+
+SURVEY.md §2 operators re-expressed over generic tables: bucketed rollups
+(M13/A1), lag-latency (cadence deltas), dense-axis gap fill (S4/J1),
+priority coalesce (J4), as-of join (J1), dedup (A7), top-k (O2/O4),
+watermark/late split (§2.9).
 """
 
 from __future__ import annotations
@@ -18,7 +23,8 @@ import pandas as pd
 import pyarrow as pa
 import ray
 import ray.data
-from ray.data.aggregate import Count, Max, Min, Sum
+
+from ..functions.shuffle import hash_combine
 
 US = 1_000_000
 WIDTHS = {"1m": 60 * US, "1h": 3600 * US, "1d": 86400 * US}
@@ -37,31 +43,30 @@ def _round6(df: pd.DataFrame, cols) -> pd.DataFrame:
 # ------------------------------------------------------------ bucket rollups
 def events_rollup(sf_dir: str, tier: str) -> pd.DataFrame:
     """Per-(user, bucket) count/min/max/sum/avg of value — map-side combine
-    then a small groupby over partials (A1/M13 analog)."""
+    then hash-partitioned final combine (A1/M13 analog)."""
     width = WIDTHS[tier]
     ds = _events(sf_dir, ["user_id", "ts", "value"])
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         b = df["ts"].astype("datetime64[us]").astype(np.int64) // width * width
-        g = (
+        return (
             pd.DataFrame({"user_id": df["user_id"], "bucket_us": b, "v": df["value"]})
             .groupby(["user_id", "bucket_us"], sort=False)["v"]
             .agg(n="count", vmin="min", vmax="max", vsum="sum")
             .reset_index()
         )
-        return g
 
-    out = (
-        ds.map_batches(partial, batch_format="pandas")
-        .groupby(["user_id", "bucket_us"])
-        .aggregate(
-            Sum("n", alias_name="n"),
-            Min("vmin", alias_name="min_value"),
-            Max("vmax", alias_name="max_value"),
-            Sum("vsum", alias_name="sum_value"),
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        return (
+            g.groupby(["user_id", "bucket_us"], as_index=False)
+            .agg(n=("n", "sum"), min_value=("vmin", "min"),
+                 max_value=("vmax", "max"), sum_value=("vsum", "sum"))
         )
-        .to_pandas()
-    )
+
+    out = hash_combine(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["user_id", "bucket_us"], combine,
+    ).to_pandas()
     out["avg_value"] = out["sum_value"] / out["n"]
     out["bucket_start"] = out.pop("bucket_us").to_numpy().view("datetime64[us]")
     out = _round6(out, ["min_value", "max_value", "sum_value", "avg_value"])
@@ -71,7 +76,8 @@ def events_rollup(sf_dir: str, tier: str) -> pd.DataFrame:
 
 
 def gap_fill_1m(sf_dir: str) -> pd.DataFrame:
-    """Dense per-user minute axis with gap flags (S4/J1 dense-stack analog)."""
+    """Dense per-user minute axis with gap flags (S4/J1 dense-stack analog).
+    Densification is vectorized across ALL users of a hash partition."""
     ds = _events(sf_dir, ["user_id", "ts"])
     width = WIDTHS["1m"]
 
@@ -84,33 +90,36 @@ def gap_fill_1m(sf_dir: str) -> pd.DataFrame:
             .reset_index(name="n")
         )
 
-    def densify(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.groupby("bucket_us", as_index=False)["n"].sum().sort_values("bucket_us")
-        b = g["bucket_us"].to_numpy()
-        axis = np.arange(b[0], b[-1] + width, width, dtype=np.int64)
-        n = np.zeros(len(axis), dtype=np.int64)
-        n[np.searchsorted(axis, b)] = g["n"].to_numpy()
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.groupby(["user_id", "bucket_us"], as_index=False)["n"].sum()
+        g = g.sort_values(["user_id", "bucket_us"], kind="mergesort")
+        bounds = g.groupby("user_id", sort=True).agg(
+            first=("bucket_us", "min"), last=("bucket_us", "max")
+        ).reset_index()
+        start = bounds["first"].to_numpy()
+        lens = ((bounds["last"].to_numpy() - start) // width + 1).astype(np.int64)
+        total = int(lens.sum())
+        cum = np.cumsum(lens) - lens
+        intra = np.arange(total, dtype=np.int64) - np.repeat(cum, lens)
+        axis = np.repeat(start, lens) + intra * width
+        series_of = np.searchsorted(
+            bounds["user_id"].to_numpy(), g["user_id"].to_numpy()
+        )
+        pos = cum[series_of] + (g["bucket_us"].to_numpy() - start[series_of]) // width
+        n = np.zeros(total, dtype=np.int64)
+        n[pos] = g["n"].to_numpy()
         return pd.DataFrame(
             {
-                "user_id": g["user_id"].iloc[0] if "user_id" in g else None,
+                "user_id": np.repeat(bounds["user_id"].to_numpy(), lens),
                 "bucket_start": axis.view("datetime64[us]"),
                 "n": n,
                 "gap_filled": n == 0,
             }
         )
 
-    def densify_group(g: pd.DataFrame) -> pd.DataFrame:
-        uid = g["user_id"].iloc[0]
-        out = densify(g)
-        out["user_id"] = uid
-        return out
-
-    out = (
-        ds.map_batches(partial, batch_format="pandas")
-        .groupby("user_id")
-        .map_groups(densify_group, batch_format="pandas")
-        .to_pandas()
-    )
+    out = hash_combine(
+        ds.map_batches(partial, batch_format="pandas"), ["user_id"], combine
+    ).to_pandas()
     return out[["user_id", "bucket_start", "n", "gap_filled"]].sort_values(
         ["user_id", "bucket_start"], ignore_index=True
     )
@@ -136,28 +145,25 @@ def kalman_smooth_events(sf_dir: str) -> pd.DataFrame:
 # ----------------------------------------------------------------- lag gaps
 def user_latency_stats(sf_dir: str) -> pd.DataFrame:
     """Inter-event gap stats per user; order = (ts, event_id) for tie
-    stability (daily-cadence delta analog)."""
+    stability. Gap derivation is vectorized across a partition's users."""
     ds = _events(sf_dir, ["user_id", "event_id", "ts"])
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"], kind="mergesort")
-        gaps = g["ts"].astype("datetime64[us]").astype(np.int64).diff().to_numpy()[1:] / 1e6
-        if not len(gaps):
-            return pd.DataFrame(
-                {"user_id": pd.Series(dtype="int64"), "n_gaps": pd.Series(dtype="int64"),
-                 "avg_gap_s": pd.Series(dtype="float64"), "min_gap_s": pd.Series(dtype="float64"),
-                 "max_gap_s": pd.Series(dtype="float64")}
-            )
-        return pd.DataFrame(
-            {"user_id": [g["user_id"].iloc[0]], "n_gaps": [len(gaps)],
-             "avg_gap_s": [round(float(gaps.mean()), 6)],
-             "min_gap_s": [round(float(gaps.min()), 6)],
-             "max_gap_s": [round(float(gaps.max()), 6)]}
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        u = g["user_id"].to_numpy()
+        t = g["ts"].astype("datetime64[us]").astype(np.int64).to_numpy()
+        same = np.zeros(len(g), dtype=bool)
+        same[1:] = u[1:] == u[:-1]
+        gaps = np.full(len(g), np.nan)
+        gaps[same] = (t[same] - np.roll(t, 1)[same]) / 1e6
+        d = pd.DataFrame({"user_id": u, "gap_s": gaps}).dropna()
+        out = d.groupby("user_id", as_index=False)["gap_s"].agg(
+            n_gaps="count", avg_gap_s="mean", min_gap_s="min", max_gap_s="max"
         )
+        return _round6(out, ["avg_gap_s", "min_gap_s", "max_gap_s"])
 
     return (
-        ds.groupby("user_id")
-        .map_groups(per_user, batch_format="pandas")
+        hash_combine(ds, ["user_id"], combine)
         .to_pandas()
         .sort_values("user_id", ignore_index=True)
     )
@@ -194,19 +200,13 @@ def pricing_summary(sf_dir: str) -> pd.DataFrame:
             .reset_index()
         )
 
-    out = (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby(["l_returnflag", "l_linestatus"])
-        .aggregate(
-            Sum("sum_qty", alias_name="sum_qty"),
-            Sum("sum_base_price", alias_name="sum_base_price"),
-            Sum("sum_disc_price", alias_name="sum_disc_price"),
-            Sum("sum_charge", alias_name="sum_charge"),
-            Sum("sum_disc", alias_name="sum_disc"),
-            Sum("count_order", alias_name="count_order"),
-        )
-        .to_pandas()
-    )
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(["l_returnflag", "l_linestatus"], as_index=False).sum()
+
+    out = hash_combine(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["l_returnflag", "l_linestatus"], combine, num_partitions=4,
+    ).to_pandas()
     out["avg_qty"] = out["sum_qty"] / out["count_order"]
     out["avg_price"] = out["sum_base_price"] / out["count_order"]
     out["avg_disc"] = out.pop("sum_disc") / out["count_order"]
@@ -246,44 +246,60 @@ def revenue_per_nation(sf_dir: str) -> pd.DataFrame:
             .reset_index()
         )
 
-    out = (
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("n_name", as_index=False).sum()
+
+    out = hash_combine(
         ray.data.read_parquet(
             f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
-        )
-        .map_batches(partial, batch_format="pandas")
-        .groupby("n_name")
-        .aggregate(Sum("revenue", alias_name="revenue"), Sum("n_orders", alias_name="n_orders"))
-        .to_pandas()
-    )
+        ).map_batches(partial, batch_format="pandas"),
+        ["n_name"], combine, num_partitions=4,
+    ).to_pandas()
     out = _round6(out, ["revenue"])
     return out[["n_name", "revenue", "n_orders"]].sort_values("n_name", ignore_index=True)
 
 
 # --------------------------------------------------------- sorts/limits/topk
 def top_users(sf_dir: str, k: int = 10) -> pd.DataFrame:
-    """Top-k users by event count (deterministic tie-break by user_id)."""
-    out = (
-        _events(sf_dir, ["user_id"])
-        .groupby("user_id")
-        .aggregate(Count(alias_name="n"))
-        .to_pandas()
-        .sort_values(["n", "user_id"], ascending=[False, True], kind="mergesort")
+    """Top-k users by event count (deterministic tie-break by user_id);
+    local top-k per partition would bound the collect at scale."""
+    ds = _events(sf_dir, ["user_id"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("user_id", sort=False).size().reset_index(name="n")
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("user_id", as_index=False)["n"].sum()
+
+    out = hash_combine(
+        ds.map_batches(partial, batch_format="pandas"), ["user_id"], combine,
+        num_partitions=4,
+    ).to_pandas()
+    return (
+        out.sort_values(["n", "user_id"], ascending=[False, True], kind="mergesort")
         .head(k)
-        .reset_index(drop=True)
+        .reset_index(drop=True)[["user_id", "n"]]
     )
-    return out[["user_id", "n"]]
 
 
 # ------------------------------------------------------------------- joins
 def purchase_after_view_asof(sf_dir: str) -> pd.DataFrame:
-    """As-of join: for each purchase, the latest view at ts <= purchase ts
-    per user (merge_asof per user group; J1 as-of analog)."""
+    """As-of join: latest view at ts <= purchase ts per user — one
+    vectorized ``merge_asof(by=user_id)`` per hash partition (J1 analog)."""
     ds = _events(sf_dir, ["event_id", "user_id", "event_type", "ts"])
+    ds = ds.map_batches(
+        lambda t: t.filter(
+            pa.compute.is_in(t["event_type"], value_set=pa.array(["purchase", "view"]))
+        ),
+        batch_format="pyarrow",
+    )
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["ts", "event_id"], kind="mergesort")
         buys = g[g["event_type"] == "purchase"][["event_id", "user_id", "ts"]]
-        views = g[g["event_type"] == "view"][["ts"]].rename(columns={"ts": "view_ts"})
+        views = g[g["event_type"] == "view"][["user_id", "ts"]].rename(
+            columns={"ts": "view_ts"}
+        )
         if not len(buys):
             return pd.DataFrame(
                 {"event_id": pd.Series(dtype="int64"), "user_id": pd.Series(dtype="int64"),
@@ -294,14 +310,13 @@ def purchase_after_view_asof(sf_dir: str) -> pd.DataFrame:
             out = buys.copy()
             out["view_ts"] = pd.NaT
             return out
-        out = pd.merge_asof(
-            buys, views, left_on="ts", right_on="view_ts", direction="backward"
+        return pd.merge_asof(
+            buys, views.sort_values("view_ts"),
+            left_on="ts", right_on="view_ts", by="user_id", direction="backward",
         )
-        return out
 
     out = (
-        ds.groupby("user_id")
-        .map_groups(per_user, batch_format="pandas")
+        hash_combine(ds, ["user_id"], combine)
         .to_pandas()
         .sort_values("event_id", ignore_index=True)
     )
@@ -323,12 +338,14 @@ def coalesce_by_priority(sf_dir: str) -> pd.DataFrame:
         df = df.sort_values(["lang", "priority", "doc_id"], kind="mergesort")
         return df.groupby("lang", sort=False).head(1)
 
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["lang", "priority", "doc_id"], kind="mergesort")
+        return g.groupby("lang", sort=False).head(1)
+
     out = (
-        ds.map_batches(partial, batch_format="pandas")
-        .groupby("lang")
-        .map_groups(
-            lambda g: g.sort_values(["priority", "doc_id"], kind="mergesort").head(1),
-            batch_format="pandas",
+        hash_combine(
+            ds.map_batches(partial, batch_format="pandas"), ["lang"], combine,
+            num_partitions=4,
         )
         .to_pandas()
         .sort_values("lang", ignore_index=True)
@@ -349,14 +366,16 @@ def late_events(sf_dir: str) -> pd.DataFrame:
 
         t = t.filter(pc.less(t["ts"], pa.scalar(cutoff)))
         df = t.to_pandas()
-        return (
-            df.groupby("user_id", sort=False).size().reset_index(name="n_late")
-        )
+        return df.groupby("user_id", sort=False).size().reset_index(name="n_late")
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("user_id", as_index=False)["n_late"].sum()
 
     return (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby("user_id")
-        .aggregate(Sum("n_late", alias_name="n_late"))
+        hash_combine(
+            ds.map_batches(partial, batch_format="pyarrow"), ["user_id"], combine,
+            num_partitions=4,
+        )
         .to_pandas()
         .sort_values("user_id", ignore_index=True)[["user_id", "n_late"]]
     )

@@ -43,22 +43,24 @@ def exact_dedup(docs: ray.data.Dataset) -> ray.data.Dataset:
     keep_id = min(doc_id) — deterministic survivor choice.
     """
 
+    from ..functions.shuffle import hash_combine
+
     def add_hash(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({"h": fingerprint_md5(df["text"]), "doc_id": df["doc_id"]})
 
-    def combine(df: pd.DataFrame) -> pd.DataFrame:
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
         g = df.groupby("h", sort=False)["doc_id"].agg(["min", "count"]).reset_index()
         return g.rename(columns={"min": "keep_id", "count": "n_copies"})
 
-    hashed = docs.map_batches(add_hash, batch_format="pandas")
-    # map-side combine, then a small final groupby over partials
-    partial = hashed.map_batches(combine, batch_format="pandas")
-    from ray.data.aggregate import Min, Sum
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("h", as_index=False).agg(
+            keep_id=("keep_id", "min"), n_copies=("n_copies", "sum")
+        )
 
-    out = partial.groupby("h").aggregate(
-        Min("keep_id", alias_name="keep_id"), Sum("n_copies", alias_name="n_copies")
+    hashed = docs.map_batches(add_hash, batch_format="pandas")
+    return hash_combine(
+        hashed.map_batches(partial, batch_format="pandas"), ["h"], combine
     )
-    return out
 
 
 def minhash_signatures(df: pd.DataFrame, k: int = 5) -> pd.DataFrame:

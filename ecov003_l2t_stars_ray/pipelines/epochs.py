@@ -40,10 +40,7 @@ from ..state.manifest import Manifest
 from .rollup_pipeline import read_transcripts, rollup_tiers
 
 
-def partition_of(conv: pd.Series, num_partitions: int) -> np.ndarray:
-    """Deterministic conv_id -> partition hash (stable across processes)."""
-    h = pd.util.hash_pandas_object(conv.astype("object"), index=False).to_numpy()
-    return (h % np.uint64(num_partitions)).astype(np.int32)
+from ..functions.rollup import partition_of  # noqa: E402  (re-export)
 
 
 def _epoch_meta_path(root: str, epoch: int) -> str:
@@ -131,7 +128,8 @@ def run_epoch(
         ds = ds.map_batches(_skip_done, batch_format="pyarrow")
 
     tiers = rollup_tiers(
-        ds, prior_state_ref=prior_ref, smooth=smooth, close_us=close_us
+        ds, prior_state_ref=prior_ref, smooth=smooth, close_us=close_us,
+        num_partitions=num_partitions,
     )
 
     def _add_partition(df: pd.DataFrame) -> pd.DataFrame:

@@ -21,22 +21,22 @@ import pyarrow as pa
 import ray
 import ray.data
 
-from ..functions.rollup import partial_rollup
-from ..stages.finalize import TIER_OUT_COLUMNS, finalize_conversation
+from ..functions.rollup import partial_rollup, partition_of
+from ..stages.finalize import TIER_OUT_COLUMNS, finalize_batch, state_frames
 
 # Per-process cache for broadcast prior-state lookups: ray.get() of the same
 # ObjectRef deserializes per call, so memoize per worker (K6 one-time-init
-# analog, reference ``login.py:15-21``).
-_STATE_CACHE: dict[str, dict] = {}
+# analog, reference ``login.py:15-21``). Stored as the pre-split join frames.
+_STATE_CACHE: dict[str, tuple] = {}
 
 
-def _resolve_state(ref) -> dict | None:
+def _resolve_state(ref) -> tuple | None:
     if ref is None:
         return None
     key = ref.hex()
     if key not in _STATE_CACHE:
         _STATE_CACHE.clear()
-        _STATE_CACHE[key] = ray.get(ref)
+        _STATE_CACHE[key] = state_frames(ray.get(ref))
     return _STATE_CACHE[key]
 
 
@@ -55,27 +55,31 @@ def rollup_tiers(
     prior_state_ref=None,
     smooth: bool = True,
     close_us: int | None = None,
+    num_partitions: int = 64,
 ) -> ray.data.Dataset:
-    """transcripts Dataset -> tier rows (1m/1h/1d, FIXTURES.md F2 schema)."""
+    """transcripts Dataset -> tier rows (1m/1h/1d, FIXTURES.md F2 schema).
+
+    Shuffle unit = conv_id hash partition (``num_partitions`` of them), not
+    conversation: finalize_batch processes every conversation of a
+    partition vectorized, so per-group Python overhead is O(partitions)
+    while skew stays bounded by the hash (SURVEY.md §7.4). Size
+    num_partitions so one partition's bucket-level partials fit a worker's
+    heap (they are output-sized, not input-sized).
+    """
     parts = ds.map_batches(partial_rollup, batch_format="pyarrow")
 
+    def _add_pid(df: pd.DataFrame) -> pd.DataFrame:
+        df["part_id"] = partition_of(df["conv_id"], num_partitions)
+        return df
+
+    parts = parts.map_batches(_add_pid, batch_format="pandas")
+
     def _finalize(group: pd.DataFrame) -> pd.DataFrame:
-        out = finalize_conversation(
-            group, _resolve_state(prior_state_ref), smooth, close_us
-        )
-        if not len(out):
-            return pd.DataFrame({c: pd.Series(dtype=d) for c, d in _EMPTY_DTYPES.items()})
-        return out
+        state = _resolve_state(prior_state_ref)
+        sdf, cdf = state if state is not None else (None, None)
+        return finalize_batch(group, sdf, cdf, smooth, close_us)
 
-    return parts.groupby("conv_id").map_groups(_finalize, batch_format="pandas")
-
-
-_EMPTY_DTYPES = {
-    "conv_id": "object", "metric": "object", "tier": "object",
-    "bucket_start": "datetime64[us]", "count": "int64",
-    "min": "float64", "max": "float64", "sum": "float64", "mean": "float64",
-    "value": "float64", "value_sd": "float64", "gap_filled": "bool",
-}
+    return parts.groupby("part_id").map_groups(_finalize, batch_format="pandas")
 
 
 def write_tiers(tiers: ray.data.Dataset, out_dir: str) -> None:

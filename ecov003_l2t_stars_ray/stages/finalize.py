@@ -1,17 +1,19 @@
-"""Per-conversation finalize: merge partials, cascade tiers, gap-fill.
+"""Partition-level finalize: merge partials, cascade tiers, gap-fill.
 
-Runs inside ``groupby("conv_id").map_groups`` — the engine's single
-conv-keyed shuffle. The group payload is bucket-level partials (already
-combined map-side by ``functions.rollup.partial_rollup``), NOT raw turns,
-so group size is bounded by active buckets per conversation even for hot
-conversations.
+Runs inside ``groupby(part_id).map_groups`` — the engine's single shuffle.
+Each call receives ALL partial rows for one conv_id hash partition and
+processes EVERY conversation in it vectorized (pandas/numpy across
+conversations; the only per-row Python is the strictly-sequential Kalman
+recurrence). This is deliberately NOT one call per conversation: at
+10^12-turn scale per-group Python call overhead dominates, so the group
+unit is the hash partition and conversations are columns-level vector work
+inside it.
 
 Reference analogs: the tile-local fusion step
 (``process_ECOSTRESS_data_fusion_distributed_bias.jl:350-393``), the
-resolution ladder cascade (``constants.py:29-31`` — here 1m -> 1h -> 1d
-re-aggregation, exact because sum/count/min/max compose), the 7-day
-no-observation flag (``jl:263-288`` -> ``gap_filled``), and the prior
-state chain (``load_prior.py:48-165`` -> ``prior_state`` lookup).
+resolution ladder cascade (``constants.py:29-31`` — 1m -> 1h -> 1d exact
+re-aggregation), the 7-day no-observation flag (``jl:263-288`` ->
+``gap_filled``), and the prior state chain (``load_prior.py:48-165``).
 """
 
 from __future__ import annotations
@@ -19,16 +21,14 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-from ..functions.kalman import kalman_gap_fill
 from ..functions.rollup import (
     KIND_NEED,
     KIND_PARTIAL,
     KIND_PROVIDE,
     METRIC_LATENCY,
     METRIC_NAMES,
-    METRIC_TURN_RATE,
 )
-from ..schema import TIERS, US_PER_MIN
+from ..schema import COLD_START, OBS_NOISE_VAR, PROCESS_NOISE_VAR, TIERS, US_PER_MIN
 
 #: Which per-bucket aggregate each metric's smoother consumes:
 #: latency smooths the bucket mean gap; turn_rate smooths the bucket turn
@@ -40,10 +40,56 @@ TIER_OUT_COLUMNS = [
     "min", "max", "sum", "mean", "value", "value_sd", "gap_filled",
 ]
 
+_EMPTY = pd.DataFrame(
+    {
+        "conv_id": pd.Series(dtype="object"),
+        "metric": pd.Series(dtype="object"),
+        "tier": pd.Series(dtype="object"),
+        "bucket_start": pd.Series(dtype="datetime64[us]"),
+        "count": pd.Series(dtype="int64"),
+        "min": pd.Series(dtype="float64"),
+        "max": pd.Series(dtype="float64"),
+        "sum": pd.Series(dtype="float64"),
+        "mean": pd.Series(dtype="float64"),
+        "value": pd.Series(dtype="float64"),
+        "value_sd": pd.Series(dtype="float64"),
+        "gap_filled": pd.Series(dtype="bool"),
+    }
+)
+
+
+def _resolve_latency_boundaries(
+    needs: pd.DataFrame, provides: pd.DataFrame
+) -> pd.DataFrame | None:
+    """Cross-block gap resolution, vectorized across conversations."""
+    if not len(needs):
+        return None
+    provides = provides.drop_duplicates(subset=["conv_id", "turn_idx"])
+    m = needs.merge(
+        provides,
+        left_on=["conv_id", needs["turn_idx"] - 1],
+        right_on=["conv_id", "turn_idx"],
+        suffixes=("", "_prev"),
+    )
+    if not len(m):
+        return None
+    gap = (m["ts_us"] - m["ts_us_prev"]).to_numpy() / 1e6
+    bucket = m["ts_us"].to_numpy() // US_PER_MIN * US_PER_MIN
+    return pd.DataFrame(
+        {
+            "conv_id": m["conv_id"].to_numpy(),
+            "metric": np.int8(METRIC_LATENCY),
+            "bucket_us": bucket,
+            "count": np.int64(1),
+            "vmin": gap,
+            "vmax": gap,
+            "vsum": gap,
+        }
+    )
+
 
 def _merge_partials(part: pd.DataFrame) -> pd.DataFrame:
-    """Combine per-batch partials into final per-(metric, 1m-bucket) rows."""
-    g = part.groupby(["metric", "bucket_us"], sort=True).agg(
+    g = part.groupby(["conv_id", "metric", "bucket_us"], sort=True).agg(
         count=("count", "sum"),
         vmin=("vmin", "min"),
         vmax=("vmax", "max"),
@@ -53,189 +99,239 @@ def _merge_partials(part: pd.DataFrame) -> pd.DataFrame:
 
 
 def _cascade(rows: pd.DataFrame, width_us: int) -> pd.DataFrame:
-    """Re-aggregate finer-tier rows to a coarser bucket width (exact)."""
     rows = rows.copy()
     rows["bucket_us"] = rows["bucket_us"] // width_us * width_us
     return _merge_partials(rows)
 
 
-def finalize_conversation(
-    group: pd.DataFrame,
-    prior_state: dict | None = None,
+def _kalman_batch(
+    y: np.ndarray,
+    observed: np.ndarray,
+    series_start: np.ndarray,
+    prior_mean: np.ndarray,
+    prior_var: np.ndarray,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Sequential Kalman over concatenated series (reset at each start).
+
+    ``series_start[i]`` True where row i begins a new series;
+    ``prior_mean/var`` are per-ROW arrays whose values at start rows seed
+    the state (COLD_START baked in by the caller). Same float64 op order as
+    the oracle's per-series loop.
+    """
+    import math
+
+    n = len(y)
+    value = np.empty(n)
+    sd = np.empty(n)
+    m = 0.0
+    p = 0.0
+    q = PROCESS_NOISE_VAR
+    r = OBS_NOISE_VAR
+    yl = y.tolist()
+    ol = observed.tolist()
+    sl = series_start.tolist()
+    pm = prior_mean.tolist()
+    pv = prior_var.tolist()
+    vout = value.tolist()
+    sout = sd.tolist()
+    for i in range(n):
+        if sl[i]:
+            m = pm[i]
+            p = pv[i]
+        p = p + q
+        if ol[i]:
+            k = p / (p + r)
+            m = m + k * (yl[i] - m)
+            p = (1.0 - k) * p
+        vout[i] = m
+        sout[i] = math.sqrt(p)
+    return np.asarray(vout), np.asarray(sout)
+
+
+def finalize_batch(
+    df: pd.DataFrame,
+    state_df: pd.DataFrame | None = None,
+    context_df: pd.DataFrame | None = None,
     smooth: bool = True,
     close_us: int | None = None,
 ) -> pd.DataFrame:
-    """map_groups body: one conversation's partials -> all tier rows.
+    """One hash partition's partial rows -> all tier rows for all convs.
 
-    ``prior_state``: optional {(conv_id, metric, tier): (mean, var,
-    last_bucket_us)} checkpoint map for incremental epochs (K4 analog);
-    buckets <= last_bucket are assumed already committed and the smoother
-    resumes from the stored state.
-
-    ``close_us``: watermark close rule — only buckets that END at or before
-    ``close_us`` are emitted, *per tier* (a 1m bucket can close while its
-    1h/1d parents stay open; the open parents are re-derived next epoch
-    from re-read fragments). Give-up analog of ``constants.py:27``.
+    ``state_df``: prior checkpoint (conv_id, metric, tier, mean, var,
+    last_bucket_us) — K4 analog; committed buckets are dropped, the axis
+    resumes at last_bucket + width with the stored state.
+    ``context_df``: (conv_id, turn_idx, ts_us) last-turn records for
+    cross-epoch latency resolution.
+    ``close_us``: watermark close rule — only buckets ENDING at or before
+    it are emitted, per tier (give-up analog of ``constants.py:27``).
     """
-    conv_id = group["conv_id"].iloc[0]
-
-    # resolve cross-block latencies from boundary records
-    part = group[group["kind"] == KIND_PARTIAL]
-    needs = group[group["kind"] == KIND_NEED]
-    provides = group[group["kind"] == KIND_PROVIDE]
-    # cross-EPOCH latency: the previous epoch checkpoints the conversation's
-    # last processed turn as a context record; inject it as a provide row so
-    # a turn deferred across the epoch boundary still finds its predecessor.
-    if prior_state is not None:
-        ctx = prior_state.get((conv_id, "_context", "raw"))
-        if ctx is not None:
-            last_idx, _unused, last_ts_us = ctx
-            provides = pd.concat(
-                [
-                    provides,
-                    pd.DataFrame(
-                        {"conv_id": [conv_id], "kind": [KIND_PROVIDE],
-                         "metric": [-1], "bucket_us": [0], "count": [0],
-                         "vmin": [np.nan], "vmax": [np.nan], "vsum": [np.nan],
-                         "turn_idx": [np.int32(int(last_idx))],
-                         "ts_us": [np.int64(last_ts_us)]}
-                    ),
-                ],
-                ignore_index=True,
-            )
-    extra = None
-    provides = provides.drop_duplicates(subset=["turn_idx"])
-    if len(needs):
-        m = needs.merge(
-            provides,
-            left_on=needs["turn_idx"] - 1,
-            right_on="turn_idx",
-            suffixes=("", "_prev"),
+    part = df[df["kind"] == KIND_PARTIAL]
+    needs = df[df["kind"] == KIND_NEED]
+    provides = df[df["kind"] == KIND_PROVIDE]
+    if context_df is not None and len(context_df):
+        provides = pd.concat(
+            [
+                provides[["conv_id", "turn_idx", "ts_us"]],
+                context_df[["conv_id", "turn_idx", "ts_us"]],
+            ],
+            ignore_index=True,
         )
-        if len(m):
-            gap = (m["ts_us"] - m["ts_us_prev"]).to_numpy() / 1e6
-            bucket = m["ts_us"].to_numpy() // US_PER_MIN * US_PER_MIN
-            extra = pd.DataFrame(
-                {
-                    "metric": np.int8(METRIC_LATENCY),
-                    "bucket_us": bucket,
-                    "count": np.int64(1),
-                    "vmin": gap,
-                    "vmax": gap,
-                    "vsum": gap,
-                }
-            )
 
-    cols = ["metric", "bucket_us", "count", "vmin", "vmax", "vsum"]
+    extra = _resolve_latency_boundaries(needs, provides)
+    cols = ["conv_id", "metric", "bucket_us", "count", "vmin", "vmax", "vsum"]
     partials = part[cols]
     if extra is not None:
         partials = pd.concat([partials, extra[cols]], ignore_index=True)
-    if not len(partials):
-        return pd.DataFrame(columns=TIER_OUT_COLUMNS)
 
-    tier_1m = _merge_partials(partials)
-
-    out = []
-    finer = tier_1m
-    for tier, width in TIERS.items():
-        # cascade from the UNfiltered finer tier; the close rule is applied
-        # per tier inside _densify_and_smooth (bucket_end <= close)
-        rows = finer if width == US_PER_MIN else _cascade(finer, width)
-        finer = rows
-        for mcode, mname in METRIC_NAMES.items():
-            mrows = rows[rows["metric"] == mcode]
-            if not len(mrows):
-                continue
+    out: list[pd.DataFrame] = []
+    if len(partials):
+        finer = _merge_partials(partials)
+        for tier, width in TIERS.items():
+            rows = finer if width == US_PER_MIN else _cascade(finer, width)
+            finer = rows
             out.append(
-                _densify_and_smooth(
-                    conv_id, mname, tier, width, mrows, prior_state, smooth,
-                    close_us,
-                )
+                _densify_and_smooth_tier(rows, tier, width, state_df, smooth, close_us)
             )
-    # context record: the conversation's last turn seen this epoch, emitted
-    # as a bookkeeping row (metric="_context", tier="raw") so the state
-    # checkpoint can carry it forward for cross-epoch latency resolution.
-    boundary = pd.concat([needs, provides], ignore_index=True)
+
+    # context records: last turn per conv (for the next epoch's checkpoint)
+    boundary = pd.concat(
+        [needs[["conv_id", "turn_idx", "ts_us"]], provides[["conv_id", "turn_idx", "ts_us"]]],
+        ignore_index=True,
+    )
     if len(boundary):
-        last = boundary.loc[boundary["turn_idx"].idxmax()]
+        last = boundary.loc[boundary.groupby("conv_id")["turn_idx"].idxmax()]
         out.append(
             pd.DataFrame(
-                {"conv_id": [conv_id], "metric": ["_context"], "tier": ["raw"],
-                 "bucket_start": pd.Series([np.int64(last["ts_us"])]).to_numpy().view("datetime64[us]"),
-                 "count": [np.int64(last["turn_idx"])],
-                 "min": [np.nan], "max": [np.nan], "sum": [np.nan],
-                 "mean": [np.nan], "value": [float(last["turn_idx"])],
-                 "value_sd": [np.nan], "gap_filled": [False]}
+                {
+                    "conv_id": last["conv_id"].to_numpy(),
+                    "metric": "_context",
+                    "tier": "raw",
+                    "bucket_start": last["ts_us"].to_numpy().view("datetime64[us]"),
+                    "count": last["turn_idx"].to_numpy().astype(np.int64),
+                    "min": np.nan, "max": np.nan, "sum": np.nan, "mean": np.nan,
+                    "value": last["turn_idx"].to_numpy().astype(np.float64),
+                    "value_sd": np.nan,
+                    "gap_filled": False,
+                }
             )
         )
+
+    out = [o for o in out if len(o)]
     if not out:
-        return pd.DataFrame(columns=TIER_OUT_COLUMNS)
+        return _EMPTY.copy()
     return pd.concat(out, ignore_index=True)[TIER_OUT_COLUMNS]
 
 
-def _densify_and_smooth(
-    conv_id: str,
-    metric: str,
+def _densify_and_smooth_tier(
+    rows: pd.DataFrame,
     tier: str,
     width_us: int,
-    rows: pd.DataFrame,
-    prior_state: dict | None,
+    state_df: pd.DataFrame | None,
     smooth: bool,
-    close_us: int | None = None,
+    close_us: int | None,
 ) -> pd.DataFrame:
-    """Dense bucket axis + Kalman gap-fill for one (conv, metric, tier)."""
-    rows = rows.sort_values("bucket_us")
+    """Dense axes + gap-fill for ALL (conv, metric) series of one tier."""
     if close_us is not None:
         rows = rows[rows["bucket_us"] + width_us <= close_us]
+    if not len(rows):
+        return _EMPTY.copy()
+
+    # per-series bounds (rows arrive sorted by conv, metric, bucket)
+    bounds = rows.groupby(["conv_id", "metric"], sort=True).agg(
+        first=("bucket_us", "min"), last=("bucket_us", "max")
+    ).reset_index()
+
+    # prior state: resume at last committed bucket + width
+    if state_df is not None and len(state_df):
+        st = state_df[state_df["tier"] == tier]
+        bounds = bounds.merge(
+            st[["conv_id", "metric_code", "mean", "var", "last_bucket_us"]],
+            left_on=["conv_id", "metric"],
+            right_on=["conv_id", "metric_code"],
+            how="left",
+        )
+        has_prior = bounds["last_bucket_us"].notna()
+        start = np.where(
+            has_prior, bounds["last_bucket_us"].to_numpy() + width_us,
+            bounds["first"].to_numpy(),
+        ).astype(np.int64)
+        bounds["start"] = start
+        bounds["p_mean"] = np.where(has_prior, bounds["mean"], COLD_START["mean"])
+        bounds["p_var"] = np.where(has_prior, bounds["var"], COLD_START["sd"] ** 2)
+        # drop already-committed buckets
+        rows = rows.merge(
+            bounds[["conv_id", "metric", "start"]], on=["conv_id", "metric"]
+        )
+        rows = rows[rows["bucket_us"] >= rows["start"]]
         if not len(rows):
-            return pd.DataFrame(columns=TIER_OUT_COLUMNS)
-    buckets = rows["bucket_us"].to_numpy()
+            return _EMPTY.copy()
+        bounds = bounds.drop(columns=["last"]).merge(
+            rows.groupby(["conv_id", "metric"], sort=True)["bucket_us"].max()
+            .rename("last").reset_index(),
+            on=["conv_id", "metric"],
+            how="inner",  # series with nothing new disappear
+        )
+    else:
+        bounds["start"] = bounds["first"]
+        bounds["p_mean"] = COLD_START["mean"]
+        bounds["p_var"] = COLD_START["sd"] ** 2
 
-    prior_mean = prior_var = None
-    start = buckets[0]
-    if prior_state is not None:
-        st = prior_state.get((conv_id, metric, tier))
-        if st is not None:
-            prior_mean, prior_var, last_bucket = st
-            # continuous axis: resume exactly one bucket after the committed
-            # checkpoint so inter-epoch gap buckets are predicted forward,
-            # identical to an uninterrupted run; buckets <= last_bucket were
-            # already committed (or are late beyond give-up) and are dropped.
-            start = last_bucket + width_us
-            keep = buckets >= start
-            rows, buckets = rows[keep], buckets[keep]
-            if not len(rows):
-                return pd.DataFrame(columns=TIER_OUT_COLUMNS)
+    # ---- build all dense axes at once (repeat/arange trick)
+    start = bounds["start"].to_numpy(dtype=np.int64)
+    last = bounds["last"].to_numpy(dtype=np.int64)
+    lens = ((last - start) // width_us + 1).astype(np.int64)
+    total = int(lens.sum())
+    cum = np.cumsum(lens) - lens  # series offset
+    intra = np.arange(total, dtype=np.int64) - np.repeat(cum, lens)
+    axis = np.repeat(start, lens) + intra * width_us
 
-    axis = np.arange(start, buckets[-1] + width_us, width_us, dtype=np.int64)
-    pos = np.searchsorted(axis, buckets)
-    n = len(axis)
+    # scatter observations into the dense axes
+    rows = rows.sort_values(["conv_id", "metric", "bucket_us"], kind="mergesort")
+    key = pd.MultiIndex.from_frame(bounds[["conv_id", "metric"]])
+    sidx = pd.MultiIndex.from_frame(rows[["conv_id", "metric"]])
+    series_of_row = key.get_indexer(sidx)
+    pos = cum[series_of_row] + (
+        rows["bucket_us"].to_numpy() - start[series_of_row]
+    ) // width_us
 
-    count = np.zeros(n, dtype=np.int64)
-    vmin = np.full(n, np.nan)
-    vmax = np.full(n, np.nan)
-    vsum = np.full(n, np.nan)
+    count = np.zeros(total, dtype=np.int64)
+    vmin = np.full(total, np.nan)
+    vmax = np.full(total, np.nan)
+    vsum = np.full(total, np.nan)
     count[pos] = rows["count"].to_numpy()
     vmin[pos] = rows["vmin"].to_numpy()
     vmax[pos] = rows["vmax"].to_numpy()
     vsum[pos] = rows["vsum"].to_numpy()
-    mean = np.full(n, np.nan)
     observed = count > 0
+    mean = np.full(total, np.nan)
     mean[observed] = vsum[observed] / count[observed]
 
+    metric_codes = bounds["metric"].to_numpy()
+    metric_rep = np.repeat(metric_codes, lens)
     if smooth:
-        y = vsum if SMOOTH_ON[metric] == "sum" else mean
-        value, value_sd, _, _ = kalman_gap_fill(
-            np.where(observed, y, 0.0), observed, prior_mean, prior_var
+        # y per metric: latency -> mean, turn_rate -> sum
+        y = np.where(np.repeat(metric_codes == METRIC_LATENCY, lens), mean, vsum)
+        y = np.where(observed, y, 0.0)
+        series_start = np.zeros(total, dtype=bool)
+        series_start[cum] = True
+        value, value_sd = _kalman_batch(
+            y, observed, series_start,
+            np.repeat(bounds["p_mean"].to_numpy(), lens),
+            np.repeat(bounds["p_var"].to_numpy(), lens),
         )
     else:
-        value = np.where(observed, vsum if SMOOTH_ON[metric] == "sum" else mean, np.nan)
-        value_sd = np.full(n, np.nan)
+        value = np.where(
+            observed,
+            np.where(metric_rep == METRIC_LATENCY, mean, vsum),
+            np.nan,
+        )
+        value_sd = np.full(total, np.nan)
 
+    names = np.array([METRIC_NAMES[0], METRIC_NAMES[1]])
     return pd.DataFrame(
         {
-            "conv_id": conv_id,
-            "metric": metric,
+            "conv_id": np.repeat(bounds["conv_id"].to_numpy(), lens),
+            "metric": names[metric_rep.astype(np.int64)],
             "tier": tier,
             "bucket_start": axis.view("datetime64[us]"),
             "count": count,
@@ -248,3 +344,37 @@ def _densify_and_smooth(
             "gap_filled": ~observed,
         }
     )
+
+
+def finalize_conversation(
+    group: pd.DataFrame,
+    prior_state: dict | None = None,
+    smooth: bool = True,
+    close_us: int | None = None,
+) -> pd.DataFrame:
+    """Single-conversation wrapper over :func:`finalize_batch` (tests /
+    compatibility; the pipeline uses the batch path)."""
+    state_df = context_df = None
+    if prior_state is not None:
+        state_df, context_df = state_frames(prior_state)
+    return finalize_batch(group, state_df, context_df, smooth, close_us)
+
+
+def state_frames(prior_state: dict) -> tuple[pd.DataFrame, pd.DataFrame]:
+    """Split the {(conv, metric, tier): (mean, var, last_bucket)} checkpoint
+    dict into vector-join-friendly frames (state rows use metric CODES)."""
+    from ..functions.rollup import METRIC_LATENCY as ML
+    from ..functions.rollup import METRIC_TURN_RATE as MT
+
+    code = {"turn_rate": MT, "latency": ML}
+    srows, crows = [], []
+    for (conv, metric, tier), (mu, var, lb) in prior_state.items():
+        if metric == "_context":
+            crows.append((conv, int(mu), int(lb)))
+        elif metric in code:
+            srows.append((conv, code[metric], tier, mu, var, lb))
+    state_df = pd.DataFrame(
+        srows, columns=["conv_id", "metric_code", "tier", "mean", "var", "last_bucket_us"]
+    )
+    context_df = pd.DataFrame(crows, columns=["conv_id", "turn_idx", "ts_us"])
+    return state_df, context_df

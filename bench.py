@@ -26,7 +26,7 @@ SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
 #: corpus size per sf tier: (n_convs, mean_turns)
-CORPUS = {"sf0.001": (200, 40), "sf0.01": (600, 45), "sf0.1": (4000, 60)}
+CORPUS = {"sf0.001": (200, 40), "sf0.01": (600, 45), "sf0.1": (80000, 60)}
 
 
 def corpus_dir() -> tuple[str, int]:
@@ -70,8 +70,13 @@ def run_bench() -> dict:
     )
 
     corpus, n_turns = corpus_dir()
-    # warm the page cache (measure compute + shuffle, not first disk read)
+    # warm-up: page cache (cheap full scan) AND worker processes / module
+    # imports (small pipeline over a few shards), both untimed
+    import glob as g
+
+    shards = sorted(g.glob(f"{corpus}/shard=*.parquet"))
     read_transcripts(corpus).count()
+    rollup_tiers(read_transcripts(shards[:2]), smooth=True).count()
 
     out_dir = f"/tmp/rollup_bench_out_{NUM_CPUS}"
     shutil.rmtree(out_dir, ignore_errors=True)
@@ -87,11 +92,12 @@ def run_bench() -> dict:
 
     qs = entrymod.queries()
     q_times: dict[str, float] = {}
-    for name in [
+    q_list = [] if os.environ.get("BENCH_SKIP_QUERIES") else [
         "rollup_1m", "rollup_1h", "rollup_1d", "latency_stats",
         "pricing_summary", "revenue_per_nation", "top_users",
         "asof_purchase_view", "dedup_exact", "doc_token_stats", "ann_topk",
-    ]:
+    ]
+    for name in q_list:
         t0 = time.perf_counter()
         qs[name](SF_DIR)
         q_times[name] = round(time.perf_counter() - t0, 3)
@@ -114,7 +120,7 @@ def run_scaling() -> dict:
     (throughput_32 / throughput_8) / 4."""
 
     def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), BENCH_SKIP_QUERIES="1")
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env, capture_output=True, text=True, check=True,

@@ -34,6 +34,7 @@ KIND_PROVIDE = 2
 #: Intermediate (pre-shuffle) schema. ``metric``: 0=turn_rate, 1=latency.
 PARTIAL_SCHEMA = pa.schema(
     [
+        ("part_id", pa.int32()),
         ("conv_id", pa.string()),
         ("kind", pa.int8()),
         ("metric", pa.int8()),
@@ -59,12 +60,13 @@ def partition_of(conv: pd.Series, num_partitions: int) -> np.ndarray:
     return (h % np.uint64(num_partitions)).astype(np.int32)
 
 
-def partial_rollup(batch: pa.Table) -> pa.Table:
+def partial_rollup(batch: pa.Table, num_partitions: int = 64) -> pa.Table:
     """map_batches(fn, batch_format="pyarrow") combiner.
 
     Input columns: conv_id, turn_idx, ts. Output: PARTIAL_SCHEMA rows —
     per-(conv, 1m-bucket) partial aggregates for both metrics plus
-    need/provide boundary records for cross-block latencies.
+    need/provide boundary records for cross-block latencies, each tagged
+    with its conv_id hash partition (the shuffle key).
     """
     if batch.num_rows == 0:
         return PARTIAL_SCHEMA.empty_table()
@@ -165,4 +167,5 @@ def partial_rollup(batch: pa.Table) -> pa.Table:
             )
 
     result = pd.concat(out, ignore_index=True)
+    result.insert(0, "part_id", partition_of(result["conv_id"], num_partitions))
     return pa.Table.from_pandas(result, schema=PARTIAL_SCHEMA, preserve_index=False)

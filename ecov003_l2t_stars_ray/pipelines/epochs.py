@@ -229,5 +229,7 @@ def read_tiers(root: str, epochs: list[int]) -> pd.DataFrame:
     if not frames:
         return pd.DataFrame()
     df = pd.concat(frames, ignore_index=True)
-    df["tier"] = df["tier"].astype(str)
+    for c in ("conv_id", "metric", "tier"):
+        if c in df:
+            df[c] = df[c].astype(str)
     return df

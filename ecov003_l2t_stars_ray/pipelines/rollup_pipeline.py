@@ -21,7 +21,7 @@ import pyarrow as pa
 import ray
 import ray.data
 
-from ..functions.rollup import partial_rollup, partition_of
+from ..functions.rollup import partial_rollup
 from ..stages.finalize import TIER_OUT_COLUMNS, finalize_batch, state_frames
 
 # Per-process cache for broadcast prior-state lookups: ray.get() of the same
@@ -65,19 +65,24 @@ def rollup_tiers(
     while skew stays bounded by the hash (SURVEY.md §7.4). Size
     num_partitions so one partition's bucket-level partials fit a worker's
     heap (they are output-sized, not input-sized).
+
+    The partial stream is coalesced to ``shuffle_blocks`` blocks before the
+    sort-based exchange: the exchange ships O(B_in x B_out) objects, so
+    keeping B small on the (already contracted) partial stream removes the
+    dominant shuffle constant.
     """
-    parts = ds.map_batches(partial_rollup, batch_format="pyarrow")
+    import functools
 
-    def _add_pid(df: pd.DataFrame) -> pd.DataFrame:
-        df["part_id"] = partition_of(df["conv_id"], num_partitions)
-        return df
-
-    parts = parts.map_batches(_add_pid, batch_format="pandas")
+    parts = ds.map_batches(
+        functools.partial(partial_rollup, num_partitions=num_partitions),
+        batch_format="pyarrow",
+    )
+    parts = parts.repartition(min(num_partitions, 32))
 
     def _finalize(group: pd.DataFrame) -> pd.DataFrame:
         state = _resolve_state(prior_state_ref)
         sdf, cdf = state if state is not None else (None, None)
-        return finalize_batch(group, sdf, cdf, smooth, close_us)
+        return finalize_batch(group.drop(columns=["part_id"]), sdf, cdf, smooth, close_us)
 
     return parts.groupby("part_id").map_groups(_finalize, batch_format="pandas")
 
@@ -91,6 +96,8 @@ def write_tiers(tiers: ray.data.Dataset, out_dir: str) -> None:
 def tiers_to_pandas(tiers: ray.data.Dataset) -> pd.DataFrame:
     """Materialize tier rows for tests/small results (sorted, stable)."""
     df = tiers.to_pandas()
+    for c in ("conv_id", "metric", "tier"):  # dictionary -> plain strings
+        df[c] = df[c].astype(str)
     df = df[df["metric"] != "_context"]  # state-chain bookkeeping rows
     if "bucket_start" in df and not pd.api.types.is_datetime64_any_dtype(df["bucket_start"]):
         df["bucket_start"] = pd.to_datetime(df["bucket_start"])

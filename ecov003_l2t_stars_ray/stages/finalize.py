@@ -40,22 +40,26 @@ TIER_OUT_COLUMNS = [
     "min", "max", "sum", "mean", "value", "value_sd", "gap_filled",
 ]
 
-_EMPTY = pd.DataFrame(
-    {
-        "conv_id": pd.Series(dtype="object"),
-        "metric": pd.Series(dtype="object"),
-        "tier": pd.Series(dtype="object"),
-        "bucket_start": pd.Series(dtype="datetime64[us]"),
-        "count": pd.Series(dtype="int64"),
-        "min": pd.Series(dtype="float64"),
-        "max": pd.Series(dtype="float64"),
-        "sum": pd.Series(dtype="float64"),
-        "mean": pd.Series(dtype="float64"),
-        "value": pd.Series(dtype="float64"),
-        "value_sd": pd.Series(dtype="float64"),
-        "gap_filled": pd.Series(dtype="bool"),
-    }
+import pyarrow as pa  # noqa: E402
+
+TIER_ARROW_SCHEMA = pa.schema(
+    [
+        ("conv_id", pa.dictionary(pa.int32(), pa.string())),
+        ("metric", pa.dictionary(pa.int8(), pa.string())),
+        ("tier", pa.dictionary(pa.int8(), pa.string())),
+        ("bucket_start", pa.timestamp("us")),
+        ("count", pa.int64()),
+        ("min", pa.float64()),
+        ("max", pa.float64()),
+        ("sum", pa.float64()),
+        ("mean", pa.float64()),
+        ("value", pa.float64()),
+        ("value_sd", pa.float64()),
+        ("gap_filled", pa.bool_()),
+    ]
 )
+
+_EMPTY = TIER_ARROW_SCHEMA.empty_table()
 
 
 def _resolve_latency_boundaries(
@@ -183,7 +187,7 @@ def finalize_batch(
     if extra is not None:
         partials = pd.concat([partials, extra[cols]], ignore_index=True)
 
-    out: list[pd.DataFrame] = []
+    out: list[pa.Table] = []
     if len(partials):
         finer = _merge_partials(partials)
         for tier, width in TIERS.items():
@@ -200,26 +204,40 @@ def finalize_batch(
     )
     if len(boundary):
         last = boundary.loc[boundary.groupby("conv_id")["turn_idx"].idxmax()]
+        n = len(last)
+        nanv = np.full(n, np.nan)
         out.append(
-            pd.DataFrame(
+            pa.table(
                 {
-                    "conv_id": last["conv_id"].to_numpy(),
-                    "metric": "_context",
-                    "tier": "raw",
-                    "bucket_start": last["ts_us"].to_numpy().view("datetime64[us]"),
-                    "count": last["turn_idx"].to_numpy().astype(np.int64),
-                    "min": np.nan, "max": np.nan, "sum": np.nan, "mean": np.nan,
-                    "value": last["turn_idx"].to_numpy().astype(np.float64),
-                    "value_sd": np.nan,
-                    "gap_filled": False,
-                }
+                    "conv_id": pa.array(last["conv_id"]).dictionary_encode().cast(
+                        TIER_ARROW_SCHEMA.field("conv_id").type
+                    ),
+                    "metric": pa.DictionaryArray.from_arrays(
+                        pa.array(np.zeros(n, dtype=np.int8)),
+                        pa.array(["_context"], pa.string()),
+                    ),
+                    "tier": pa.DictionaryArray.from_arrays(
+                        pa.array(np.zeros(n, dtype=np.int8)),
+                        pa.array(["raw"], pa.string()),
+                    ),
+                    "bucket_start": pa.array(
+                        last["ts_us"].to_numpy(), pa.timestamp("us")
+                    ),
+                    "count": pa.array(last["turn_idx"].to_numpy().astype(np.int64)),
+                    "min": pa.array(nanv), "max": pa.array(nanv),
+                    "sum": pa.array(nanv), "mean": pa.array(nanv),
+                    "value": pa.array(last["turn_idx"].to_numpy().astype(np.float64)),
+                    "value_sd": pa.array(nanv),
+                    "gap_filled": pa.array(np.zeros(n, dtype=bool)),
+                },
+                schema=TIER_ARROW_SCHEMA,
             )
         )
 
     out = [o for o in out if len(o)]
     if not out:
-        return _EMPTY.copy()
-    return pd.concat(out, ignore_index=True)[TIER_OUT_COLUMNS]
+        return _EMPTY
+    return pa.concat_tables(out)
 
 
 def _densify_and_smooth_tier(
@@ -234,7 +252,7 @@ def _densify_and_smooth_tier(
     if close_us is not None:
         rows = rows[rows["bucket_us"] + width_us <= close_us]
     if not len(rows):
-        return _EMPTY.copy()
+        return _EMPTY
 
     # per-series bounds (rows arrive sorted by conv, metric, bucket)
     bounds = rows.groupby(["conv_id", "metric"], sort=True).agg(
@@ -264,7 +282,7 @@ def _densify_and_smooth_tier(
         )
         rows = rows[rows["bucket_us"] >= rows["start"]]
         if not len(rows):
-            return _EMPTY.copy()
+            return _EMPTY
         bounds = bounds.drop(columns=["last"]).merge(
             rows.groupby(["conv_id", "metric"], sort=True)["bucket_us"].max()
             .rename("last").reset_index(),
@@ -307,7 +325,7 @@ def _densify_and_smooth_tier(
     mean[observed] = vsum[observed] / count[observed]
 
     metric_codes = bounds["metric"].to_numpy()
-    metric_rep = np.repeat(metric_codes, lens)
+    metric_rep = np.repeat(metric_codes, lens).astype(np.int8)
     if smooth:
         # y per metric: latency -> mean, turn_rate -> sum
         y = np.where(np.repeat(metric_codes == METRIC_LATENCY, lens), mean, vsum)
@@ -327,22 +345,36 @@ def _densify_and_smooth_tier(
         )
         value_sd = np.full(total, np.nan)
 
-    names = np.array([METRIC_NAMES[0], METRIC_NAMES[1]])
-    return pd.DataFrame(
+    # dictionary-encoded Arrow output: numeric columns are zero-copy, the
+    # three label columns are (indices, tiny dictionary) pairs — no
+    # per-row Python string materialization at 10^7-row scale.
+    conv_codes, conv_uniques = pd.factorize(bounds["conv_id"], sort=False)
+    conv_col = pa.DictionaryArray.from_arrays(
+        pa.array(np.repeat(conv_codes.astype(np.int32), lens)),
+        pa.array(conv_uniques, pa.string()),
+    )
+    metric_col = pa.DictionaryArray.from_arrays(
+        pa.array(metric_rep), pa.array([METRIC_NAMES[0], METRIC_NAMES[1]], pa.string())
+    )
+    tier_col = pa.DictionaryArray.from_arrays(
+        pa.array(np.zeros(total, dtype=np.int8)), pa.array([tier], pa.string())
+    )
+    return pa.table(
         {
-            "conv_id": np.repeat(bounds["conv_id"].to_numpy(), lens),
-            "metric": names[metric_rep.astype(np.int64)],
-            "tier": tier,
-            "bucket_start": axis.view("datetime64[us]"),
-            "count": count,
-            "min": vmin,
-            "max": vmax,
-            "sum": vsum,
-            "mean": mean,
-            "value": value,
-            "value_sd": value_sd,
-            "gap_filled": ~observed,
-        }
+            "conv_id": conv_col,
+            "metric": metric_col,
+            "tier": tier_col,
+            "bucket_start": pa.array(axis, pa.timestamp("us")),
+            "count": pa.array(count),
+            "min": pa.array(vmin),
+            "max": pa.array(vmax),
+            "sum": pa.array(vsum),
+            "mean": pa.array(mean),
+            "value": pa.array(value),
+            "value_sd": pa.array(value_sd),
+            "gap_filled": pa.array(~observed),
+        },
+        schema=TIER_ARROW_SCHEMA,
     )
 
 

@@ -56,6 +56,7 @@ def rollup_tiers(
     smooth: bool = True,
     close_us: int | None = None,
     num_partitions: int = 64,
+    shuffle_blocks: int | None = None,
 ) -> ray.data.Dataset:
     """transcripts Dataset -> tier rows (1m/1h/1d, FIXTURES.md F2 schema).
 
@@ -77,7 +78,7 @@ def rollup_tiers(
         functools.partial(partial_rollup, num_partitions=num_partitions),
         batch_format="pyarrow",
     )
-    parts = parts.repartition(min(num_partitions, 32))
+    parts = parts.repartition(shuffle_blocks or min(num_partitions, 32))
 
     def _finalize(group: pd.DataFrame) -> pd.DataFrame:
         state = _resolve_state(prior_state_ref)

@@ -223,6 +223,20 @@ def _dedup_exact(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def _trend_1h(sf_dir: str) -> pd.DataFrame:
+    """K3 analog: trailing-window WLS trend over the 1h tier of the
+    events-derived transcript rollup (rows-only; pytest-verified vs a
+    numpy oracle)."""
+    from ecov003_l2t_stars_ray.pipelines.rollup_pipeline import rollup_tiers
+    from ecov003_l2t_stars_ray.stages.trend import trend_stage
+
+    tiers = rollup_tiers(_derive_transcripts(sf_dir), smooth=True)
+    out = trend_stage(tiers, tier="1h", window=16).to_pandas()
+    out["slope"] = out["slope"].round(6)
+    out["r2"] = out["r2"].round(6)
+    return out.sort_values(["conv_id", "metric", "bucket_start"], ignore_index=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from ecov003_l2t_stars_ray.pipelines import analytics as A
     from ecov003_l2t_stars_ray.pipelines import text_analysis as T
@@ -247,6 +261,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "coalesce_priority": A.coalesce_by_priority,
         # watermark / late split (§2.9)
         "late_events": A.late_events,
+        # calibration (K5/A6), spin-up variance (K2), trailing flag (A2)
+        "calibration": A.calibrate_purchase_to_click,
+        "spinup_variance": A.spinup_variance,
+        "gap_flag_1m": A.gap_flag_1m,
+        # windowed WLS trend (K3) — rows-only
+        "trend_1h": _trend_1h,
         # dedup family
         "dedup_exact": _dedup_exact,
         "minhash_near_dups": _minhash_near_dups,
@@ -363,6 +383,56 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, COUNT(*) AS n_late FROM events
             WHERE ts < (SELECT MAX(ts) FROM events) - INTERVAL 1 DAY
             GROUP BY user_id
+        """,
+        "calibration": """
+            WITH p AS (
+                SELECT user_id, date_trunc('day', ts) AS d, AVG(value) AS x
+                FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+            ), c AS (
+                SELECT user_id, date_trunc('day', ts) AS d, AVG(value) AS y
+                FROM events WHERE event_type = 'click' GROUP BY 1, 2
+            ), j AS (
+                SELECT x, y FROM p JOIN c USING (user_id, d)
+            )
+            SELECT ROUND(regr_slope(y, x), 6) AS slope,
+                   ROUND(regr_intercept(y, x), 6) AS intercept,
+                   regr_count(y, x) AS n_pairs
+            FROM j
+        """,
+        "spinup_variance": """
+            WITH w AS (
+                SELECT user_id, value,
+                       MIN(ts) OVER (PARTITION BY user_id) AS first_ts, ts
+                FROM events
+            )
+            SELECT user_id, COUNT(*) AS n,
+                   ROUND(VAR_SAMP(value), 6) AS var_value
+            FROM w WHERE ts < first_ts + INTERVAL 7 DAY
+            GROUP BY user_id
+        """,
+        "gap_flag_1m": """
+            WITH bounds AS (
+                SELECT user_id, date_trunc('minute', MIN(ts)) AS lo,
+                       date_trunc('minute', MAX(ts)) AS hi
+                FROM events GROUP BY 1
+            ), axis AS (
+                SELECT user_id,
+                       unnest(generate_series(lo, hi, INTERVAL 1 MINUTE)) AS bucket_start
+                FROM bounds
+            ), obs AS (
+                SELECT user_id, date_trunc('minute', ts) AS b, COUNT(*) AS n
+                FROM events GROUP BY 1, 2
+            ), dense AS (
+                SELECT a.user_id, a.bucket_start, COALESCE(o.n, 0) AS n
+                FROM axis a LEFT JOIN obs o
+                  ON a.user_id = o.user_id AND a.bucket_start = o.b
+            )
+            SELECT user_id, bucket_start, n,
+                   MAX(n) OVER (
+                       PARTITION BY user_id ORDER BY bucket_start
+                       ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
+                   ) > 0 AS observed_recently
+            FROM dense
         """,
         "dedup_exact": """
             SELECT md5(text) AS h, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies

@@ -379,3 +379,99 @@ def late_events(sf_dir: str) -> pd.DataFrame:
         .to_pandas()
         .sort_values("user_id", ignore_index=True)[["user_id", "n_late"]]
     )
+
+
+# --------------------------------------------------- calibration / variance
+def calibrate_purchase_to_click(sf_dir: str) -> pd.DataFrame:
+    """K5 analog (``calibrate_fine_to_coarse.py:10-60``): aggregate two
+    'instruments' onto a common (user, day) grid, global OLS between them
+    (driver-side on the small agg — A6, ``calibrate_fine_to_coarse.py:51``),
+    with the reference's minimum-support guard (<30 pairs -> no calibration,
+    ``:39-44``). Returns one row: slope, intercept, n_pairs."""
+    ds = _events(sf_dir, ["user_id", "event_type", "ts", "value"])
+    width = WIDTHS["1d"]
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["event_type"].isin(["purchase", "click"])]
+        b = df["ts"].astype("datetime64[us]").astype(np.int64) // width * width
+        return (
+            pd.DataFrame(
+                {"user_id": df["user_id"], "d": b,
+                 "event_type": df["event_type"], "v": df["value"]}
+            )
+            .groupby(["user_id", "d", "event_type"], sort=False)["v"]
+            .agg(s="sum", n="count")
+            .reset_index()
+        )
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(["user_id", "d", "event_type"], as_index=False).sum()
+
+    agg = hash_combine(
+        ds.map_batches(partial, batch_format="pandas"), ["user_id", "d"], combine
+    ).to_pandas()
+    agg["avg"] = agg["s"] / agg["n"]
+    piv = agg.pivot_table(
+        index=["user_id", "d"], columns="event_type", values="avg", aggfunc="first"
+    ).dropna()
+    x = piv["purchase"].to_numpy(dtype=np.float64)
+    y = piv["click"].to_numpy(dtype=np.float64)
+    n = len(x)
+    if n < 30:  # reference min-support guard
+        return pd.DataFrame({"slope": [np.nan], "intercept": [np.nan], "n_pairs": [n]})
+    sx, sy = x.sum(), y.sum()
+    sxx = (x * x).sum()
+    sxy = (x * y).sum()
+    slope = (sxy - sx * sy / n) / (sxx - sx * sx / n)
+    intercept = sy / n - slope * sx / n
+    return pd.DataFrame(
+        {"slope": [round(slope, 6)], "intercept": [round(intercept, 6)], "n_pairs": [n]}
+    )
+
+
+def spinup_variance(sf_dir: str) -> pd.DataFrame:
+    """K2 analog (windowed variance over the spin-up stack, ``jl:151-183``):
+    sample variance of value per user over the user's first 7 days."""
+    ds = _events(sf_dir, ["user_id", "ts", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        t = df["ts"].astype("datetime64[us]").astype(np.int64)
+        return pd.DataFrame(
+            {"user_id": df["user_id"], "ts_us": t, "v": df["value"],
+             "v2": df["value"] * df["value"]}
+        )
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        first = g.groupby("user_id")["ts_us"].transform("min")
+        keep = g[g["ts_us"] < first + 7 * WIDTHS["1d"]]
+        agg = keep.groupby("user_id", as_index=False).agg(
+            n=("v", "count"), s=("v", "sum"), s2=("v2", "sum")
+        )
+        n = agg["n"].to_numpy(dtype=np.float64)
+        var = (agg["s2"] - agg["s"] * agg["s"] / n) / (n - 1)
+        agg["var_value"] = np.round(var, 6)
+        return agg[["user_id", "n", "var_value"]]
+
+    return (
+        hash_combine(ds.map_batches(partial, batch_format="pandas"), ["user_id"], combine)
+        .to_pandas()
+        .sort_values("user_id", ignore_index=True)
+    )
+
+
+def gap_flag_1m(sf_dir: str) -> pd.DataFrame:
+    """A2 analog (trailing 7-day observation flag, ``jl:263-288``): dense
+    per-user minute axis with `observed_recently` = any event in the
+    trailing 7 buckets (rolling max over the dense axis)."""
+    dense = gap_fill_1m(sf_dir)
+
+    def flag(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("bucket_start", kind="mergesort").copy()
+        roll = g["n"].rolling(window=7, min_periods=1).max()
+        g["observed_recently"] = roll.to_numpy() > 0
+        return g
+
+    out = dense.groupby("user_id", group_keys=False).apply(flag)
+    return out[["user_id", "bucket_start", "n", "observed_recently"]].sort_values(
+        ["user_id", "bucket_start"], ignore_index=True
+    )

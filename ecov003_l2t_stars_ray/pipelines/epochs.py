@@ -185,11 +185,19 @@ def run_epoch(
         )
     save_state(new_state, state_root, epoch)
 
+    # integrity column for lineage (reference analog: checksum-verified
+    # staging, ``LPDAACDataPool.py:368-430``): CRC-32 per input fragment so
+    # a resume can detect a silently-changed input
+    from ..functions.checksum import crc32_file
+
+    fragment_crcs = {p: crc32_file(p) for p in fragments}
+
     os.makedirs(os.path.dirname(_epoch_meta_path(root, epoch)), exist_ok=True)
     with open(_epoch_meta_path(root, epoch), "w") as f:
         json.dump(
             {"epoch": epoch, "watermark_us": watermark_us, "close_us": close_us,
-             "pending_fragments": pending_fragments, "rows": total_rows},
+             "pending_fragments": pending_fragments, "rows": total_rows,
+             "fragment_crc32": fragment_crcs},
             f,
         )
     return {

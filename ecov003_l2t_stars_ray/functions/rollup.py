@@ -30,6 +30,7 @@ from ..schema import US_PER_MIN
 KIND_PARTIAL = 0
 KIND_NEED = 1
 KIND_PROVIDE = 2
+KIND_RAW = 3  # opt-in per-observation rows for the exact raw tier
 
 #: Intermediate (pre-shuffle) schema. ``metric``: 0=turn_rate, 1=latency.
 PARTIAL_SCHEMA = pa.schema(
@@ -60,13 +61,21 @@ def partition_of(conv: pd.Series, num_partitions: int) -> np.ndarray:
     return (h % np.uint64(num_partitions)).astype(np.int32)
 
 
-def partial_rollup(batch: pa.Table, num_partitions: int = 64) -> pa.Table:
+def partial_rollup(
+    batch: pa.Table, num_partitions: int = 64, emit_raw: bool = False
+) -> pa.Table:
     """map_batches(fn, batch_format="pyarrow") combiner.
 
     Input columns: conv_id, turn_idx, ts. Output: PARTIAL_SCHEMA rows —
     per-(conv, 1m-bucket) partial aggregates for both metrics plus
     need/provide boundary records for cross-block latencies, each tagged
     with its conv_id hash partition (the shuffle key).
+
+    ``emit_raw``: additionally emit one KIND_RAW row per observation
+    (turn_rate per turn, latency per resolved gap) so finalize can write
+    the exact per-turn raw tier. OPT-IN: this makes the shuffled stream
+    input-sized — at 10^12-turn scale write the raw tier via a map-only
+    pass instead and keep this for test/parity runs.
     """
     if batch.num_rows == 0:
         return PARTIAL_SCHEMA.empty_table()
@@ -144,6 +153,28 @@ def partial_rollup(batch: pa.Table, num_partitions: int = 64) -> pa.Table:
                 }
             )
         )
+
+    if emit_raw:
+        raw_frames = [
+            pd.DataFrame(
+                {"conv_id": conv, "kind": np.int8(KIND_RAW),
+                 "metric": np.int8(METRIC_TURN_RATE), "bucket_us": ts,
+                 "count": np.int64(1), "vmin": 1.0, "vmax": 1.0, "vsum": 1.0,
+                 "turn_idx": idx.astype(np.int32), "ts_us": ts}
+            )
+        ]
+        if same_prev.any():
+            gap_r = (ts[same_prev] - np.roll(ts, 1)[same_prev]) / 1e6
+            raw_frames.append(
+                pd.DataFrame(
+                    {"conv_id": conv[same_prev], "kind": np.int8(KIND_RAW),
+                     "metric": np.int8(METRIC_LATENCY), "bucket_us": ts[same_prev],
+                     "count": np.int64(1), "vmin": gap_r, "vmax": gap_r,
+                     "vsum": gap_r, "turn_idx": idx[same_prev].astype(np.int32),
+                     "ts_us": ts[same_prev]}
+                )
+            )
+        out.extend(raw_frames)
 
     # boundary records for cross-block resolution
     need = (idx > 0) & ~same_prev

@@ -76,10 +76,28 @@ def _kalman(y: np.ndarray, observed: np.ndarray,
     return value, sd
 
 
-def tier_rollup(transcripts: pd.DataFrame, smooth: bool = True) -> pd.DataFrame:
+def tier_rollup(
+    transcripts: pd.DataFrame, smooth: bool = True, include_raw: bool = False
+) -> pd.DataFrame:
     """All tiers for all (conv, metric) series; the golden output table."""
     obs = observations(transcripts)
     out = []
+    if include_raw:
+        v = obs["value"].to_numpy(dtype=np.float64)
+        out.append(
+            pd.DataFrame(
+                {
+                    "conv_id": obs["conv_id"].to_numpy(),
+                    "metric": obs["metric"].to_numpy(),
+                    "tier": "raw",
+                    "bucket_start": obs["ts_us"].to_numpy().view("datetime64[us]"),
+                    "count": np.int64(1),
+                    "min": v, "max": v, "sum": v, "mean": v, "value": v,
+                    "value_sd": np.nan,
+                    "gap_filled": False,
+                }
+            )
+        )
     for tier, width in TIERS.items():
         obs_t = obs.copy()
         obs_t["bucket_us"] = obs_t["ts_us"] // width * width

@@ -57,6 +57,7 @@ def rollup_tiers(
     close_us: int | None = None,
     num_partitions: int = 64,
     shuffle_blocks: int | None = None,
+    include_raw: bool = False,
 ) -> ray.data.Dataset:
     """transcripts Dataset -> tier rows (1m/1h/1d, FIXTURES.md F2 schema).
 
@@ -75,7 +76,9 @@ def rollup_tiers(
     import functools
 
     parts = ds.map_batches(
-        functools.partial(partial_rollup, num_partitions=num_partitions),
+        functools.partial(
+            partial_rollup, num_partitions=num_partitions, emit_raw=include_raw
+        ),
         batch_format="pyarrow",
     )
     parts = parts.repartition(shuffle_blocks or min(num_partitions, 32))
@@ -83,7 +86,10 @@ def rollup_tiers(
     def _finalize(group: pd.DataFrame) -> pd.DataFrame:
         state = _resolve_state(prior_state_ref)
         sdf, cdf = state if state is not None else (None, None)
-        return finalize_batch(group.drop(columns=["part_id"]), sdf, cdf, smooth, close_us)
+        return finalize_batch(
+            group.drop(columns=["part_id"]), sdf, cdf, smooth, close_us,
+            include_raw=include_raw,
+        )
 
     return parts.groupby("part_id").map_groups(_finalize, batch_format="pandas")
 

@@ -25,6 +25,7 @@ from ..functions.rollup import (
     KIND_NEED,
     KIND_PARTIAL,
     KIND_PROVIDE,
+    KIND_RAW,
     METRIC_LATENCY,
     METRIC_NAMES,
 )
@@ -88,6 +89,7 @@ def _resolve_latency_boundaries(
             "vmin": gap,
             "vmax": gap,
             "vsum": gap,
+            "ts_us": m["ts_us"].to_numpy(),
         }
     )
 
@@ -152,12 +154,41 @@ def _kalman_batch(
     return np.asarray(vout), np.asarray(sout)
 
 
+def _raw_tier_table(rawall: pd.DataFrame) -> pa.Table:
+    """Per-observation raw tier rows (count=1, value=observation)."""
+    n = len(rawall)
+    conv_codes, conv_uniques = pd.factorize(rawall["conv_id"].astype(str), sort=False)
+    v = rawall["vsum"].to_numpy(dtype=np.float64)
+    return pa.table(
+        {
+            "conv_id": pa.DictionaryArray.from_arrays(
+                pa.array(conv_codes.astype(np.int32)), pa.array(conv_uniques, pa.string())
+            ),
+            "metric": pa.DictionaryArray.from_arrays(
+                pa.array(rawall["metric"].to_numpy().astype(np.int8)),
+                pa.array([METRIC_NAMES[0], METRIC_NAMES[1]], pa.string()),
+            ),
+            "tier": pa.DictionaryArray.from_arrays(
+                pa.array(np.zeros(n, dtype=np.int8)), pa.array(["raw"], pa.string())
+            ),
+            "bucket_start": pa.array(rawall["ts_us"].to_numpy(), pa.timestamp("us")),
+            "count": pa.array(np.ones(n, dtype=np.int64)),
+            "min": pa.array(v), "max": pa.array(v), "sum": pa.array(v),
+            "mean": pa.array(v), "value": pa.array(v),
+            "value_sd": pa.array(np.full(n, np.nan)),
+            "gap_filled": pa.array(np.zeros(n, dtype=bool)),
+        },
+        schema=TIER_ARROW_SCHEMA,
+    )
+
+
 def finalize_batch(
     df: pd.DataFrame,
     state_df: pd.DataFrame | None = None,
     context_df: pd.DataFrame | None = None,
     smooth: bool = True,
     close_us: int | None = None,
+    include_raw: bool = False,
 ) -> pd.DataFrame:
     """One hash partition's partial rows -> all tier rows for all convs.
 
@@ -188,6 +219,17 @@ def finalize_batch(
         partials = pd.concat([partials, extra[cols]], ignore_index=True)
 
     out: list[pa.Table] = []
+    if include_raw:
+        raw = df[df["kind"] == KIND_RAW]
+        frames = [raw[["conv_id", "metric", "bucket_us", "count", "vmin", "vmax", "vsum", "ts_us"]]]
+        if extra is not None:  # boundary-resolved gaps are raw obs too
+            e = extra.copy()
+            e["bucket_us"] = e["ts_us"]
+            frames.append(e[frames[0].columns])
+        rawall = pd.concat(frames, ignore_index=True)
+        if len(rawall):
+            out.append(_raw_tier_table(rawall))
+
     if len(partials):
         finer = _merge_partials(partials)
         for tier, width in TIERS.items():

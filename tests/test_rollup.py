@@ -77,3 +77,23 @@ def test_tier_cascade_exact(small_transcripts):
         w = want[want.tier == tier]
         assert len(g) == len(w) > 0
         assert (g["count"].to_numpy() == w["count"].to_numpy()).all()
+
+
+def test_raw_tier_exact(small_transcripts):
+    """Opt-in raw tier: per-observation rows match the oracle exactly,
+    including ties (equal ts, distinct turn_idx) and cross-block gaps."""
+    pdf = small_transcripts.to_pandas().sample(frac=1.0, random_state=11)
+    want = oracle.tier_rollup(pdf, smooth=True, include_raw=True)
+    want = want[want.tier == "raw"]
+    ds = ray.data.from_pandas(pdf.reset_index(drop=True)).repartition(12)
+    got = tiers_to_pandas(rollup_tiers(ds, smooth=True, include_raw=True))
+    got = got[got.tier == "raw"]
+    key = ["conv_id", "metric", "bucket_start", "value"]
+    g = got.sort_values(key, ignore_index=True)
+    w = want.sort_values(key, ignore_index=True)
+    assert len(g) == len(w)
+    for k in ["conv_id", "metric"]:
+        assert (g[k].to_numpy() == w[k].to_numpy()).all()
+    np.testing.assert_array_equal(g["bucket_start"].to_numpy(), w["bucket_start"].to_numpy())
+    np.testing.assert_allclose(g["value"].to_numpy(), w["value"].to_numpy(), rtol=1e-12)
+    assert (g["count"] == 1).all()

@@ -237,6 +237,24 @@ def _trend_1h(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["conv_id", "metric", "bucket_start"], ignore_index=True)
 
 
+def _text_invariant(sf_dir: str) -> pd.DataFrame:
+    """Per-turn text-equality invariant (north rule): compare the derived
+    transcript corpus against a copy with one deliberately corrupted turn
+    and one dropped turn — the checker must find exactly those (rows-only;
+    determinism is the check)."""
+    import ray.data
+
+    from ecov003_l2t_stars_ray.pipelines.invariant import verify_text_invariant
+
+    left = _derive_transcripts(sf_dir).to_pandas()
+    right = left.copy()
+    right.loc[3, "text"] = "__CORRUPTED__"
+    right = right.drop(index=7)
+    return verify_text_invariant(
+        ray.data.from_pandas(left), ray.data.from_pandas(right.reset_index(drop=True))
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from ecov003_l2t_stars_ray.pipelines import analytics as A
     from ecov003_l2t_stars_ray.pipelines import text_analysis as T
@@ -267,6 +285,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gap_flag_1m": A.gap_flag_1m,
         # windowed WLS trend (K3) — rows-only
         "trend_1h": _trend_1h,
+        # per-turn text-equality invariant — rows-only
+        "text_invariant": _text_invariant,
         # dedup family
         "dedup_exact": _dedup_exact,
         "minhash_near_dups": _minhash_near_dups,

@@ -75,9 +75,15 @@ def events_rollup(sf_dir: str, tier: str) -> pd.DataFrame:
     ].sort_values(["user_id", "bucket_start"], ignore_index=True)
 
 
+_GAP_FILL_CACHE: dict[str, pd.DataFrame] = {}
+
+
 def gap_fill_1m(sf_dir: str) -> pd.DataFrame:
     """Dense per-user minute axis with gap flags (S4/J1 dense-stack analog).
-    Densification is vectorized across ALL users of a hash partition."""
+    Densification is vectorized across ALL users of a hash partition.
+    Memoized per sf_dir: the Kalman and trailing-flag queries reuse it."""
+    if sf_dir in _GAP_FILL_CACHE:
+        return _GAP_FILL_CACHE[sf_dir].copy()
     ds = _events(sf_dir, ["user_id", "ts"])
     width = WIDTHS["1m"]
 
@@ -120,9 +126,12 @@ def gap_fill_1m(sf_dir: str) -> pd.DataFrame:
     out = hash_combine(
         ds.map_batches(partial, batch_format="pandas"), ["user_id"], combine
     ).to_pandas()
-    return out[["user_id", "bucket_start", "n", "gap_filled"]].sort_values(
+    out = out[["user_id", "bucket_start", "n", "gap_filled"]].sort_values(
         ["user_id", "bucket_start"], ignore_index=True
     )
+    _GAP_FILL_CACHE.clear()
+    _GAP_FILL_CACHE[sf_dir] = out
+    return out.copy()
 
 
 def kalman_smooth_events(sf_dir: str) -> pd.DataFrame:

@@ -33,6 +33,10 @@ CHUNK_SCHEMA = pa.schema(
 def compress_batch(batch: pd.DataFrame) -> pd.DataFrame:
     """Tier rows -> one Gorilla chunk per (conv, metric, tier) run."""
     rows = []
+    batch = batch.copy()
+    for c in ("conv_id", "metric", "tier"):  # categorical -> object (no
+        batch[c] = batch[c].astype(str)      # phantom unobserved groups)
+    batch = batch[batch["metric"] != "_context"]
     batch = batch.sort_values(["conv_id", "metric", "tier", "bucket_start"])
     for (conv, metric, tier), g in batch.groupby(
         ["conv_id", "metric", "tier"], sort=False

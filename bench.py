@@ -111,6 +111,8 @@ def run_bench() -> dict:
         "rollup_1m", "rollup_1h", "rollup_1d", "latency_stats",
         "pricing_summary", "revenue_per_nation", "top_users",
         "asof_purchase_view", "dedup_exact", "doc_token_stats", "ann_topk",
+        "sessionize", "moving_avg_1h", "distinct_event_types",
+        "calibration", "spinup_variance", "minhash_near_dups",
     ]
     for name in q_list:
         t0 = time.perf_counter()

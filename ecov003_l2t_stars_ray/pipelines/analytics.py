@@ -135,20 +135,27 @@ def gap_fill_1m(sf_dir: str) -> pd.DataFrame:
 
 
 def kalman_smooth_events(sf_dir: str) -> pd.DataFrame:
-    """Kalman gap-fill over per-user 1m counts (non-SQL; rows-only check)."""
-    from ..functions.kalman import kalman_gap_fill
+    """Kalman gap-fill over per-user 1m counts (non-SQL; rows-only check).
+    One concatenated-series pass (reset at user boundaries), same kernel
+    as the flagship finalize."""
+    from ..schema import COLD_START
+    from ..stages.finalize import _kalman_batch
 
-    dense = gap_fill_1m(sf_dir)
-    out = []
-    for uid, g in dense.groupby("user_id"):
-        obs = ~g["gap_filled"].to_numpy()
-        y = g["n"].to_numpy().astype(np.float64)
-        value, sd, _, _ = kalman_gap_fill(np.where(obs, y, 0.0), obs)
-        gg = g.copy()
-        gg["value"] = np.round(value, 6)
-        gg["value_sd"] = np.round(sd, 6)
-        out.append(gg)
-    return pd.concat(out, ignore_index=True)
+    dense = gap_fill_1m(sf_dir)  # already sorted by (user_id, bucket_start)
+    u = dense["user_id"].to_numpy()
+    starts = np.ones(len(dense), dtype=bool)
+    starts[1:] = u[1:] != u[:-1]
+    obs = ~dense["gap_filled"].to_numpy()
+    y = np.where(obs, dense["n"].to_numpy().astype(np.float64), 0.0)
+    value, sd = _kalman_batch(
+        y, obs, starts,
+        np.full(len(dense), COLD_START["mean"]),
+        np.full(len(dense), COLD_START["sd"] ** 2),
+    )
+    out = dense.copy()
+    out["value"] = np.round(value, 6)
+    out["value_sd"] = np.round(sd, 6)
+    return out
 
 
 # ----------------------------------------------------------------- lag gaps

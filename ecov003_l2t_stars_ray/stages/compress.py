@@ -82,3 +82,25 @@ def decompress_chunks(chunks: pd.DataFrame) -> pd.DataFrame:
 def compress_tiers(tiers_ds):
     """Dataset of tier rows -> Dataset of Gorilla chunk rows."""
     return tiers_ds.map_batches(compress_batch, batch_format="pandas")
+
+
+def write_compressed_tiers(tiers_ds, out_dir: str) -> None:
+    """The compressed retention format: Gorilla chunk tables partitioned by
+    tier — the at-rest layout for cold tiers (raw/1m past their hot
+    window), decoded on read by :func:`read_compressed_tiers`."""
+    compress_tiers(tiers_ds).write_parquet(out_dir, partition_cols=["tier"])
+
+
+def read_compressed_tiers(path: str):
+    """Compressed chunk dir -> Dataset of decoded (conv, metric, tier,
+    bucket_start, value) points (streaming decode per batch)."""
+    import ray.data
+
+    chunks = ray.data.read_parquet(path)
+
+    def decode(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["tier"] = df["tier"].astype(str)
+        return decompress_chunks(df)
+
+    return chunks.map_batches(decode, batch_format="pandas")

@@ -107,3 +107,35 @@ def test_chunk_stage_via_dataset(small_transcripts):
     np.testing.assert_array_equal(
         got["value"].to_numpy().view(np.uint64), w["value"].to_numpy().view(np.uint64)
     )
+
+
+def test_compressed_tier_storage_roundtrip(tmp_path, small_transcripts):
+    """write_compressed_tiers / read_compressed_tiers: the at-rest Gorilla
+    format roundtrips bit-exactly through Parquet + Ray."""
+    import ray.data
+
+    from ecov003_l2t_stars_ray.pipelines.rollup_pipeline import (
+        rollup_tiers,
+        tiers_to_pandas,
+    )
+    from ecov003_l2t_stars_ray.stages.compress import (
+        read_compressed_tiers,
+        write_compressed_tiers,
+    )
+
+    out = str(tmp_path / "cold")
+    tiers = rollup_tiers(ray.data.from_arrow(small_transcripts), smooth=True)
+    write_compressed_tiers(tiers, out)
+    decoded = read_compressed_tiers(out).to_pandas()
+    want = tiers_to_pandas(
+        rollup_tiers(ray.data.from_arrow(small_transcripts), smooth=True)
+    )
+    assert len(decoded) == len(want)
+    key = ["conv_id", "metric", "tier", "bucket_start"]
+    g = decoded.sort_values(key, ignore_index=True)
+    w = want.sort_values(key, ignore_index=True)
+    np.testing.assert_array_equal(
+        g["value"].to_numpy().view(np.uint64), w["value"].to_numpy().view(np.uint64)
+    )
+    # (at this tiny scale per-chunk headers dominate; the compression-ratio
+    # property is asserted on long series in test_regular_series above)

@@ -141,3 +141,29 @@ def test_partial_commit_resume(tmp_path, small_transcripts):
     pd.testing.assert_frame_equal(
         full.reset_index(drop=True), again.reset_index(drop=True)
     )
+
+
+def test_product_assembly(epoch_setup):
+    """S7 analog: consolidate epochs into one tier-partitioned product with
+    BlankOutput validation; counts match the per-epoch cells."""
+    import pytest as _pytest
+
+    from ecov003_l2t_stars_ray.pipelines.product import (
+        BlankProductError,
+        assemble_product,
+    )
+
+    root, f1, f2, pdf = epoch_setup
+    if not os.path.isdir(os.path.join(root, "tiers")):  # standalone run
+        run_epoch([f1], root, epoch=1, num_partitions=4)
+        run_epoch([f2], root, epoch=2, num_partitions=4)
+        run_epoch([], root, epoch=3, num_partitions=4, giveup_buckets=0)
+    out = os.path.join(root, "product")
+    summary = assemble_product(root, [1, 2, 3], out)
+    want = _combined(root, [1, 2, 3])
+    got_total = sum(summary["tier_rows"][t] for t in ("1m", "1h", "1d"))
+    assert got_total == len(want)
+    assert os.path.exists(os.path.join(out, "summary.json"))
+
+    with _pytest.raises(BlankProductError):
+        assemble_product(root + "-nope", [1], out + "2")

@@ -283,6 +283,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize": A.sessionize,
         "moving_avg_1h": A.moving_avg_1h,
         "distinct_event_types": A.distinct_event_types,
+        # derived trig columns (M9), zero-missing + global fallback
+        # (M6/A4/M10), broadcast 2-D LUT (M11)
+        "time_features": A.time_features,
+        "global_mean_fallback": A.global_mean_fallback,
+        "lut_lookup": A.lut_lookup,
         # calibration (K5/A6), spin-up variance (K2), trailing flag (A2)
         "calibration": A.calibrate_purchase_to_click,
         "spinup_variance": A.spinup_variance,
@@ -407,6 +412,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, COUNT(*) AS n_late FROM events
             WHERE ts < (SELECT MAX(ts) FROM events) - INTERVAL 1 DAY
             GROUP BY user_id
+        """,
+        "time_features": """
+            SELECT event_id,
+                   ROUND(SIN(2 * PI() * (EXTRACT(hour FROM ts) * 3600
+                        + EXTRACT(minute FROM ts) * 60
+                        + EXTRACT(second FROM ts)) / 86400.0), 6) AS tod_sin,
+                   ROUND(COS(2 * PI() * (EXTRACT(hour FROM ts) * 3600
+                        + EXTRACT(minute FROM ts) * 60
+                        + EXTRACT(second FROM ts)) / 86400.0), 6) AS tod_cos
+            FROM events
+        """,
+        "global_mean_fallback": """
+            SELECT event_id,
+                   ROUND(CASE WHEN value = 0
+                              THEN (SELECT AVG(value) FROM events WHERE value <> 0)
+                              ELSE value END, 6) AS value_filled
+            FROM events
+        """,
+        "lut_lookup": """
+            SELECT event_id,
+                   (LEAST(9, CAST(FLOOR(value / 40) AS BIGINT)) * 8
+                    + CAST(FLOOR(EXTRACT(hour FROM ts) / 3) AS BIGINT)) / 10.0
+                   AS lut_value
+            FROM events
         """,
         "sessionize": """
             WITH o AS (

@@ -570,3 +570,94 @@ def distinct_event_types(sf_dir: str) -> pd.DataFrame:
         .to_pandas()
         .sort_values("user_id", ignore_index=True)
     )
+
+
+# ------------------------------------------- derived columns / LUT / blends
+def time_features(sf_dir: str) -> pd.DataFrame:
+    """M9 analog (solar-zenith trig from DOY+hour, ``BRDF/SZA.py:47-64``):
+    trig derived columns from event time — sin/cos of time-of-day angle."""
+    ds = _events(sf_dir, ["event_id", "ts"])
+
+    def derive(df: pd.DataFrame) -> pd.DataFrame:
+        t = df["ts"].astype("datetime64[us]")
+        sec = (
+            t.dt.hour.to_numpy() * 3600
+            + t.dt.minute.to_numpy() * 60
+            + t.dt.second.to_numpy()
+        ).astype(np.float64)
+        ang = 2.0 * np.pi * sec / 86400.0
+        return pd.DataFrame(
+            {
+                "event_id": df["event_id"],
+                "tod_sin": np.round(np.sin(ang), 6),
+                "tod_cos": np.round(np.cos(ang), 6),
+            }
+        )
+
+    return (
+        ds.map_batches(derive, batch_format="pandas")
+        .to_pandas()
+        .sort_values("event_id", ignore_index=True)
+    )
+
+
+def global_mean_fallback(sf_dir: str) -> pd.DataFrame:
+    """M6 + A4 + M10 analog: zero-as-missing normalizer
+    (``generate_NDVI_coarse_image.py:29``) with the global nan-mean
+    fallback broadcast back into the per-row map
+    (``BRDF/BRDF.py:28-29``, ``jl:370-374``): two-stage global scalar agg
+    then vectorized fill."""
+    ds = _events(sf_dir, ["event_id", "value"])
+    # stage 1: global mean over non-missing (zero = missing), tiny agg
+    parts = ds.map_batches(
+        lambda df: pd.DataFrame(
+            {"s": [df.loc[df["value"] != 0, "value"].sum()],
+             "n": [int((df["value"] != 0).sum())]}
+        ),
+        batch_format="pandas",
+    ).to_pandas()
+    gmean = float(parts["s"].sum() / parts["n"].sum())
+    ref = ray.put(gmean)
+
+    def fill(df: pd.DataFrame) -> pd.DataFrame:
+        gm = ray.get(ref)
+        v = df["value"].to_numpy(dtype=np.float64)
+        return pd.DataFrame(
+            {"event_id": df["event_id"],
+             "value_filled": np.round(np.where(v == 0, gm, v), 6)}
+        )
+
+    return (
+        ds.map_batches(fill, batch_format="pandas")
+        .to_pandas()
+        .sort_values("event_id", ignore_index=True)
+    )
+
+
+#: deterministic 10x8 LUT (value decile x 3-hour band), formula-defined so
+#: the SQL oracle can reproduce it; the Ray side does a REAL broadcast
+#: array lookup (M11 analog, ``BRDF/BRDF.py:7-17``).
+_LUT = (np.arange(10)[:, None] * 8 + np.arange(8)[None, :]).astype(np.float64) / 10.0
+
+
+def lut_lookup(sf_dir: str) -> pd.DataFrame:
+    """M11 analog: 2-D lookup table digitized on (value, hour) with the
+    table broadcast once via ray.put and indexed vectorized per batch."""
+    ds = _events(sf_dir, ["event_id", "ts", "value"])
+    ref = ray.put(_LUT)
+
+    def look(df: pd.DataFrame) -> pd.DataFrame:
+        lut = ray.get(ref)
+        v = df["value"].to_numpy(dtype=np.float64)
+        h = df["ts"].astype("datetime64[us]").dt.hour.to_numpy()
+        vbin = np.minimum(9, (v // 40).astype(np.int64))
+        hbin = h // 3
+        return pd.DataFrame(
+            {"event_id": df["event_id"], "lut_value": lut[vbin, hbin]}
+        )
+
+    return (
+        ds.map_batches(look, batch_format="pandas")
+        .to_pandas()
+        .sort_values("event_id", ignore_index=True)
+    )

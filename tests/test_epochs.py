@@ -167,3 +167,35 @@ def test_product_assembly(epoch_setup):
 
     with _pytest.raises(BlankProductError):
         assemble_product(root + "-nope", [1], out + "2")
+
+
+def test_five_epoch_chain_matches_full_batch(tmp_path, small_transcripts):
+    """Five time-sliced epochs + flush == one full-batch run (state chain
+    stress: repeated checkpoint handoffs, pending re-reads, context rows)."""
+    root = str(tmp_path / "root")
+    pdf = small_transcripts.to_pandas()
+    ts_us = pdf["ts"].astype("datetime64[us]").astype(np.int64)
+    qs = np.quantile(ts_us, [0.25, 0.45, 0.6, 0.8])
+    bounds = [ts_us.min() - 1, *[int(q) for q in qs], ts_us.max() + 1]
+    frags = []
+    for i, (a, b) in enumerate(zip(bounds[:-1], bounds[1:])):
+        f = str(tmp_path / f"f{i}.parquet")
+        pq.write_table(
+            pa.Table.from_pandas(pdf[(ts_us > a) & (ts_us <= b)], preserve_index=False), f
+        )
+        frags.append(f)
+    for e, f in enumerate(frags, start=1):
+        run_epoch([f], root, epoch=e, num_partitions=4)
+    run_epoch([], root, epoch=len(frags) + 1, num_partitions=4, giveup_buckets=0)
+
+    got = _combined(root, list(range(1, len(frags) + 2)))
+    want = oracle.tier_rollup(pdf, smooth=True)
+    key = ["tier", "conv_id", "metric", "bucket_start"]
+    got_i = got.set_index(key).sort_index()
+    want_i = want.set_index(key).sort_index()
+    assert len(got_i) == len(want_i)
+    assert (got_i.index == want_i.index).all()
+    assert (got_i["count"].to_numpy() == want_i["count"].to_numpy()).all()
+    np.testing.assert_allclose(
+        got_i["value"].to_numpy(), want_i["value"].to_numpy(), rtol=1e-7, atol=1e-9
+    )

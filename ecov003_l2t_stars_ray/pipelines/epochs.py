@@ -157,6 +157,11 @@ def run_epoch(
 
     # state checkpoint: derived from this epoch's tier output merged over prior
     tier_df = pads.dataset(out_root, partitioning="hive").to_table().to_pandas()
+    late_turns = 0
+    if len(tier_df) and "metric" in tier_df:
+        late_turns = int(
+            tier_df.loc[tier_df["metric"].astype(str) == "_late_turns", "count"].sum()
+        )
     if "tier" in tier_df and len(tier_df):
         new_state = derive_state(tier_df, epoch)
     else:
@@ -197,7 +202,7 @@ def run_epoch(
         json.dump(
             {"epoch": epoch, "watermark_us": watermark_us, "close_us": close_us,
              "pending_fragments": pending_fragments, "rows": total_rows,
-             "fragment_crc32": fragment_crcs},
+             "late_turns": late_turns, "fragment_crc32": fragment_crcs},
             f,
         )
     return {
@@ -206,6 +211,7 @@ def run_epoch(
         "close_us": close_us,
         "cells": n_cells,
         "rows": total_rows,
+        "late_turns": late_turns,
         "pending_fragments": pending_fragments,
     }
 

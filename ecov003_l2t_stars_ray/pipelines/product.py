@@ -52,7 +52,7 @@ def assemble_product(
         for c in ("conv_id", "metric", "tier"):
             if c in df:
                 df[c] = df[c].astype(str)
-        return df[df["metric"] != "_context"]
+        return df[~df["metric"].str.startswith("_")]
 
     ds = ds.map_batches(clean, batch_format="pandas")
     os.makedirs(out_dir, exist_ok=True)

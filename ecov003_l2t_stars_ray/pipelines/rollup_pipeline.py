@@ -140,7 +140,7 @@ def tiers_to_pandas(tiers: ray.data.Dataset) -> pd.DataFrame:
     df = tiers.to_pandas()
     for c in ("conv_id", "metric", "tier"):  # dictionary -> plain strings
         df[c] = df[c].astype(str)
-    df = df[df["metric"] != "_context"]  # state-chain bookkeeping rows
+    df = df[~df["metric"].str.startswith("_")]  # bookkeeping rows
     if "bucket_start" in df and not pd.api.types.is_datetime64_any_dtype(df["bucket_start"]):
         df["bucket_start"] = pd.to_datetime(df["bucket_start"])
     return df.sort_values(

@@ -36,7 +36,7 @@ def compress_batch(batch: pd.DataFrame) -> pd.DataFrame:
     batch = batch.copy()
     for c in ("conv_id", "metric", "tier"):  # categorical -> object (no
         batch[c] = batch[c].astype(str)      # phantom unobserved groups)
-    batch = batch[batch["metric"] != "_context"]
+    batch = batch[~batch["metric"].str.startswith("_")]
     batch = batch.sort_values(["conv_id", "metric", "tier", "bucket_start"])
     for (conv, metric, tier), g in batch.groupby(
         ["conv_id", "metric", "tier"], sort=False

@@ -107,7 +107,7 @@ def trend_stage(
         df = df.copy()
         for c in ("conv_id", "metric", "tier"):
             df[c] = df[c].astype(str)
-        df = df[(df["tier"] == tier) & (df["metric"] != "_context")]
+        df = df[(df["tier"] == tier) & ~df["metric"].str.startswith("_")]
         return df[["conv_id", "metric", "bucket_start", "value"]]
 
     def combine(g: pd.DataFrame) -> pd.DataFrame:

@@ -29,6 +29,7 @@ def derive_state(tiers: pd.DataFrame, epoch: int) -> pd.DataFrame:
     """Posterior state from tier output: last bucket's (value, sd) per
     (conv, metric, tier) series — the posterior-becomes-prior chain
     (``process_STARS_product.py:173-216``)."""
+    tiers = tiers[tiers["metric"].astype(str) != "_late_turns"]
     last = (
         tiers.sort_values("bucket_start")
         .groupby(["conv_id", "metric", "tier"], sort=True)

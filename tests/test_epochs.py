@@ -43,7 +43,7 @@ def epoch_setup(tmp_path_factory, small_transcripts):
 
 def _combined(root, epochs):
     df = read_tiers(root, epochs)
-    df = df[df["metric"] != "_context"].copy()
+    df = df[~df["metric"].str.startswith("_")].copy()
     df["bucket_start"] = df["bucket_start"].astype("datetime64[us]")
     return df.sort_values(
         ["tier", "conv_id", "metric", "bucket_start"], ignore_index=True
@@ -100,19 +100,21 @@ def test_late_data_beyond_giveup_dropped(tmp_path, small_transcripts):
     run_epoch([f1], root, epoch=1, num_partitions=2, giveup_buckets=0)
     before = _combined(root, [1])
 
-    # craft one late turn: ts far in the conversation's past
+    # craft one late turn: ts two days before the conversation began
     late = cdf.tail(1).copy()
     late["turn_idx"] = late["turn_idx"] + 1
-    late["ts"] = cdf["ts"].iloc[0]
+    late["ts"] = cdf["ts"].iloc[0] - pd.Timedelta(days=2)
     f2 = str(tmp_path / "f2.parquet")
     pq.write_table(pa.Table.from_pandas(late, preserve_index=False), f2)
-    run_epoch([f2], root, epoch=2, num_partitions=2, giveup_buckets=0)
+    r2 = run_epoch([f2], root, epoch=2, num_partitions=2, giveup_buckets=0)
     after = _combined(root, [1, 2])
 
     t1 = before[(before.tier == "1m") & (before.metric == "turn_rate")]
     t2 = after[(after.tier == "1m") & (after.metric == "turn_rate")]
-    # the late turn fell in an already-committed bucket: counts unchanged
+    # the late turn fell in an already-committed bucket: counts unchanged,
+    # and the drop is visible in the epoch's lineage metrics
     assert t1["count"].sum() == t2["count"].sum()
+    assert r2["late_turns"] >= 1
 
 
 def test_partial_commit_resume(tmp_path, small_transcripts):

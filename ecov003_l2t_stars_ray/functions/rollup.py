@@ -83,7 +83,12 @@ def partial_rollup(
         {
             "conv_id": batch["conv_id"].to_pandas(),
             "turn_idx": batch["turn_idx"].to_numpy(zero_copy_only=False),
-            "ts_us": batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False),
+            # normalize units first: input files may carry ns or s
+            # timestamps (pandas writes ns by default)
+            "ts_us": batch["ts"]
+            .cast(pa.timestamp("us"))
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False),
         }
     )
     df = df.sort_values(["conv_id", "turn_idx"], kind="mergesort", ignore_index=True)

@@ -194,6 +194,32 @@ def _embedding_near_dups(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+def _ivf_ann(sf_dir: str) -> pd.DataFrame:
+    import ray.data
+
+    from ecov003_l2t_stars_ray.pipelines.similarity import IVFIndex
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    qdf = emb.to_pandas()
+    qdf = qdf[qdf["vec_id"] < 8].sort_values("vec_id")
+    idx = IVFIndex(n_centroids=8, n_probe=4, seed=11).fit(emb)
+    out = idx.search(
+        idx.build(emb), qdf["vec_id"].to_numpy(),
+        np.stack(qdf["embedding"].to_numpy()), k=5,
+    )
+    out["cosine"] = out["cosine"].round(6)
+    return out[["query_id", "vec_id", "cosine"]]
+
+
+def _minhash_dup_groups(sf_dir: str) -> pd.DataFrame:
+    import ray.data
+
+    from ecov003_l2t_stars_ray.pipelines.dedup import near_dup_groups
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return near_dup_groups(docs, k=5, threshold=0.5)
+
+
 def _media_decode(sf_dir: str) -> pd.DataFrame:
     import ray.data
 
@@ -308,6 +334,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "ann_topk": _ann_topk,
         "srp_ann": _srp_ann,
+        "ivf_ann": _ivf_ann,
+        # full MinHash dedup with connected-component groups — rows-only
+        "minhash_dup_groups": _minhash_dup_groups,
         # engine-native pipelines
         "transcript_latency_1m": _transcript_latency_1m,
         "tier_rollup_synthetic": _tier_rollup_synthetic,

@@ -227,3 +227,54 @@ def embedding_near_dups(
                              "vec_b": pd.Series(dtype="int64"),
                              "cosine": pd.Series(dtype="float64")})
     return out.sort_values(["vec_a", "vec_b"], ignore_index=True)
+
+
+def dup_groups(pairs: pd.DataFrame, max_rounds: int = 20) -> pd.DataFrame:
+    """Connected components over near-dup pairs -> (doc_id, group_id).
+
+    Min-label propagation: every node starts labeled with its own id; each
+    round every edge pushes the smaller endpoint label to the larger, until
+    a fixpoint (group_id = min doc_id of the component). Each round is two
+    vectorized merges + a groupby-min — exactly the per-round shape of the
+    distributed `hash_combine` version; at candidate-set scale (LSH-pruned)
+    a handful of rounds converge.
+    """
+    if not len(pairs):
+        return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                             "group_id": pd.Series(dtype="int64")})
+    nodes = np.unique(np.concatenate([pairs["doc_a"], pairs["doc_b"]]))
+    label = pd.Series(nodes, index=nodes)
+    edges = pairs[["doc_a", "doc_b"]].to_numpy()
+    for _ in range(max_rounds):
+        la = label.loc[edges[:, 0]].to_numpy()
+        lb = label.loc[edges[:, 1]].to_numpy()
+        lo = np.minimum(la, lb)
+        prop = pd.DataFrame(
+            {"node": np.concatenate([edges[:, 0], edges[:, 1]]),
+             "lab": np.concatenate([lo, lo])}
+        ).groupby("node")["lab"].min()
+        new = label.copy()
+        new.loc[prop.index] = np.minimum(new.loc[prop.index].to_numpy(), prop.to_numpy())
+        if (new == label).all():
+            break
+        label = new
+    return pd.DataFrame({"doc_id": label.index.to_numpy(),
+                         "group_id": label.to_numpy()}).sort_values(
+        "doc_id", ignore_index=True
+    )
+
+
+def near_dup_groups(docs: ray.data.Dataset, k: int = 5,
+                    threshold: float = 0.5) -> pd.DataFrame:
+    """Full MinHash dedup pipeline: shingle -> LSH candidates -> exact
+    Jaccard verify -> connected components -> survivor choice (min doc_id
+    per group)."""
+    pairs = minhash_candidates(docs, k=k)
+    verified = jaccard_verify(docs, pairs, k=k, threshold=threshold)
+    groups = dup_groups(verified)
+    if not len(groups):
+        return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                             "group_id": pd.Series(dtype="int64"),
+                             "is_survivor": pd.Series(dtype="bool")})
+    groups["is_survivor"] = groups["doc_id"] == groups["group_id"]
+    return groups

@@ -160,3 +160,89 @@ class SRPIndexedSearch:
             .sort_values(["query_id", "cosine", "vec_id"],
                          ascending=[True, False, True], ignore_index=True)
         )
+
+
+class IVFIndex:
+    """IVF (inverted-file) ANN: k-means-lite centroids, nprobe search.
+
+    Fit: Lloyd iterations on a driver-side sample (the K5/A6 pattern —
+    small-sample model fit on the driver, broadcast to workers). Build: one
+    ``map_batches`` pass assigning each vector its nearest centroid.
+    Search: scan only vectors whose centroid is among each query's
+    ``n_probe`` nearest — candidate set independent of corpus size.
+    """
+
+    def __init__(self, n_centroids: int = 16, n_probe: int = 4,
+                 iters: int = 8, seed: int = 11):
+        self.n_centroids = n_centroids
+        self.n_probe = n_probe
+        self.iters = iters
+        self.seed = seed
+        self.centroids: np.ndarray | None = None
+
+    def fit(self, emb: ray.data.Dataset, sample_size: int = 2048) -> "IVFIndex":
+        sample = emb.limit(sample_size).to_pandas()
+        m = _to_matrix(sample["embedding"])
+        rng = np.random.default_rng(self.seed)
+        c = m[rng.choice(len(m), size=min(self.n_centroids, len(m)), replace=False)]
+        for _ in range(self.iters):
+            assign = np.argmax(m @ c.T, axis=1)
+            for j in range(len(c)):
+                members = m[assign == j]
+                if len(members):
+                    v = members.mean(axis=0)
+                    c[j] = v / max(np.linalg.norm(v), 1e-12)
+        self.centroids = c
+        return self
+
+    def build(self, emb: ray.data.Dataset) -> ray.data.Dataset:
+        ref = ray.put(self.centroids)
+
+        def assign(df: pd.DataFrame) -> pd.DataFrame:
+            cc = ray.get(ref)
+            m = _to_matrix(df["embedding"])
+            df = df.copy()
+            df["centroid"] = np.argmax(m @ cc.T, axis=1).astype(np.int32)
+            return df
+
+        return emb.map_batches(assign, batch_format="pandas")
+
+    def search(self, indexed: ray.data.Dataset, query_ids: np.ndarray,
+               query_matrix: np.ndarray, k: int = 10) -> pd.DataFrame:
+        q = query_matrix.astype(np.float64)
+        q = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
+        order = np.argsort(-(q @ self.centroids.T), axis=1)[:, : self.n_probe]
+        probes = {int(c) for row in order for c in row}
+        ref = ray.put((np.asarray(query_ids), q, probes))
+        kk = k
+
+        def scan(df: pd.DataFrame) -> pd.DataFrame:
+            ids_, qm, probe_set = ray.get(ref)
+            df = df[df["centroid"].isin(probe_set)]
+            if not len(df):
+                return pd.DataFrame({"query_id": pd.Series(dtype="int64"),
+                                     "vec_id": pd.Series(dtype="int64"),
+                                     "cosine": pd.Series(dtype="float64")})
+            m = _to_matrix(df["embedding"])
+            sims = qm @ m.T
+            vid = df["vec_id"].to_numpy()
+            kl = min(kk, sims.shape[1])
+            top = np.argpartition(-sims, kl - 1, axis=1)[:, :kl]
+            rows = np.repeat(np.arange(sims.shape[0]), kl)
+            cols = top.ravel()
+            return pd.DataFrame({"query_id": ids_[rows], "vec_id": vid[cols],
+                                 "cosine": sims[rows, cols]})
+
+        local = indexed.map_batches(scan, batch_format="pandas")
+
+        def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+            return g.sort_values(["cosine", "vec_id"], ascending=[False, True],
+                                 kind="mergesort").head(kk)
+
+        return (
+            local.groupby("query_id")
+            .map_groups(final_topk, batch_format="pandas")
+            .to_pandas()
+            .sort_values(["query_id", "cosine", "vec_id"],
+                         ascending=[True, False, True], ignore_index=True)
+        )

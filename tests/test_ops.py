@@ -161,3 +161,53 @@ def test_text_invariant(small_transcripts):
     reasons = set(diff["reason"])
     assert "text" in reasons and "missing_right" in reasons
     assert len(diff) == 2
+
+
+def test_dup_groups_connected_components():
+    from ecov003_l2t_stars_ray.pipelines.dedup import dup_groups
+
+    # chain 1-2-3, pair 10-11, singleton edge 20-21 (transitivity check)
+    pairs = pd.DataFrame(
+        {"doc_a": [1, 2, 10, 20, 3], "doc_b": [2, 3, 11, 21, 4]}
+    )
+    g = dup_groups(pairs)
+    lab = dict(zip(g["doc_id"], g["group_id"]))
+    assert lab[1] == lab[2] == lab[3] == lab[4] == 1
+    assert lab[10] == lab[11] == 10
+    assert lab[20] == lab[21] == 20
+    assert len(dup_groups(pairs.iloc[:0])) == 0
+
+
+def test_near_dup_groups_pipeline():
+    from ecov003_l2t_stars_ray.pipelines.dedup import near_dup_groups
+
+    out = near_dup_groups(_docs_with_planted_dups(), k=5, threshold=0.5)
+    lab = dict(zip(out["doc_id"], out["group_id"]))
+    assert lab.get(9001) == 0 and lab.get(9002) == 1
+    surv = set(out[out["is_survivor"]]["doc_id"])
+    assert 0 in surv and 1 in surv and 9001 not in surv and 9002 not in surv
+
+
+def test_ivf_index_recall():
+    from ecov003_l2t_stars_ray.pipelines.similarity import (
+        IVFIndex,
+        brute_force_topk,
+    )
+
+    emb = ray.data.read_parquet(f"{SF}/embeddings.parquet")
+    pdf = emb.to_pandas()
+    q = pdf[pdf.vec_id < 8].sort_values("vec_id")
+    qid = q["vec_id"].to_numpy()
+    qm = np.stack(q["embedding"].to_numpy())
+    exact = brute_force_topk(emb, qid, qm, k=5)
+    idx = IVFIndex(n_centroids=8, n_probe=4, seed=11).fit(emb)
+    indexed = idx.build(emb)
+    approx = idx.search(indexed, qid, qm, k=5)
+    hits = 0
+    for u in qid:
+        e = set(exact[exact.query_id == u]["vec_id"])
+        a = set(approx[approx.query_id == u]["vec_id"])
+        assert u in a  # self always found (its centroid is probed)
+        hits += len(e & a)
+    # nprobe=4 of 8 centroids: expect decent recall on random data
+    assert hits >= len(qid) * 2

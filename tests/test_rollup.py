@@ -10,6 +10,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pytest
+import pyarrow as pa
 import ray.data
 
 from ecov003_l2t_stars_ray import oracle
@@ -97,3 +98,17 @@ def test_raw_tier_exact(small_transcripts):
     np.testing.assert_array_equal(g["bucket_start"].to_numpy(), w["bucket_start"].to_numpy())
     np.testing.assert_allclose(g["value"].to_numpy(), w["value"].to_numpy(), rtol=1e-12)
     assert (g["count"] == 1).all()
+
+
+def test_nanosecond_parquet_input(tmp_path, small_transcripts):
+    """Inputs written with pandas-default ns timestamps roll up identically
+    (unit normalization at ingest)."""
+    import pyarrow.parquet as pq
+
+    pdf = small_transcripts.to_pandas()
+    pdf["ts"] = pdf["ts"].astype("datetime64[ns]")
+    p = str(tmp_path / "ns.parquet")
+    pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), p)
+    want = oracle.tier_rollup(small_transcripts.to_pandas(), smooth=True)
+    got = tiers_to_pandas(rollup_tiers(read_transcripts(p), smooth=True))
+    _compare(got, want)

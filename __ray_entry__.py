@@ -19,10 +19,17 @@ import pandas as pd
 
 
 # ---------------------------------------------------------------- flagship
+_TRANSCRIPT_CACHE: dict[str, pd.DataFrame] = {}
+
+
 def _derive_transcripts(sf_dir: str):
     """events -> transcript-shaped Dataset (conv_id, turn_idx, role, text,
-    tool, ts): one conversation per user, turns ordered by (ts, event_id)."""
+    tool, ts): one conversation per user, turns ordered by (ts, event_id).
+    Memoized per sf_dir (several queries reuse the derivation)."""
     import ray.data
+
+    if sf_dir in _TRANSCRIPT_CACHE:
+        return ray.data.from_pandas(_TRANSCRIPT_CACHE[sf_dir].copy())
 
     ds = ray.data.read_parquet(
         f"{sf_dir}/events.parquet",
@@ -43,7 +50,14 @@ def _derive_transcripts(sf_dir: str):
             }
         )
 
-    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    out = ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    pdf = out.to_pandas()
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    _TRANSCRIPT_CACHE.clear()
+    _TRANSCRIPT_CACHE[sf_dir] = pdf
+    import ray.data
+
+    return ray.data.from_pandas(pdf.copy())
 
 
 def entry() -> Any:

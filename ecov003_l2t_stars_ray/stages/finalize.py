@@ -290,9 +290,15 @@ def finalize_batch(
                 )
 
     # context records: last turn per conv (for the next epoch's checkpoint)
-    boundary = pd.concat(
-        [needs[["conv_id", "turn_idx", "ts_us"]], provides[["conv_id", "turn_idx", "ts_us"]]],
-        ignore_index=True,
+    frames = [
+        f[["conv_id", "turn_idx", "ts_us"]]
+        for f in (needs, provides)
+        if len(f)  # skip empties: all-NA concat is deprecated and noisy
+    ]
+    boundary = (
+        pd.concat(frames, ignore_index=True)
+        if frames
+        else pd.DataFrame(columns=["conv_id", "turn_idx", "ts_us"])
     )
     if len(boundary):
         last = boundary.loc[boundary.groupby("conv_id")["turn_idx"].idxmax()]

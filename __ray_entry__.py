@@ -234,6 +234,36 @@ def _minhash_dup_groups(sf_dir: str) -> pd.DataFrame:
     return near_dup_groups(docs, k=5, threshold=0.5)
 
 
+def _lineage_manifest(sf_dir: str) -> pd.DataFrame:
+    """Catalog/listing surface (S10-S13/J2/K7 analogs): run two incremental
+    epochs of the synthetic corpus into a scratch root, then query the
+    lineage manifest — committed (partition, tier, epoch) cells with
+    watermarks, row counts, and input-fragment lists (rows-only: the
+    committed_at wall-clock column is inherently nondeterministic)."""
+    import tempfile
+
+    import numpy as np
+
+    from ecov003_l2t_stars_ray.pipelines.epochs import run_epoch
+    from ecov003_l2t_stars_ray.sources.synthetic import write_corpus
+    from ecov003_l2t_stars_ray.state.manifest import Manifest
+
+    scratch = tempfile.mkdtemp(prefix="lineage_q_")
+    frag_dir = f"{scratch}/frags"
+    paths = write_corpus(frag_dir, n_convs=30, seed=7, mean_turns=30, n_shards=4)
+    root = f"{scratch}/root"
+    run_epoch(paths[:2], root, epoch=1, num_partitions=4, giveup_buckets=0)
+    run_epoch(paths[2:], root, epoch=2, num_partitions=4, giveup_buckets=0)
+    df = Manifest(f"{root}/manifest").load()
+    df["n_fragments"] = df["input_fragments"].map(len).astype("int64")
+    # J2-style catalog filter: committed 1m cells of the latest epoch
+    out = df[(df["tier"] == "1m") & (df["epoch"] == df["epoch"].max())]
+    return (
+        out[["partition_id", "tier", "epoch", "watermark", "row_count", "n_fragments"]]
+        .sort_values(["partition_id"], ignore_index=True)
+    )
+
+
 def _media_decode(sf_dir: str) -> pd.DataFrame:
     import ray.data
 
@@ -352,6 +382,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # full MinHash dedup with connected-component groups — rows-only
         "minhash_dup_groups": _minhash_dup_groups,
         # engine-native pipelines
+        "lineage_manifest": _lineage_manifest,
         "transcript_latency_1m": _transcript_latency_1m,
         "tier_rollup_synthetic": _tier_rollup_synthetic,
         "gorilla_chunks": _gorilla_chunks,

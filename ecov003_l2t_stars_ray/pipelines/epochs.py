@@ -67,6 +67,10 @@ def run_epoch(
         with open(prev_meta) as f:
             carried = json.load(f).get("pending_fragments", [])
     fragments = sorted(set(input_fragments) | set(carried))
+    if not fragments:  # nothing new and nothing pending: trivially complete
+        return {"epoch": epoch, "skipped": True, "watermark_us": None,
+                "close_us": None, "cells": 0, "rows": 0, "late_turns": 0,
+                "pending_fragments": []}
     prior_ref = None
     prior = load_state(state_root, epoch - 1)
     if prior is not None:

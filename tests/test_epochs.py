@@ -201,3 +201,8 @@ def test_five_epoch_chain_matches_full_batch(tmp_path, small_transcripts):
     np.testing.assert_allclose(
         got_i["value"].to_numpy(), want_i["value"].to_numpy(), rtol=1e-7, atol=1e-9
     )
+
+
+def test_empty_epoch_is_noop(tmp_path):
+    r = run_epoch([], str(tmp_path / "root"), epoch=1, num_partitions=2)
+    assert r["skipped"] is True and r["rows"] == 0

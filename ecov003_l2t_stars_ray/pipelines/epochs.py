@@ -35,7 +35,13 @@ import ray
 import ray.data
 
 from ..schema import DEFAULT_NUM_PARTITIONS, GIVEUP_BUCKETS, TIERS, US_PER_MIN
-from ..state.checkpoint import derive_state, load_state, save_state, state_path
+from ..state.checkpoint import (
+    derive_state,
+    derive_state_from_dirs,
+    load_state,
+    save_state,
+    state_path,
+)
 from ..state.manifest import Manifest
 from .rollup_pipeline import read_transcripts, rollup_tiers
 
@@ -63,9 +69,14 @@ def run_epoch(
     # fragments = new + pending carried over from the previous epoch
     prev_meta = _epoch_meta_path(root, epoch - 1)
     carried: list[str] = []
+    prev_close_us = prev_wm_us = None
     if os.path.exists(prev_meta):
         with open(prev_meta) as f:
-            carried = json.load(f).get("pending_fragments", [])
+            _pm = json.load(f)
+        carried = _pm.get("pending_fragments", [])
+        prev_close_us = _pm.get("close_us")
+        prev_wm_us = _pm.get("watermark_us")
+
     fragments = sorted(set(input_fragments) | set(carried))
     if not fragments:  # nothing new and nothing pending: trivially complete
         return {"epoch": epoch, "skipped": True, "watermark_us": None,
@@ -102,6 +113,23 @@ def run_epoch(
         else [p for p in fragments if _fragment_max_ts_us(p) >= open_day_start]
     )
 
+    # late-arrival metric (provenance-aware): rows in NEW fragments older
+    # than the previous epoch's committed horizon minus a one-day grace —
+    # these land in already-committed buckets and are dropped by the
+    # bucket filter (north-star "per-partition lineage + metrics";
+    # reference analog: latency-vs-failure distinction,
+    # ``generate_STARS_inputs.py:220-231``). Row-group stats prune the scan.
+    late_turns = 0
+    prev_horizon = prev_close_us if prev_close_us is not None else prev_wm_us
+    new_frags = sorted(set(input_fragments) - set(carried))
+    if prev_horizon is not None and new_frags:
+        import pyarrow.compute as pc
+
+        cutoff = pd.Timestamp(int(prev_horizon) - US_PER_DAY, unit="us")
+        late_turns = int(
+            pads.dataset(new_frags).count_rows(filter=pc.field("ts") < pc.scalar(cutoff))
+        )
+
     committed = manifest.committed(epoch)
     done_parts = {p for (p, tier, _e) in committed if tier == "all"}
 
@@ -136,12 +164,13 @@ def run_epoch(
         num_partitions=num_partitions,
     )
 
-    def _add_partition(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        df["partition_id"] = partition_of(df["conv_id"], num_partitions)
-        return df
+    # stay in Arrow: Ray's partitioned write re-infers schema from pandas
+    # blocks and turns all-NaN float columns into null-typed parquet
+    def _add_partition(t: pa.Table) -> pa.Table:
+        pid = partition_of(t["conv_id"].to_pandas(), num_partitions)
+        return t.append_column("partition_id", pa.array(pid))
 
-    tiers = tiers.map_batches(_add_partition, batch_format="pandas")
+    tiers = tiers.map_batches(_add_partition, batch_format="pyarrow")
     os.makedirs(out_root, exist_ok=True)
     tiers.write_parquet(out_root, partition_cols=["tier", "partition_id"])
 
@@ -159,20 +188,9 @@ def run_epoch(
     for pid in range(num_partitions):
         manifest.commit(pid, "all", epoch, fragments, watermark_us, 0, out_root)
 
-    # state checkpoint: derived from this epoch's tier output merged over prior
-    tier_df = pads.dataset(out_root, partitioning="hive").to_table().to_pandas()
-    late_turns = 0
-    if len(tier_df) and "metric" in tier_df:
-        late_turns = int(
-            tier_df.loc[tier_df["metric"].astype(str) == "_late_turns", "count"].sum()
-        )
-    if "tier" in tier_df and len(tier_df):
-        new_state = derive_state(tier_df, epoch)
-    else:
-        new_state = derive_state(
-            pd.DataFrame(columns=["conv_id", "metric", "tier", "bucket_start", "value", "value_sd"]),
-            epoch,
-        )
+    # state checkpoint: per-cell streaming reduction over this epoch's tier
+    # output (never materializes the whole epoch on the driver)
+    new_state = derive_state_from_dirs(out_root, epoch)
     if prior is not None:
         prior_df = pd.DataFrame(
             [

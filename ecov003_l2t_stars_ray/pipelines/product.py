@@ -48,13 +48,16 @@ def assemble_product(
     )
     ds = ray.data.read_parquet(paths)
 
-    def clean(df: pd.DataFrame) -> pd.DataFrame:
-        for c in ("conv_id", "metric", "tier"):
-            if c in df:
-                df[c] = df[c].astype(str)
-        return df[~df["metric"].str.startswith("_")]
+    def clean(t):
+        # Arrow-native filter (a pandas hop would let the partitioned
+        # writer re-infer all-NaN float columns as null-typed)
+        import pyarrow as _pa
+        import pyarrow.compute as pc
 
-    ds = ds.map_batches(clean, batch_format="pandas")
+        m = pc.cast(t["metric"], _pa.string())
+        return t.filter(pc.invert(pc.starts_with(m, "_")))
+
+    ds = ds.map_batches(clean, batch_format="pyarrow")
     os.makedirs(out_dir, exist_ok=True)
     ds.write_parquet(out_dir, partition_cols=["tier"])
 

@@ -239,55 +239,10 @@ def finalize_batch(
                 _densify_and_smooth_tier(rows, tier, width, state_df, smooth, close_us)
             )
 
-    # late-drop metrics: turns whose 1m bucket was already committed for
-    # their conversation (arrived past the give-up horizon) — counted per
-    # conv as a bookkeeping row so the manifest can report them
-    # (north-star "per-partition lineage + metrics"; reference analog:
-    # latency-vs-failure distinction, ``generate_STARS_inputs.py:220-231``)
-    if state_df is not None and len(state_df) and len(part):
-        from ..functions.rollup import METRIC_TURN_RATE
-
-        st1m = state_df[
-            (state_df["tier"] == "1m") & (state_df["metric_code"] == METRIC_TURN_RATE)
-        ][["conv_id", "last_bucket_us"]]
-        if len(st1m):
-            from ..schema import US_PER_DAY
-
-            # one-day grace: pending-fragment re-reads only span the open
-            # DAY bucket, so anything older than last_bucket - 1d is a
-            # genuinely late arrival, not a re-read
-            tr = part[part["metric"] == METRIC_TURN_RATE].merge(st1m, on="conv_id")
-            late = tr[tr["bucket_us"] <= tr["last_bucket_us"] - US_PER_DAY]
-            if len(late):
-                per_conv = late.groupby("conv_id", as_index=False)["count"].sum()
-                n = len(per_conv)
-                nanv = np.full(n, np.nan)
-                out.append(
-                    pa.table(
-                        {
-                            "conv_id": pa.array(per_conv["conv_id"]).dictionary_encode()
-                            .cast(TIER_ARROW_SCHEMA.field("conv_id").type),
-                            "metric": pa.DictionaryArray.from_arrays(
-                                pa.array(np.zeros(n, dtype=np.int8)),
-                                pa.array(["_late_turns"], pa.string()),
-                            ),
-                            "tier": pa.DictionaryArray.from_arrays(
-                                pa.array(np.zeros(n, dtype=np.int8)),
-                                pa.array(["raw"], pa.string()),
-                            ),
-                            "bucket_start": pa.array(
-                                np.zeros(n, dtype=np.int64), pa.timestamp("us")
-                            ),
-                            "count": pa.array(per_conv["count"].to_numpy().astype(np.int64)),
-                            "min": pa.array(nanv), "max": pa.array(nanv),
-                            "sum": pa.array(nanv), "mean": pa.array(nanv),
-                            "value": pa.array(per_conv["count"].to_numpy().astype(np.float64)),
-                            "value_sd": pa.array(nanv),
-                            "gap_filled": pa.array(np.zeros(n, dtype=bool)),
-                        },
-                        schema=TIER_ARROW_SCHEMA,
-                    )
-                )
+    # (late-arrival metrics are computed provenance-aware in
+    # pipelines.epochs.run_epoch over NEW fragments only — a state-based
+    # check here cannot distinguish genuinely late rows from
+    # pending-fragment re-reads)
 
     # context records: last turn per conv (for the next epoch's checkpoint)
     frames = [

@@ -50,6 +50,42 @@ def derive_state(tiers: pd.DataFrame, epoch: int) -> pd.DataFrame:
     )
 
 
+def derive_state_from_dirs(out_root: str, epoch: int) -> pd.DataFrame:
+    """Streaming variant of :func:`derive_state`: reduce one (tier,
+    partition) cell directory at a time (only the five state columns are
+    read), so the driver never holds the full epoch output — the per-cell
+    reduction is bounded by series-per-partition, not rows."""
+    import glob as _glob
+
+    import pyarrow.dataset as pads
+
+    frames = []
+    for tier_dir in sorted(_glob.glob(os.path.join(out_root, "tier=*"))):
+        tier = tier_dir.rsplit("=", 1)[1]
+        for part_dir in sorted(_glob.glob(os.path.join(tier_dir, "partition_id=*"))):
+            t = pads.dataset(part_dir).to_table(
+                columns=["conv_id", "metric", "bucket_start", "value", "value_sd"]
+            )
+            df = t.to_pandas()
+            if not len(df):
+                continue
+            df["tier"] = tier
+            for c in ("conv_id", "metric"):
+                df[c] = df[c].astype(str)
+            last = df.loc[
+                df.groupby(["conv_id", "metric"], observed=True)["bucket_start"].idxmax()
+            ]
+            frames.append(last)
+    if not frames:
+        return derive_state(
+            pd.DataFrame(
+                columns=["conv_id", "metric", "tier", "bucket_start", "value", "value_sd"]
+            ),
+            epoch,
+        )
+    return derive_state(pd.concat(frames, ignore_index=True), epoch)
+
+
 def save_state(state: pd.DataFrame, root: str, epoch: int) -> str:
     os.makedirs(root, exist_ok=True)
     final = state_path(root, epoch)

@@ -146,3 +146,65 @@ def tiers_to_pandas(tiers: ray.data.Dataset) -> pd.DataFrame:
     return df.sort_values(
         ["tier", "conv_id", "metric", "bucket_start"], ignore_index=True
     )[TIER_OUT_COLUMNS]
+
+
+def cascade_stored_tier(
+    tier_dir: str,
+    from_width_us: int,
+    to_width_us: int,
+    smooth: bool = True,
+) -> ray.data.Dataset:
+    """Re-derive a coarser tier from a COMMITTED finer tier's Parquet —
+    continuous-aggregate refresh without touching raw data (the retention
+    engine's downsample path; exact because count/min/max/sum compose).
+
+    Reads only observed buckets (count > 0), re-buckets them at
+    ``to_width_us``, and re-runs the densify+smooth stage per conversation
+    partition. Output schema == the tier schema.
+    """
+    if to_width_us % from_width_us:
+        raise ValueError("coarser width must be a multiple of the finer width")
+    from ..functions.rollup import (
+        METRIC_LATENCY,
+        METRIC_TURN_RATE,
+        partition_of,
+    )
+    from ..stages.finalize import _densify_and_smooth_tier
+
+    ds = ray.data.read_parquet(tier_dir)
+
+    def to_partials(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["count"] > 0]
+        code = {"turn_rate": METRIC_TURN_RATE, "latency": METRIC_LATENCY}
+        b = df["bucket_start"].astype("datetime64[us]").astype("int64") // to_width_us * to_width_us
+        out = pd.DataFrame(
+            {
+                "conv_id": df["conv_id"].astype(str),
+                "metric": df["metric"].astype(str).map(code).astype("int8"),
+                "bucket_us": b,
+                "count": df["count"],
+                "vmin": df["min"],
+                "vmax": df["max"],
+                "vsum": df["sum"],
+            }
+        ).dropna(subset=["metric"])
+        g = out.groupby(["conv_id", "metric", "bucket_us"], as_index=False).agg(
+            count=("count", "sum"), vmin=("vmin", "min"),
+            vmax=("vmax", "max"), vsum=("vsum", "sum"),
+        )
+        g["part_id"] = partition_of(g["conv_id"], 64)
+        return g
+
+    partials = ds.map_batches(to_partials, batch_format="pandas")
+
+    tier_name = {3600_000_000: "1h", 86_400_000_000: "1d"}.get(to_width_us, "custom")
+
+    def finalize(g: pd.DataFrame):
+        g = g.drop(columns=["part_id"])
+        merged = g.groupby(["conv_id", "metric", "bucket_us"], as_index=False).agg(
+            count=("count", "sum"), vmin=("vmin", "min"),
+            vmax=("vmax", "max"), vsum=("vsum", "sum"),
+        )
+        return _densify_and_smooth_tier(merged, tier_name, to_width_us, None, smooth, None)
+
+    return partials.groupby("part_id").map_groups(finalize, batch_format="pandas")

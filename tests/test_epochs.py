@@ -136,6 +136,12 @@ def test_partial_commit_resume(tmp_path, small_transcripts):
 
     for d in glob.glob(os.path.join(root, "tiers", "epoch=00001", "tier=*", "partition_id=0")):
         shutil.rmtree(d)
+    # plus a half-written garbage file in another uncommitted partition
+    for p in glob.glob(os.path.join(man_dir, "cell-p00001-*-e00001.parquet")):
+        os.remove(p)
+    junk_dir = os.path.join(root, "tiers", "epoch=00001", "tier=1m", "partition_id=1")
+    with open(os.path.join(junk_dir, "garbage.parquet"), "wb") as f:
+        f.write(b"\x00not a parquet file")
 
     r = run_epoch([f1], root, epoch=1, num_partitions=4, giveup_buckets=0)
     assert not r.get("skipped")

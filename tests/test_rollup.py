@@ -112,3 +112,30 @@ def test_nanosecond_parquet_input(tmp_path, small_transcripts):
     want = oracle.tier_rollup(small_transcripts.to_pandas(), smooth=True)
     got = tiers_to_pandas(rollup_tiers(read_transcripts(p), smooth=True))
     _compare(got, want)
+
+
+def test_cascade_from_stored_tier(tmp_path, small_transcripts):
+    """Downsampling the COMMITTED 1m tier reproduces the direct 1h tier
+    exactly (continuous-aggregate refresh without raw data)."""
+    from ecov003_l2t_stars_ray.pipelines.rollup_pipeline import (
+        cascade_stored_tier,
+        write_tiers,
+    )
+    from ecov003_l2t_stars_ray.schema import US_PER_HOUR, US_PER_MIN
+
+    ds = ray.data.from_arrow(small_transcripts)
+    tiers = rollup_tiers(ds, smooth=True)
+    out = str(tmp_path / "tiers")
+    write_tiers(tiers, out)
+
+    re1h = cascade_stored_tier(f"{out}/tier=1m", US_PER_MIN, US_PER_HOUR)
+    got = tiers_to_pandas(re1h)
+    want = tiers_to_pandas(rollup_tiers(ray.data.from_arrow(small_transcripts)))
+    want = want[want.tier == "1h"].reset_index(drop=True)
+    got = got.reset_index(drop=True)
+    assert len(got) == len(want)
+    assert (got["count"].to_numpy() == want["count"].to_numpy()).all()
+    np.testing.assert_array_equal(got["min"].to_numpy(), want["min"].to_numpy())
+    np.testing.assert_allclose(
+        got["value"].to_numpy(), want["value"].to_numpy(), rtol=1e-9
+    )

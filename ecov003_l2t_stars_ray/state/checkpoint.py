@@ -32,7 +32,7 @@ def derive_state(tiers: pd.DataFrame, epoch: int) -> pd.DataFrame:
     tiers = tiers[tiers["metric"].astype(str) != "_late_turns"]
     last = (
         tiers.sort_values("bucket_start")
-        .groupby(["conv_id", "metric", "tier"], sort=True)
+        .groupby(["conv_id", "metric", "tier"], sort=True, observed=True)
         .tail(1)
     )
     return pd.DataFrame(

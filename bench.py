@@ -75,12 +75,16 @@ def run_bench() -> dict:
     import glob as g
 
     read_transcripts(corpus).count()
-    # full untimed run: Ray grows its worker pool lazily (each new worker
-    # pays Python import cost), so only a full-width run warms the pool
+    # full-width untimed run over HALF the shards: Ray grows its worker
+    # pool lazily (each new worker pays Python import cost), so the warm
+    # run must exercise every stage at full parallelism — but it does not
+    # need the whole corpus to do that
+    shards = sorted(g.glob(f"{corpus}/shard=*.parquet"))
     warm_dir = "/dev/shm/rollup_bench_warm" if os.path.isdir("/dev/shm") else "/tmp/rollup_bench_warm"
     shutil.rmtree(warm_dir, ignore_errors=True)
     rollup_tiers(
-        read_transcripts(corpus), smooth=True, num_partitions=256, shuffle_blocks=64
+        read_transcripts(shards[: max(1, len(shards) // 2)]), smooth=True,
+        num_partitions=256, shuffle_blocks=64,
     ).write_parquet(warm_dir)
     shutil.rmtree(warm_dir, ignore_errors=True)
 

@@ -424,33 +424,46 @@ def oracle_sql() -> dict[str, str]:
             FROM axis a LEFT JOIN obs o
               ON a.user_id = o.user_id AND a.bucket_start = o.b
         """,
+        # integer-microsecond accumulation: SUM(gap_us) is exact BIGINT
+        # arithmetic (order-independent), converted to seconds in ONE
+        # double-division chain mirrored bit-for-bit on the Ray side
         "latency_stats": """
             WITH g AS (
                 SELECT user_id,
-                       CAST(date_diff('microsecond',
+                       date_diff('microsecond',
                             LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
-                            ts) AS DOUBLE) / 1000000 AS gap_s
+                            ts) AS gap_us
                 FROM events
             )
             SELECT user_id, COUNT(*) AS n_gaps,
-                   ROUND(AVG(gap_s), 6) AS avg_gap_s,
-                   ROUND(MIN(gap_s), 6) AS min_gap_s,
-                   ROUND(MAX(gap_s), 6) AS max_gap_s
-            FROM g WHERE gap_s IS NOT NULL GROUP BY user_id
+                   ROUND(CAST(SUM(gap_us) AS DOUBLE) / COUNT(*) / 1000000.0, 6) AS avg_gap_s,
+                   ROUND(CAST(MIN(gap_us) AS DOUBLE) / 1000000.0, 6) AS min_gap_s,
+                   ROUND(CAST(MAX(gap_us) AS DOUBLE) / 1000000.0, 6) AS max_gap_s
+            FROM g WHERE gap_us IS NOT NULL GROUP BY user_id
         """,
+        # decimal-exact arithmetic: TPC-H decimals as scaled BIGINTs (cents;
+        # 1e-4 for disc_price, 1e-6 for charge) so sums are exact integers
+        # regardless of accumulation order; one final double conversion
+        # mirrored on the Ray side
         "pricing_summary": """
+            WITH i AS (
+                SELECT l_returnflag, l_linestatus,
+                       CAST(ROUND(l_quantity) AS BIGINT) AS qi,
+                       CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS pc,
+                       CAST(ROUND(l_discount * 100) AS BIGINT) AS dc,
+                       CAST(ROUND(l_tax * 100) AS BIGINT) AS tc
+                FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            )
             SELECT l_returnflag, l_linestatus,
-                   ROUND(SUM(l_quantity), 6) AS sum_qty,
-                   ROUND(SUM(l_extendedprice), 6) AS sum_base_price,
-                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 6) AS sum_disc_price,
-                   ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 6) AS sum_charge,
-                   ROUND(SUM(l_quantity) / COUNT(*), 6) AS avg_qty,
-                   ROUND(SUM(l_extendedprice) / COUNT(*), 6) AS avg_price,
-                   ROUND(SUM(l_discount) / COUNT(*), 6) AS avg_disc,
+                   ROUND(CAST(SUM(qi) AS DOUBLE), 6) AS sum_qty,
+                   ROUND(CAST(SUM(pc) AS DOUBLE) / 100.0, 6) AS sum_base_price,
+                   ROUND(CAST(SUM(pc * (100 - dc)) AS DOUBLE) / 10000.0, 6) AS sum_disc_price,
+                   ROUND(CAST(SUM(pc * (100 - dc) * (100 + tc)) AS DOUBLE) / 1000000.0, 6) AS sum_charge,
+                   ROUND(CAST(SUM(qi) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
+                   ROUND(CAST(SUM(pc) AS DOUBLE) / COUNT(*) / 100.0, 6) AS avg_price,
+                   ROUND(CAST(SUM(dc) AS DOUBLE) / COUNT(*) / 100.0, 6) AS avg_disc,
                    COUNT(*) AS count_order
-            FROM lineitem
-            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
-            GROUP BY l_returnflag, l_linestatus
+            FROM i GROUP BY l_returnflag, l_linestatus
         """,
         "revenue_per_nation": """
             SELECT n.n_name,
@@ -532,8 +545,8 @@ def oracle_sql() -> dict[str, str]:
                 FROM s GROUP BY 1, 2
             )
             SELECT user_id, COUNT(*) AS n_sessions, SUM(n) AS n_events,
-                   ROUND(MAX(CAST(date_diff('microsecond', lo, hi) AS DOUBLE)
-                             / 1000000), 6) AS max_session_s
+                   ROUND(CAST(MAX(date_diff('microsecond', lo, hi)) AS DOUBLE)
+                         / 1000000.0, 6) AS max_session_s
             FROM p GROUP BY user_id
         """,
         "moving_avg_1h": """

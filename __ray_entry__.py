@@ -647,6 +647,16 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 0 END AS punct_ratio
             FROM documents
         """,
+        # exact pair semantics -> SQL-checkable (CAST to DOUBLE[]: DuckDB's
+        # list_cosine_similarity computes in float32 on FLOAT lists)
+        "embedding_near_dups": """
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                                CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[])) >= 0.35
+        """,
         "ann_topk": """
             WITH q AS (
                 SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe

@@ -145,84 +145,219 @@ def jaccard_verify(
     return out[out["jaccard"] >= threshold].reset_index(drop=True)
 
 
-def simhash_signatures(df: pd.DataFrame) -> pd.DataFrame:
-    """64-bit SimHash per doc over whitespace tokens (deterministic)."""
-    sigs = np.zeros(len(df), dtype=np.uint64)
-    for i, text in enumerate(df["text"].to_numpy()):
-        words = text.split()
-        if not words:
-            continue
-        hs = np.fromiter(
-            (int.from_bytes(hashlib.blake2b(w.encode(), digest_size=8).digest(), "little")
-             for w in words),
-            dtype=np.uint64, count=len(words),
-        )
-        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(np.int64)
-        acc = (2 * bits - 1).sum(axis=0)
-        sigs[i] = np.packbits((acc > 0)[::-1]).view(">u8")[0]
-    return pd.DataFrame({"doc_id": df["doc_id"].to_numpy(), "simhash": sigs})
+#: byte-popcount lookup (numpy 1.x has no bitwise_count)
+_POP8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
 
 
-def simhash_near_dups(docs: ray.data.Dataset, hamming_k: int = 3) -> pd.DataFrame:
-    """Near-dup pairs with Hamming distance <= k via 4-band blocking
-    (pigeonhole: any pair within k<=3 bits agrees on >=1 of 4 16-bit bands)."""
-    sigs = docs.map_batches(simhash_signatures, batch_format="pandas").to_pandas()
-    sig_arr = dict(zip(sigs["doc_id"], sigs["simhash"]))
-    frames = []
-    for band in range(4):
-        shift = np.uint64(band * 16)
-        key = (sigs["simhash"].to_numpy() >> shift) & np.uint64(0xFFFF)
-        frames.append(pd.DataFrame({"doc_id": sigs["doc_id"], "band": band, "key": key}))
-    blocks = pd.concat(frames, ignore_index=True)
-    pairs = set()
-    for (_b, _k), g in blocks.groupby(["band", "key"], sort=False):
-        ids = np.sort(g["doc_id"].unique())
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                pairs.add((ids[i], ids[j]))
-    rows = []
-    for a, b in sorted(pairs):
-        dist = int(bin(int(sig_arr[a]) ^ int(sig_arr[b])).count("1"))
-        if dist <= hamming_k:
-            rows.append((a, b, dist))
-    return pd.DataFrame(rows, columns=["doc_a", "doc_b", "hamming"]).astype(
-        {"doc_a": "int64", "doc_b": "int64", "hamming": "int64"}
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized popcount of a uint64 array."""
+    return _POP8[np.ascontiguousarray(x).view(np.uint8).reshape(-1, 8)].sum(
+        axis=1, dtype=np.int64
     )
 
 
-def embedding_near_dups(
-    emb: ray.data.Dataset, threshold: float = 0.95
+def simhash_signatures(df: pd.DataFrame) -> pd.DataFrame:
+    """64-bit SimHash per doc over whitespace tokens — fully vectorized
+    across the batch (explode words -> one hash_array call -> segment-sum
+    the ±1 bit contributions with ``np.add.reduceat``)."""
+    n = len(df)
+    sigs = np.zeros(n, dtype=np.uint64)
+    words = df["text"].reset_index(drop=True).str.split().explode().dropna()
+    if len(words):
+        doc_pos = words.index.to_numpy(dtype=np.int64)  # sorted by construction
+        wh = pd.util.hash_array(words.to_numpy(dtype=object))  # uint64, deterministic
+        shifts = np.arange(64, dtype=np.uint64)
+        contrib = (
+            ((wh[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64) * 2 - 1
+        )
+        counts = np.bincount(doc_pos, minlength=n)
+        nz = counts > 0
+        starts = (np.cumsum(counts) - counts)[nz]
+        acc = np.zeros((n, 64), dtype=np.int64)
+        acc[nz] = np.add.reduceat(contrib, starts, axis=0)
+        sigs = ((acc > 0).astype(np.uint64) << shifts[None, :]).sum(
+            axis=1, dtype=np.uint64
+        )
+    return pd.DataFrame({"doc_id": df["doc_id"].to_numpy(), "simhash": sigs})
+
+
+def simhash_near_dups(
+    docs: ray.data.Dataset, hamming_k: int = 3, max_bucket: int = 20000
 ) -> pd.DataFrame:
-    """Cosine near-dup pairs over the embedding column.
+    """Near-dup pairs with Hamming distance <= k via distributed 4-band
+    blocking (pigeonhole: any pair within k<=3 bits agrees on >=1 of 4
+    16-bit bands; larger k trades recall, as any banding scheme does).
 
-    Batch-local numpy normalization + an all-pairs pass against a broadcast
-    normalized matrix (fine at test scale; the IVF/LSH path in
-    ``similarity.py`` is the 100 TB variant).
+    Fully distributed — the same band-bucket shape as
+    :func:`minhash_candidates`: signatures are a ``map_batches`` pass, each
+    signature explodes into 4 (band, key) rows CARRYING the signature, and
+    pair enumeration + XOR/popcount Hamming run vectorized inside the
+    bucket ``groupby`` — the driver only ever sees the final pruned pair
+    set. Degenerate buckets larger than ``max_bucket`` (e.g. a corpus of
+    mostly-identical boilerplate) are skipped deterministically rather
+    than enumerated O(n^2); exact dedup is the right tool for those.
     """
-    import ray as _ray
+    sigs = docs.map_batches(simhash_signatures, batch_format="pandas")
 
-    mat_df = emb.select_columns(["vec_id", "embedding"]).to_pandas()
-    ids = mat_df["vec_id"].to_numpy()
-    m = np.stack(mat_df["embedding"].to_numpy()).astype(np.float64)
-    m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
-    ref = _ray.put((ids, m))
+    def explode_bands(df: pd.DataFrame) -> pd.DataFrame:
+        sg = df["simhash"].to_numpy(dtype=np.uint64)
+        ids = df["doc_id"].to_numpy()
+        frames = []
+        for band in range(4):
+            key = (sg >> np.uint64(band * 16)) & np.uint64(0xFFFF)
+            frames.append(
+                pd.DataFrame(
+                    {"band": np.int8(band), "key": key.astype(np.int64),
+                     "doc_id": ids, "simhash": sg}
+                )
+            )
+        return pd.concat(frames, ignore_index=True)
 
-    def scan(df: pd.DataFrame) -> pd.DataFrame:
-        all_ids, all_m = _ray.get(ref)
-        q = np.stack(df["embedding"].to_numpy()).astype(np.float64)
-        q /= np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
-        sims = q @ all_m.T
-        qi, ci = np.nonzero(sims >= threshold)
-        qa = df["vec_id"].to_numpy()[qi]
-        cb = all_ids[ci]
-        keep = qa < cb
+    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"doc_a": pd.Series(dtype="int64"), "doc_b": pd.Series(dtype="int64"),
+             "hamming": pd.Series(dtype="int64")}
+        )
+        g = g.drop_duplicates("doc_id").sort_values("doc_id")
+        if len(g) < 2 or len(g) > max_bucket:
+            return empty
+        ids = g["doc_id"].to_numpy()
+        sg = g["simhash"].to_numpy(dtype=np.uint64)
+        a, b = np.triu_indices(len(ids), k=1)
+        dist = _popcount64(sg[a] ^ sg[b])
+        keep = dist <= hamming_k
         return pd.DataFrame(
-            {"vec_a": qa[keep], "vec_b": cb[keep],
-             "cosine": sims[qi, ci][keep]}
+            {"doc_a": ids[a][keep], "doc_b": ids[b][keep],
+             "hamming": dist[keep]}
         )
 
-    out = emb.map_batches(scan, batch_format="pandas").to_pandas()
-    if "vec_a" not in out.columns:  # no pair anywhere -> schema-less empty
+    cand = (
+        sigs.map_batches(explode_bands, batch_format="pandas")
+        .groupby(["band", "key"])
+        .map_groups(pairs_in_bucket, batch_format="pandas")
+    )
+    df = cand.to_pandas()
+    if not len(df):
+        return pd.DataFrame(
+            {"doc_a": pd.Series(dtype="int64"), "doc_b": pd.Series(dtype="int64"),
+             "hamming": pd.Series(dtype="int64")}
+        )
+    return (
+        df.drop_duplicates(["doc_a", "doc_b"])
+        .astype({"doc_a": "int64", "doc_b": "int64", "hamming": "int64"})
+        .sort_values(["doc_a", "doc_b"], ignore_index=True)
+    )
+
+
+class _BlockPairScan:
+    """Actor-pool stage for the exact block-pair cosine scan: each task
+    computes one (chunk_i, chunk_j) block of the similarity matrix. Chunks
+    are loaded from the chunk-partitioned Parquet and LRU-cached per actor
+    (K6 one-time-setup pattern) — per-task memory is O(2 chunks), never the
+    corpus."""
+
+    def __init__(self, root: str, threshold: float, cache_size: int = 4):
+        self.root = root
+        self.threshold = threshold
+        self.cache_size = cache_size
+        self.cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+
+    def _load(self, c: int) -> tuple[np.ndarray, np.ndarray]:
+        import os
+
+        import pyarrow.dataset as pads
+
+        if c in self.cache:
+            return self.cache[c]
+        d = os.path.join(self.root, f"chunk={c}")
+        if not os.path.isdir(d):
+            out = (np.empty(0, dtype=np.int64), np.empty((0, 0)))
+        else:
+            df = pads.dataset(d).to_table(columns=["vec_id", "embedding"]).to_pandas()
+            m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+            m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+            out = (df["vec_id"].to_numpy(), m)
+        if len(self.cache) >= self.cache_size:
+            self.cache.pop(next(iter(self.cache)))
+        self.cache[c] = out
+        return out
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for ci, cj in zip(batch["ci"].to_numpy(), batch["cj"].to_numpy()):
+            ida, ma = self._load(int(ci))
+            idb, mb = self._load(int(cj))
+            if not len(ida) or not len(idb):
+                continue
+            sims = ma @ mb.T
+            ai, bj = np.nonzero(sims >= self.threshold)
+            va, vb = ida[ai], idb[bj]
+            if ci == cj:
+                # diagonal block: both orientations present, keep one
+                keep = va < vb
+                va, vb, cs = va[keep], vb[keep], sims[ai, bj][keep]
+            else:
+                # off-diagonal: each unordered pair appears once; canonicalize
+                keep = va != vb
+                cs = sims[ai, bj][keep]
+                va, vb = va[keep], vb[keep]
+                lo = np.minimum(va, vb)
+                hi = np.maximum(va, vb)
+                va, vb = lo, hi
+            if len(va):
+                frames.append(pd.DataFrame({"vec_a": va, "vec_b": vb, "cosine": cs}))
+        if not frames:
+            return pd.DataFrame({"vec_a": pd.Series(dtype="int64"),
+                                 "vec_b": pd.Series(dtype="int64"),
+                                 "cosine": pd.Series(dtype="float64")})
+        return pd.concat(frames, ignore_index=True)
+
+
+def embedding_near_dups(
+    emb: ray.data.Dataset, threshold: float = 0.95, n_chunks: int = 8
+) -> pd.DataFrame:
+    """EXACT cosine near-dup pairs over the embedding column, distributed.
+
+    Shape: (1) one ``map_batches`` pass assigns ``chunk = vec_id % K`` and
+    writes chunk-partitioned Parquet (at scale the embedding store is
+    already partitioned — this stage disappears); (2) a Dataset of
+    K(K+1)/2 chunk-pair descriptors fans out over a ``_BlockPairScan``
+    actor pool. Nothing is broadcast whole and no task holds more than two
+    chunks — the block-nested-loop shape of a distributed exact matmul.
+
+    Exactness is the contract here (the DuckDB oracle checks every
+    qualifying pair): at moderate thresholds the angle between qualifying
+    vectors is wide, so SRP/IVF bucketing cannot bound recall — any missed
+    bucket is a wrong answer. The approximate, corpus-size-independent
+    candidate path for genuinely-near duplicates (cos >= ~0.9) is
+    ``similarity.SRPIndexedSearch`` / ``IVFIndex``.
+    """
+    import tempfile
+
+    import ray as _ray
+
+    scratch = tempfile.mkdtemp(prefix="embdup_chunks_")
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[["vec_id", "embedding"]].copy()
+        df["chunk"] = (df["vec_id"].to_numpy() % n_chunks).astype(np.int32)
+        return df
+
+    emb.map_batches(assign, batch_format="pandas").write_parquet(
+        scratch, partition_cols=["chunk"]
+    )
+
+    pair_ds = _ray.data.from_items(
+        [{"ci": i, "cj": j} for i in range(n_chunks) for j in range(i, n_chunks)]
+    )
+    out = pair_ds.map_batches(
+        _BlockPairScan,
+        fn_constructor_args=(scratch, threshold),
+        batch_format="pandas",
+        batch_size=2,
+        concurrency=(1, 8),
+    ).to_pandas()
+    if "vec_a" not in out.columns:
         return pd.DataFrame({"vec_a": pd.Series(dtype="int64"),
                              "vec_b": pd.Series(dtype="int64"),
                              "cosine": pd.Series(dtype="float64")})

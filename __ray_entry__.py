@@ -362,6 +362,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # derived trig columns (M9), zero-missing + global fallback
         # (M6/A4/M10), broadcast 2-D LUT (M11)
         "time_features": A.time_features,
+        # named per-metric clamp/validity (M7) + relative angle (M12)
+        "range_clamp": A.range_clamp,
         "global_mean_fallback": A.global_mean_fallback,
         "lut_lookup": A.lut_lookup,
         # calibration (K5/A6), spin-up variance (K2), trailing flag (A2)
@@ -515,6 +517,27 @@ def oracle_sql() -> dict[str, str]:
                         + EXTRACT(minute FROM ts) * 60
                         + EXTRACT(second FROM ts)) / 86400.0), 6) AS tod_cos
             FROM events
+        """,
+        "range_clamp": """
+            WITH cfg AS (
+                SELECT event_id, value,
+                       CASE event_type WHEN 'purchase' THEN 1.0
+                                       WHEN 'click' THEN 0.5
+                                       WHEN 'view' THEN 0.0
+                                       ELSE 0.0 END AS lo,
+                       CASE event_type WHEN 'purchase' THEN 400.0
+                                       WHEN 'click' THEN 100.0
+                                       WHEN 'view' THEN 250.0
+                                       ELSE 500.0 END AS hi,
+                       EXTRACT(hour FROM ts) * 15.0 AS a2
+                FROM events
+            )
+            SELECT event_id,
+                   ROUND(LEAST(GREATEST(value, lo), hi), 6) AS value_clamped,
+                   value >= lo AND value <= hi AS valid,
+                   ROUND(LEAST(ABS((value % 360.0) - a2),
+                               360.0 - ABS((value % 360.0) - a2)), 6) AS rel_angle
+            FROM cfg
         """,
         "global_mean_fallback": """
             SELECT event_id,

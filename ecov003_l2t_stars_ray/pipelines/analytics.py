@@ -709,6 +709,54 @@ def global_mean_fallback(sf_dir: str) -> pd.DataFrame:
     )
 
 
+#: Per-metric clamp ranges — the M7 analog (NDVI [-1,1] vs albedo [0,1]
+#: chosen by output name, reference ``jl:398-402``; validity filter
+#: ``VNP43NRT.py:137-140``). Keyed by event_type; None bound = open side.
+CLAMP_RANGES: dict[str, tuple[float, float]] = {
+    "purchase": (1.0, 400.0),
+    "click": (0.5, 100.0),
+    "view": (0.0, 250.0),
+}
+CLAMP_DEFAULT = (0.0, 500.0)
+
+
+def range_clamp(sf_dir: str) -> pd.DataFrame:
+    """Named clamp/validity operator (M7) + relative-angle column (M12).
+
+    Per-metric config drives a vectorized clamp (``pc.min/max`` analog) and
+    a validity flag (in-range before clamping); ``rel_angle`` is the
+    relative-azimuth analog (``VNP43NRT.py:434-436``): absolute circular
+    difference between the value-derived angle and the hour angle, wrapped
+    to [0, 180]."""
+    ds = _events(sf_dir, ["event_id", "event_type", "ts", "value"])
+    lo = {k: v[0] for k, v in CLAMP_RANGES.items()}
+    hi = {k: v[1] for k, v in CLAMP_RANGES.items()}
+
+    def clamp(df: pd.DataFrame) -> pd.DataFrame:
+        v = df["value"].to_numpy(dtype=np.float64)
+        lo_v = df["event_type"].map(lo).fillna(CLAMP_DEFAULT[0]).to_numpy(dtype=np.float64)
+        hi_v = df["event_type"].map(hi).fillna(CLAMP_DEFAULT[1]).to_numpy(dtype=np.float64)
+        clamped = np.minimum(np.maximum(v, lo_v), hi_v)
+        a1 = np.mod(v, 360.0)
+        a2 = df["ts"].astype("datetime64[us]").dt.hour.to_numpy(dtype=np.float64) * 15.0
+        d = np.abs(a1 - a2)
+        rel = np.minimum(d, 360.0 - d)
+        return pd.DataFrame(
+            {
+                "event_id": df["event_id"],
+                "value_clamped": np.round(clamped, 6),
+                "valid": (v >= lo_v) & (v <= hi_v),
+                "rel_angle": np.round(rel, 6),
+            }
+        )
+
+    return (
+        ds.map_batches(clamp, batch_format="pandas")
+        .to_pandas()
+        .sort_values("event_id", ignore_index=True)
+    )
+
+
 #: deterministic 10x8 LUT (value decile x 3-hour band), formula-defined so
 #: the SQL oracle can reproduce it; the Ray side does a REAL broadcast
 #: array lookup (M11 analog, ``BRDF/BRDF.py:7-17``).

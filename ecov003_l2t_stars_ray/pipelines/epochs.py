@@ -203,8 +203,16 @@ def run_epoch(
                 for (c, m, t), (mu, var, lb) in prior.items()
             ]
         )
+        # prune stale context rows: a conv processed this epoch re-derives
+        # its full context (last turn + still-needed predecessors), so its
+        # prior "_context*" keys must not survive the merge — otherwise
+        # per-turn carry keys accumulate forever
+        processed = set(new_state["conv_id"].astype(str))
+        stale_ctx = prior_df["metric"].str.startswith("_context") & prior_df[
+            "conv_id"
+        ].isin(processed)
         new_state = (
-            pd.concat([prior_df, new_state], ignore_index=True)
+            pd.concat([prior_df[~stale_ctx], new_state], ignore_index=True)
             .sort_values("last_bucket")
             .groupby(["conv_id", "metric", "tier"], sort=True)
             .tail(1)
@@ -239,19 +247,34 @@ def run_epoch(
 
 
 def _fragment_max_ts_us(path: str) -> int:
-    """Max ts from parquet row-group statistics (no data read)."""
+    """Max ts from parquet row-group statistics (no data read).
+
+    When footer stats are unavailable for ANY row group (or the ts column
+    is missing), fall back to scanning the fragment's ts column — never
+    return a sentinel that would silently exclude the fragment from the
+    pending set (rows in still-open buckets would be lost)."""
+    import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
     md = pq.read_metadata(path)
     names = {md.schema.column(i).name: i for i in range(md.num_columns)}
-    col = names["ts"]
     best = -(1 << 62)
-    for rg in range(md.num_row_groups):
-        stats = md.row_group(rg).column(col).statistics
-        if stats is not None and stats.has_min_max:
-            v = stats.max
-            ts = int(pd.Timestamp(v).value // 1000)
+    complete = "ts" in names
+    if complete:
+        col = names["ts"]
+        for rg in range(md.num_row_groups):
+            stats = md.row_group(rg).column(col).statistics
+            if stats is None or not stats.has_min_max:
+                complete = False
+                break
+            ts = int(pd.Timestamp(stats.max).value // 1000)
             best = max(best, ts)
+    if not complete:
+        t = pq.read_table(path, columns=["ts"])  # single-column scan fallback
+        if t.num_rows == 0:
+            return -(1 << 62)  # empty fragment: never pending
+        mx = pc.max(t["ts"].cast(pa.timestamp("us"))).as_py()
+        best = int(pd.Timestamp(mx).value // 1000)
     return best
 
 

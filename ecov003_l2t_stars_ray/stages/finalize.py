@@ -46,7 +46,7 @@ import pyarrow as pa  # noqa: E402
 TIER_ARROW_SCHEMA = pa.schema(
     [
         ("conv_id", pa.dictionary(pa.int32(), pa.string())),
-        ("metric", pa.dictionary(pa.int8(), pa.string())),
+        ("metric", pa.dictionary(pa.int32(), pa.string())),
         ("tier", pa.dictionary(pa.int8(), pa.string())),
         ("bucket_start", pa.timestamp("us")),
         ("count", pa.int64()),
@@ -65,10 +65,16 @@ _EMPTY = TIER_ARROW_SCHEMA.empty_table()
 
 def _resolve_latency_boundaries(
     needs: pd.DataFrame, provides: pd.DataFrame
-) -> pd.DataFrame | None:
-    """Cross-block gap resolution, vectorized across conversations."""
+) -> tuple[pd.DataFrame | None, pd.DataFrame | None]:
+    """Cross-block gap resolution, vectorized across conversations.
+
+    Returns ``(extra_partials, matched)`` — ``matched`` carries, per
+    resolved need, the predecessor's (conv_id, turn_idx_prev, ts_us_prev)
+    so the caller can keep it in the next epoch's context when the need's
+    bucket is still open (the predecessor's fragment may be closed and
+    never re-read)."""
     if not len(needs):
-        return None
+        return None, None
     provides = provides.drop_duplicates(subset=["conv_id", "turn_idx"])
     m = needs.merge(
         provides,
@@ -77,10 +83,10 @@ def _resolve_latency_boundaries(
         suffixes=("", "_prev"),
     )
     if not len(m):
-        return None
+        return None, None
     gap = (m["ts_us"] - m["ts_us_prev"]).to_numpy() / 1e6
     bucket = m["ts_us"].to_numpy() // US_PER_MIN * US_PER_MIN
-    return pd.DataFrame(
+    extra = pd.DataFrame(
         {
             "conv_id": m["conv_id"].to_numpy(),
             "metric": np.int8(METRIC_LATENCY),
@@ -92,6 +98,7 @@ def _resolve_latency_boundaries(
             "ts_us": m["ts_us"].to_numpy(),
         }
     )
+    return extra, m
 
 
 def _merge_partials(part: pd.DataFrame) -> pd.DataFrame:
@@ -165,7 +172,7 @@ def _raw_tier_table(rawall: pd.DataFrame) -> pa.Table:
                 pa.array(conv_codes.astype(np.int32)), pa.array(conv_uniques, pa.string())
             ),
             "metric": pa.DictionaryArray.from_arrays(
-                pa.array(rawall["metric"].to_numpy().astype(np.int8)),
+                pa.array(rawall["metric"].to_numpy().astype(np.int32)),
                 pa.array([METRIC_NAMES[0], METRIC_NAMES[1]], pa.string()),
             ),
             "tier": pa.DictionaryArray.from_arrays(
@@ -212,7 +219,7 @@ def finalize_batch(
             ignore_index=True,
         )
 
-    extra = _resolve_latency_boundaries(needs, provides)
+    extra, matched = _resolve_latency_boundaries(needs, provides)
     cols = ["conv_id", "metric", "bucket_us", "count", "vmin", "vmax", "vsum"]
     partials = part[cols]
     if extra is not None:
@@ -244,7 +251,12 @@ def finalize_batch(
     # check here cannot distinguish genuinely late rows from
     # pending-fragment re-reads)
 
-    # context records: last turn per conv (for the next epoch's checkpoint)
+    # context records for the next epoch's checkpoint: the last turn per
+    # conv PLUS the predecessor of every still-deferred need (its gap must
+    # stay resolvable next epoch even when the predecessor's own fragment
+    # is closed and never re-read — the cross-fragment/day-boundary case).
+    # Carried predecessors get per-turn state keys ("_context@{turn_idx}")
+    # so derive_state's tail(1)-per-key keeps all of them.
     frames = [
         f[["conv_id", "turn_idx", "ts_us"]]
         for f in (needs, provides)
@@ -255,31 +267,51 @@ def finalize_batch(
         if frames
         else pd.DataFrame(columns=["conv_id", "turn_idx", "ts_us"])
     )
+    ctx_frames = []
     if len(boundary):
-        last = boundary.loc[boundary.groupby("conv_id")["turn_idx"].idxmax()]
-        n = len(last)
+        last = boundary.loc[boundary.groupby("conv_id")["turn_idx"].idxmax()].copy()
+        last["_label"] = "_context"
+        ctx_frames.append(last[["conv_id", "turn_idx", "ts_us", "_label"]])
+    if matched is not None and close_us is not None:
+        coarsest = max(TIERS.values())
+        still_open = (
+            matched["ts_us"].to_numpy() // coarsest * coarsest + coarsest
+        ) > close_us
+        if still_open.any():
+            mm = matched.loc[
+                still_open, ["conv_id", "turn_idx_prev", "ts_us_prev"]
+            ].rename(columns={"turn_idx_prev": "turn_idx", "ts_us_prev": "ts_us"})
+            mm = mm.drop_duplicates(["conv_id", "turn_idx"]).copy()
+            mm["_label"] = "_context@" + mm["turn_idx"].astype(str)
+            ctx_frames.append(mm[["conv_id", "turn_idx", "ts_us", "_label"]])
+    if ctx_frames:
+        ctx = pd.concat(ctx_frames, ignore_index=True).drop_duplicates(
+            ["conv_id", "turn_idx"], keep="first"
+        )
+        n = len(ctx)
         nanv = np.full(n, np.nan)
+        lab_codes, lab_uniques = pd.factorize(ctx["_label"], sort=False)
         out.append(
             pa.table(
                 {
-                    "conv_id": pa.array(last["conv_id"]).dictionary_encode().cast(
+                    "conv_id": pa.array(ctx["conv_id"]).dictionary_encode().cast(
                         TIER_ARROW_SCHEMA.field("conv_id").type
                     ),
                     "metric": pa.DictionaryArray.from_arrays(
-                        pa.array(np.zeros(n, dtype=np.int8)),
-                        pa.array(["_context"], pa.string()),
+                        pa.array(lab_codes.astype(np.int32)),
+                        pa.array(lab_uniques, pa.string()),
                     ),
                     "tier": pa.DictionaryArray.from_arrays(
                         pa.array(np.zeros(n, dtype=np.int8)),
                         pa.array(["raw"], pa.string()),
                     ),
                     "bucket_start": pa.array(
-                        last["ts_us"].to_numpy(), pa.timestamp("us")
+                        ctx["ts_us"].to_numpy(), pa.timestamp("us")
                     ),
-                    "count": pa.array(last["turn_idx"].to_numpy().astype(np.int64)),
+                    "count": pa.array(ctx["turn_idx"].to_numpy().astype(np.int64)),
                     "min": pa.array(nanv), "max": pa.array(nanv),
                     "sum": pa.array(nanv), "mean": pa.array(nanv),
-                    "value": pa.array(last["turn_idx"].to_numpy().astype(np.float64)),
+                    "value": pa.array(ctx["turn_idx"].to_numpy().astype(np.float64)),
                     "value_sd": pa.array(nanv),
                     "gap_filled": pa.array(np.zeros(n, dtype=bool)),
                 },
@@ -407,7 +439,7 @@ def _densify_and_smooth_tier(
         pa.array(conv_uniques, pa.string()),
     )
     metric_col = pa.DictionaryArray.from_arrays(
-        pa.array(metric_rep), pa.array([METRIC_NAMES[0], METRIC_NAMES[1]], pa.string())
+        pa.array(metric_rep.astype(np.int32)), pa.array([METRIC_NAMES[0], METRIC_NAMES[1]], pa.string())
     )
     tier_col = pa.DictionaryArray.from_arrays(
         pa.array(np.zeros(total, dtype=np.int8)), pa.array([tier], pa.string())
@@ -454,7 +486,7 @@ def state_frames(prior_state: dict) -> tuple[pd.DataFrame, pd.DataFrame]:
     code = {"turn_rate": MT, "latency": ML}
     srows, crows = [], []
     for (conv, metric, tier), (mu, var, lb) in prior_state.items():
-        if metric == "_context":
+        if metric.startswith("_context"):  # incl. per-turn "_context@N" keys
             crows.append((conv, int(mu), int(lb)))
         elif metric in code:
             srows.append((conv, code[metric], tier, mu, var, lb))

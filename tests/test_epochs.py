@@ -212,3 +212,57 @@ def test_five_epoch_chain_matches_full_batch(tmp_path, small_transcripts):
 def test_empty_epoch_is_noop(tmp_path):
     r = run_epoch([], str(tmp_path / "root"), epoch=1, num_partitions=2)
     assert r["skipped"] is True and r["rows"] == 0
+
+
+def test_deferred_need_predecessor_in_closed_fragment(tmp_path):
+    """ADVICE regression: a turn deferred by the close rule whose
+    predecessor lives in a CLOSED fragment (different day, never re-read)
+    must still resolve its latency gap in the next epoch via the carried
+    per-turn context records."""
+    day = pd.Timestamp("2025-03-10")
+    conv = "conv-x"
+
+    def frag(path, rows):
+        pdf = pd.DataFrame(
+            {
+                "conv_id": conv,
+                "turn_idx": np.array([r[0] for r in rows], dtype=np.int32),
+                "role": "user",
+                "text": "t",
+                "tool": "",
+                "ts": pd.to_datetime([r[1] for r in rows]).astype("datetime64[us]"),
+            }
+        )
+        pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), path)
+        return path
+
+    root = str(tmp_path / "root")
+    # frag1: day D, ends 23:59 — its day closes in epoch 1
+    f1 = frag(str(tmp_path / "f1.parquet"), [
+        (0, day + pd.Timedelta("23:50:00")),
+        (1, day + pd.Timedelta("23:55:00")),
+        (2, day + pd.Timedelta("23:59:00")),
+    ])
+    # frag2: day D+1 — turn 3's predecessor (turn 2) is in f1
+    f2 = frag(str(tmp_path / "f2.parquet"), [
+        (3, day + pd.Timedelta("1 days 00:30:00")),
+        (4, day + pd.Timedelta("1 days 01:00:00")),
+    ])
+    r1 = run_epoch([f1, f2], root, epoch=1, num_partitions=2)
+    # f1's day is closed -> not pending; f2's day is open -> pending
+    assert f2 in r1["pending_fragments"] and f1 not in r1["pending_fragments"]
+
+    # epoch 2: new fragment two days later closes day D+1
+    f3 = frag(str(tmp_path / "f3.parquet"), [
+        (5, day + pd.Timedelta("2 days 12:00:00")),
+    ])
+    run_epoch([f3], root, epoch=2, num_partitions=2)
+    run_epoch([], root, epoch=3, num_partitions=2, giveup_buckets=0)
+
+    df = _combined(root, [1, 2, 3])
+    lat_1h = df[(df.tier == "1h") & (df.metric == "latency") & (df["count"] > 0)]
+    # the cross-fragment gap 23:59 -> 00:30 must appear in day D+1's first
+    # hour bucket (1860 s); without the carried predecessor it is lost
+    b = lat_1h[lat_1h.bucket_start == day + pd.Timedelta("1 days")]
+    assert len(b) == 1, lat_1h[["bucket_start", "count", "sum"]]
+    assert b["count"].iloc[0] == 1 and abs(b["sum"].iloc[0] - 1860.0) < 1e-9

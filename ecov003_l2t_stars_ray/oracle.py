@@ -16,9 +16,17 @@ Semantics contract:
   bucket_start = floor(ts, width_t); mean = sum / count;
 - dense axis per (conv, metric, tier) spans first..last observed bucket;
   empty buckets get count=0, NaN aggregates, gap_filled=True;
-- gap-fill: local-level Kalman filter, cold-start mean 0.12 / sd 0.01
-  (reference defaults ``jl:42-47``), process var 0.05, obs var 1e-6,
-  smoothing the bucket mean for latency and the bucket count for turn_rate.
+- gap-fill: bias-aware local-level Kalman filter (state = level + slowly
+  drifting observation bias, mirroring the reference's per-pixel bias
+  state ``jl:333-334``), cold-start mean 0.12 / sd 0.01 / bias 0 /
+  bias sd 0.001 (reference defaults ``jl:42-47``), process var 0.05,
+  bias process var 1e-7, smoothing the bucket mean for latency and the
+  bucket count for turn_rate;
+- adaptive observation noise (K2 coupling, ``jl:151-183,339-348``):
+  default obs var 1e-6 during the first SPINUP_BUCKETS buckets of a
+  series while observed values accumulate; then R = max(sample var,
+  default) if >= MIN_SUPPORT observations, else the default, fixed for
+  the series' remaining life.
 """
 
 from __future__ import annotations
@@ -28,7 +36,15 @@ import math
 import numpy as np
 import pandas as pd
 
-from .schema import COLD_START, OBS_NOISE_VAR, PROCESS_NOISE_VAR, TIERS
+from .schema import (
+    BIAS_PROCESS_NOISE_VAR,
+    COLD_START,
+    MIN_SUPPORT,
+    OBS_NOISE_VAR,
+    PROCESS_NOISE_VAR,
+    SPINUP_BUCKETS,
+    TIERS,
+)
 
 _SMOOTH_ON = {"turn_rate": "sum", "latency": "mean"}
 
@@ -59,20 +75,53 @@ def observations(transcripts: pd.DataFrame) -> pd.DataFrame:
 
 
 def _kalman(y: np.ndarray, observed: np.ndarray,
-            prior_mean: float | None = None,
-            prior_var: float | None = None) -> tuple[np.ndarray, np.ndarray]:
-    m = COLD_START["mean"] if prior_mean is None else prior_mean
-    p = COLD_START["sd"] ** 2 if prior_var is None else prior_var
+            adaptive: bool = True) -> tuple[np.ndarray, np.ndarray]:
+    """Independent re-implementation of the bias-aware adaptive filter
+    (same op order as ``functions.kalman.kalman_gap_fill`` — the
+    contract)."""
+    m = COLD_START["mean"]
+    b = COLD_START["bias_mean"]
+    p00 = COLD_START["sd"] ** 2
+    p01 = 0.0
+    p11 = COLD_START["bias_sd"] ** 2
+    r = OBS_NOISE_VAR
+    q = PROCESS_NOISE_VAR
+    qb = BIAS_PROCESS_NOISE_VAR
+    seen, cn, s1, s2 = (0, 0, 0.0, 0.0) if adaptive else (SPINUP_BUCKETS, 0, 0.0, 0.0)
+    done = seen >= SPINUP_BUCKETS
     value = np.empty(len(y))
     sd = np.empty(len(y))
     for i in range(len(y)):
-        p = p + PROCESS_NOISE_VAR
+        p00 = p00 + q
+        p11 = p11 + qb
         if observed[i]:
-            k = p / (p + OBS_NOISE_VAR)
-            m = m + k * (y[i] - m)
-            p = (1.0 - k) * p
-        value[i] = m
-        sd[i] = math.sqrt(p)
+            if not done:
+                cn += 1
+                s1 += y[i]
+                s2 += y[i] * y[i]
+            k0num = p00 + p01
+            k1num = p01 + p11
+            s = k0num + k1num + r
+            k0 = k0num / s
+            k1 = k1num / s
+            nu = y[i] - (m + b)
+            m = m + k0 * nu
+            b = b + k1 * nu
+            p00n = (1.0 - k0) * p00 - k0 * p01
+            p01n = (1.0 - k0) * p01 - k0 * p11
+            p11n = (1.0 - k1) * p11 - k1 * p01
+            p00, p01, p11 = p00n, p01n, p11n
+        if not done:
+            seen += 1
+            if seen >= SPINUP_BUCKETS:
+                if cn >= MIN_SUPPORT:
+                    var = (s2 - s1 * s1 / cn) / (cn - 1.0)
+                    r = var if var > OBS_NOISE_VAR else OBS_NOISE_VAR
+                else:
+                    r = OBS_NOISE_VAR
+                done = True
+        value[i] = m + b
+        sd[i] = math.sqrt((p00 + p01) + (p01 + p11))
     return value, sd
 
 

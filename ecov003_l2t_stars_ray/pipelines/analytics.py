@@ -131,7 +131,7 @@ def _dense_1m(sf_dir: str) -> pd.DataFrame:
         # Kalman gap-fill (K1), same kernel as the flagship finalize
         starts = np.zeros(total, dtype=bool)
         starts[cum] = True
-        value, sd = _kalman_batch(
+        value, sd, _ = _kalman_batch(
             np.where(obs, n.astype(np.float64), 0.0), obs, starts,
             np.full(total, COLD_START["mean"]),
             np.full(total, COLD_START["sd"] ** 2),

@@ -196,11 +196,15 @@ def run_epoch(
             [
                 {
                     "conv_id": c, "metric": m, "tier": t,
-                    "mean": mu, "sd": float(np.sqrt(var)),
-                    "bias_mean": 0.0, "bias_sd": 0.001,
-                    "last_bucket": pd.Timestamp(lb, unit="us"), "epoch": np.int32(epoch),
+                    "mean": v[0], "sd": float(np.sqrt(v[1])),
+                    "bias_mean": v[3], "bias_sd": float(np.sqrt(v[5])),
+                    "bias_cov": v[4], "obs_var": v[6],
+                    "spin_seen": np.int32(v[7]), "spin_n": np.int32(v[8]),
+                    "spin_s1": v[9], "spin_s2": v[10],
+                    "last_bucket": pd.Timestamp(v[2], unit="us"),
+                    "epoch": np.int32(epoch),
                 }
-                for (c, m, t), (mu, var, lb) in prior.items()
+                for (c, m, t), v in prior.items()
             ]
         )
         # prune stale context rows: a conv processed this epoch re-derives

@@ -86,6 +86,7 @@ def rollup_tiers(
     num_partitions: int = 64,
     shuffle_blocks: int | None = None,
     include_raw: bool = False,
+    adaptive_noise: bool = True,
 ) -> ray.data.Dataset:
     """transcripts Dataset -> tier rows (1m/1h/1d, FIXTURES.md F2 schema).
 
@@ -123,7 +124,7 @@ def rollup_tiers(
         sdf, cdf = state if state is not None else (None, None)
         return finalize_batch(
             group.drop(columns=["part_id"]), sdf, cdf, smooth, close_us,
-            include_raw=include_raw,
+            include_raw=include_raw, adaptive_noise=adaptive_noise,
         )
 
     return parts.groupby("part_id").map_groups(_finalize, batch_format="pandas")

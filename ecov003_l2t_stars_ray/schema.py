@@ -75,10 +75,16 @@ STATE_SCHEMA = pa.schema(
         ("conv_id", pa.string()),
         ("metric", pa.string()),
         ("tier", pa.string()),
-        ("mean", pa.float64()),
-        ("sd", pa.float64()),
-        ("bias_mean", pa.float64()),
-        ("bias_sd", pa.float64()),
+        ("mean", pa.float64()),        # level posterior mean m
+        ("sd", pa.float64()),          # sqrt(P00)
+        ("bias_mean", pa.float64()),   # bias posterior mean b
+        ("bias_sd", pa.float64()),     # sqrt(P11)
+        ("bias_cov", pa.float64()),    # P01 (level-bias cross covariance)
+        ("obs_var", pa.float64()),     # per-series obs noise R (K2 coupling)
+        ("spin_seen", pa.int32()),     # spin-up buckets seen (>= SPINUP => done)
+        ("spin_n", pa.int32()),        # observed values accumulated in spin-up
+        ("spin_s1", pa.float64()),     # sum of spin-up observations
+        ("spin_s2", pa.float64()),     # sum of squares of spin-up observations
         ("last_bucket", pa.timestamp("us")),
         ("epoch", pa.int32()),
     ]
@@ -95,6 +101,23 @@ COLD_START = {"mean": 0.12, "sd": 0.01, "bias_mean": 0.0, "bias_sd": 0.001}
 #: how fast the level can drift between buckets.
 PROCESS_NOISE_VAR = 0.05
 OBS_NOISE_VAR = 1e-6
+
+#: Bias random-walk variance per bucket step. The reference carries a
+#: per-pixel bias mean/SD pair updated every fusion step
+#: (``process_ECOSTRESS_data_fusion_distributed_bias.jl:333-334``, prior
+#: layers ``prior.py:28-56``); the bias prior SD default is 0.001
+#: (``jl:42-47``) so its drift rate is set well below the level's.
+BIAS_PROCESS_NOISE_VAR = 1e-7
+
+#: Spin-up window (buckets) for the per-series observation-noise estimate —
+#: the K2 coupling (``jl:151-183,339-348``: windowed variance over the
+#: spin-up stack feeds the fusion config). During the first SPINUP_BUCKETS
+#: buckets of a series' life the default OBS_NOISE_VAR is used and observed
+#: values are accumulated; at bucket SPINUP_BUCKETS the sample variance
+#: (floored at the default, MIN_SUPPORT guard) becomes the series' R for
+#: the rest of its life. Accumulators are carried in the state checkpoint
+#: so an epoch chain reproduces the continuous run.
+SPINUP_BUCKETS = 16
 
 #: Minimum finite observations for a per-series regression/trend estimate,
 #: mirroring the BRDF kernel support guard (>=7 obs per 17-day window else

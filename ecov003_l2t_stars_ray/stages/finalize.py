@@ -123,42 +123,139 @@ def _kalman_batch(
     series_start: np.ndarray,
     prior_mean: np.ndarray,
     prior_var: np.ndarray,
-) -> tuple[np.ndarray, np.ndarray]:
-    """Sequential Kalman over concatenated series (reset at each start).
+    prior_bias: np.ndarray | None = None,
+    prior_bias_cov: np.ndarray | None = None,
+    prior_bias_var: np.ndarray | None = None,
+    prior_obs_var: np.ndarray | None = None,
+    prior_spin: tuple | None = None,
+) -> tuple[np.ndarray, np.ndarray, dict]:
+    """Sequential bias-aware Kalman over concatenated series (reset at each
+    start) — the batch form of ``functions.kalman.kalman_gap_fill`` with
+    the IDENTICAL float64 op order (the oracle contract).
 
-    ``series_start[i]`` True where row i begins a new series;
-    ``prior_mean/var`` are per-ROW arrays whose values at start rows seed
-    the state (COLD_START baked in by the caller). Same float64 op order as
-    the oracle's per-series loop.
+    ``series_start[i]`` True where row i begins a new series; ``prior_*``
+    are per-ROW arrays whose values at start rows seed the state
+    (COLD_START baked in by the caller). ``prior_spin`` is a
+    (seen, n, s1, s2) tuple of per-row arrays for the adaptive-noise
+    spin-up accumulators; None pins R to the default (spin pre-done).
+    Returns ``(value, sd, finals)`` where ``finals`` maps
+    STATE_FIELDS to per-row running-state arrays (slice at series ends to
+    checkpoint).
     """
     import math
 
+    from ..schema import BIAS_PROCESS_NOISE_VAR, MIN_SUPPORT, SPINUP_BUCKETS
+
     n = len(y)
-    value = np.empty(n)
-    sd = np.empty(n)
-    m = 0.0
-    p = 0.0
     q = PROCESS_NOISE_VAR
-    r = OBS_NOISE_VAR
+    qb = BIAS_PROCESS_NOISE_VAR
+    r_def = OBS_NOISE_VAR
+    SP = SPINUP_BUCKETS
+    zeros = np.zeros(n)
+    pb = zeros if prior_bias is None else prior_bias
+    pbc = zeros if prior_bias_cov is None else prior_bias_cov
+    pbv = (
+        np.full(n, COLD_START["bias_sd"] ** 2)
+        if prior_bias_var is None
+        else prior_bias_var
+    )
+    p_r = np.full(n, r_def) if prior_obs_var is None else prior_obs_var
+    if prior_spin is None:
+        spin_init = np.full(n, SP, dtype=np.float64)  # spin pre-done
+        p_seen, p_n, p_s1, p_s2 = spin_init, zeros, zeros, zeros
+    else:
+        p_seen, p_n, p_s1, p_s2 = prior_spin
     yl = y.tolist()
     ol = observed.tolist()
     sl = series_start.tolist()
-    pm = prior_mean.tolist()
-    pv = prior_var.tolist()
-    vout = value.tolist()
-    sout = sd.tolist()
+    pml = prior_mean.tolist()
+    pvl = prior_var.tolist()
+    pbl = np.asarray(pb, dtype=np.float64).tolist()
+    pbcl = np.asarray(pbc, dtype=np.float64).tolist()
+    pbvl = np.asarray(pbv, dtype=np.float64).tolist()
+    prl = np.asarray(p_r, dtype=np.float64).tolist()
+    psel = np.asarray(p_seen, dtype=np.float64).tolist()
+    pnl = np.asarray(p_n, dtype=np.float64).tolist()
+    ps1l = np.asarray(p_s1, dtype=np.float64).tolist()
+    ps2l = np.asarray(p_s2, dtype=np.float64).tolist()
+    vout = [0.0] * n
+    sout = [0.0] * n
+    f_m = [0.0] * n
+    f_b = [0.0] * n
+    f_p00 = [0.0] * n
+    f_p01 = [0.0] * n
+    f_p11 = [0.0] * n
+    f_r = [0.0] * n
+    f_seen = [0.0] * n
+    f_n = [0.0] * n
+    f_s1 = [0.0] * n
+    f_s2 = [0.0] * n
+    m = b = p00 = p01 = p11 = r = 0.0
+    seen = cn = 0
+    s1 = s2 = 0.0
+    done = False
     for i in range(n):
         if sl[i]:
-            m = pm[i]
-            p = pv[i]
-        p = p + q
+            m = pml[i]
+            b = pbl[i]
+            p00 = pvl[i]
+            p01 = pbcl[i]
+            p11 = pbvl[i]
+            r = prl[i]
+            seen = int(psel[i])
+            cn = int(pnl[i])
+            s1 = ps1l[i]
+            s2 = ps2l[i]
+            # invariant: done <=> seen >= SP (R finalizes the moment seen
+            # reaches the window, so a done prior carries its finalized R)
+            done = seen >= SP
+        p00 = p00 + q
+        p11 = p11 + qb
         if ol[i]:
-            k = p / (p + r)
-            m = m + k * (yl[i] - m)
-            p = (1.0 - k) * p
-        vout[i] = m
-        sout[i] = math.sqrt(p)
-    return np.asarray(vout), np.asarray(sout)
+            if not done:
+                cn += 1
+                s1 += yl[i]
+                s2 += yl[i] * yl[i]
+            k0num = p00 + p01
+            k1num = p01 + p11
+            s = k0num + k1num + r
+            k0 = k0num / s
+            k1 = k1num / s
+            nu = yl[i] - (m + b)
+            m = m + k0 * nu
+            b = b + k1 * nu
+            p00n = (1.0 - k0) * p00 - k0 * p01
+            p01n = (1.0 - k0) * p01 - k0 * p11
+            p11n = (1.0 - k1) * p11 - k1 * p01
+            p00, p01, p11 = p00n, p01n, p11n
+        if not done:
+            seen += 1
+            if seen >= SP:
+                if cn >= MIN_SUPPORT:
+                    var = (s2 - s1 * s1 / cn) / (cn - 1.0)
+                    r = var if var > r_def else r_def
+                else:
+                    r = r_def
+                done = True
+        vout[i] = m + b
+        sout[i] = math.sqrt((p00 + p01) + (p01 + p11))
+        f_m[i] = m
+        f_b[i] = b
+        f_p00[i] = p00
+        f_p01[i] = p01
+        f_p11[i] = p11
+        f_r[i] = r
+        f_seen[i] = seen
+        f_n[i] = cn
+        f_s1[i] = s1
+        f_s2[i] = s2
+    finals = {
+        "m": np.asarray(f_m), "b": np.asarray(f_b), "p00": np.asarray(f_p00),
+        "p01": np.asarray(f_p01), "p11": np.asarray(f_p11), "r": np.asarray(f_r),
+        "seen": np.asarray(f_seen), "n": np.asarray(f_n),
+        "s1": np.asarray(f_s1), "s2": np.asarray(f_s2),
+    }
+    return np.asarray(vout), np.asarray(sout), finals
 
 
 def _raw_tier_table(rawall: pd.DataFrame) -> pa.Table:
@@ -196,6 +293,7 @@ def finalize_batch(
     smooth: bool = True,
     close_us: int | None = None,
     include_raw: bool = False,
+    adaptive_noise: bool = True,
 ) -> pd.DataFrame:
     """One hash partition's partial rows -> all tier rows for all convs.
 
@@ -243,7 +341,10 @@ def finalize_batch(
             rows = finer if width == US_PER_MIN else _cascade(finer, width)
             finer = rows
             out.append(
-                _densify_and_smooth_tier(rows, tier, width, state_df, smooth, close_us)
+                _densify_and_smooth_tier(
+                    rows, tier, width, state_df, smooth, close_us,
+                    adaptive_noise=adaptive_noise,
+                )
             )
 
     # (late-arrival metrics are computed provenance-aware in
@@ -332,8 +433,17 @@ def _densify_and_smooth_tier(
     state_df: pd.DataFrame | None,
     smooth: bool,
     close_us: int | None,
+    adaptive_noise: bool = True,
 ) -> pd.DataFrame:
-    """Dense axes + gap-fill for ALL (conv, metric) series of one tier."""
+    """Dense axes + gap-fill for ALL (conv, metric) series of one tier.
+
+    Appends one "_s:{metric}:{tier}" checkpoint row per series (full
+    filter state: level/bias means, P00/P01/P11, R) and, while a series is
+    still inside its spin-up window, one "_p:{metric}:{tier}" row with the
+    adaptive-noise accumulators — these are the state the next epoch
+    resumes from (K4 analog), replacing last-value reconstruction."""
+    from ..schema import SPINUP_BUCKETS
+
     if close_us is not None:
         rows = rows[rows["bucket_us"] + width_us <= close_us]
     if not len(rows):
@@ -344,11 +454,14 @@ def _densify_and_smooth_tier(
         first=("bucket_us", "min"), last=("bucket_us", "max")
     ).reset_index()
 
+    cold_spin_seen = 0.0 if adaptive_noise else float(SPINUP_BUCKETS)
     # prior state: resume at last committed bucket + width
     if state_df is not None and len(state_df):
         st = state_df[state_df["tier"] == tier]
         bounds = bounds.merge(
-            st[["conv_id", "metric_code", "mean", "var", "last_bucket_us"]],
+            st[["conv_id", "metric_code", "mean", "var", "bias_mean",
+                "bias_cov", "bias_var", "obs_var", "spin_seen", "spin_n",
+                "spin_s1", "spin_s2", "last_bucket_us"]],
             left_on=["conv_id", "metric"],
             right_on=["conv_id", "metric_code"],
             how="left",
@@ -361,6 +474,18 @@ def _densify_and_smooth_tier(
         bounds["start"] = start
         bounds["p_mean"] = np.where(has_prior, bounds["mean"], COLD_START["mean"])
         bounds["p_var"] = np.where(has_prior, bounds["var"], COLD_START["sd"] ** 2)
+        bounds["p_bias"] = np.where(
+            has_prior, bounds["bias_mean"], COLD_START["bias_mean"]
+        )
+        bounds["p_bcov"] = np.where(has_prior, bounds["bias_cov"], 0.0)
+        bounds["p_bvar"] = np.where(
+            has_prior, bounds["bias_var"], COLD_START["bias_sd"] ** 2
+        )
+        bounds["p_r"] = np.where(has_prior, bounds["obs_var"], OBS_NOISE_VAR)
+        bounds["p_seen"] = np.where(has_prior, bounds["spin_seen"], cold_spin_seen)
+        bounds["p_n"] = np.where(has_prior, bounds["spin_n"], 0.0)
+        bounds["p_s1"] = np.where(has_prior, bounds["spin_s1"], 0.0)
+        bounds["p_s2"] = np.where(has_prior, bounds["spin_s2"], 0.0)
         # drop already-committed buckets
         rows = rows.merge(
             bounds[["conv_id", "metric", "start"]], on=["conv_id", "metric"]
@@ -378,6 +503,14 @@ def _densify_and_smooth_tier(
         bounds["start"] = bounds["first"]
         bounds["p_mean"] = COLD_START["mean"]
         bounds["p_var"] = COLD_START["sd"] ** 2
+        bounds["p_bias"] = COLD_START["bias_mean"]
+        bounds["p_bcov"] = 0.0
+        bounds["p_bvar"] = COLD_START["bias_sd"] ** 2
+        bounds["p_r"] = OBS_NOISE_VAR
+        bounds["p_seen"] = cold_spin_seen
+        bounds["p_n"] = 0.0
+        bounds["p_s1"] = 0.0
+        bounds["p_s2"] = 0.0
 
     # ---- build all dense axes at once (repeat/arange trick)
     start = bounds["start"].to_numpy(dtype=np.int64)
@@ -411,17 +544,38 @@ def _densify_and_smooth_tier(
 
     metric_codes = bounds["metric"].to_numpy()
     metric_rep = np.repeat(metric_codes, lens).astype(np.int8)
+    ends = cum + lens - 1  # last row of each series (state checkpoint rows)
     if smooth:
         # y per metric: latency -> mean, turn_rate -> sum
         y = np.where(np.repeat(metric_codes == METRIC_LATENCY, lens), mean, vsum)
         y = np.where(observed, y, 0.0)
         series_start = np.zeros(total, dtype=bool)
         series_start[cum] = True
-        value, value_sd = _kalman_batch(
+        value, value_sd, finals = _kalman_batch(
             y, observed, series_start,
             np.repeat(bounds["p_mean"].to_numpy(), lens),
             np.repeat(bounds["p_var"].to_numpy(), lens),
+            np.repeat(bounds["p_bias"].to_numpy(), lens),
+            np.repeat(bounds["p_bcov"].to_numpy(), lens),
+            np.repeat(bounds["p_bvar"].to_numpy(), lens),
+            np.repeat(bounds["p_r"].to_numpy(), lens),
+            prior_spin=(
+                np.repeat(bounds["p_seen"].to_numpy(), lens),
+                np.repeat(bounds["p_n"].to_numpy(), lens),
+                np.repeat(bounds["p_s1"].to_numpy(), lens),
+                np.repeat(bounds["p_s2"].to_numpy(), lens),
+            ),
         )
+        st_m = finals["m"][ends]
+        st_b = finals["b"][ends]
+        st_p00 = finals["p00"][ends]
+        st_p01 = finals["p01"][ends]
+        st_p11 = finals["p11"][ends]
+        st_r = finals["r"][ends]
+        st_seen = finals["seen"][ends]
+        st_n = finals["n"][ends]
+        st_s1 = finals["s1"][ends]
+        st_s2 = finals["s2"][ends]
     else:
         value = np.where(
             observed,
@@ -429,6 +583,19 @@ def _densify_and_smooth_tier(
             np.nan,
         )
         value_sd = np.full(total, np.nan)
+        # last bucket is observed by construction -> value[ends] is finite;
+        # seed any later smoothed epoch from the raw observable
+        st_m = value[ends]
+        st_b = np.zeros(len(bounds))
+        st_p00 = np.full(len(bounds), COLD_START["sd"] ** 2)
+        st_p01 = np.zeros(len(bounds))
+        st_p11 = np.full(len(bounds), COLD_START["bias_sd"] ** 2)
+        st_r = np.full(len(bounds), OBS_NOISE_VAR)
+        from ..schema import SPINUP_BUCKETS as _SP
+        st_seen = np.full(len(bounds), float(_SP))
+        st_n = np.zeros(len(bounds))
+        st_s1 = np.zeros(len(bounds))
+        st_s2 = np.zeros(len(bounds))
 
     # dictionary-encoded Arrow output: numeric columns are zero-copy, the
     # three label columns are (indices, tiny dictionary) pairs — no
@@ -444,7 +611,7 @@ def _densify_and_smooth_tier(
     tier_col = pa.DictionaryArray.from_arrays(
         pa.array(np.zeros(total, dtype=np.int8)), pa.array([tier], pa.string())
     )
-    return pa.table(
+    main = pa.table(
         {
             "conv_id": conv_col,
             "metric": metric_col,
@@ -461,6 +628,67 @@ def _densify_and_smooth_tier(
         },
         schema=TIER_ARROW_SCHEMA,
     )
+
+    # ---- per-series checkpoint rows ("_s:" filter state; "_p:" spin-up
+    # accumulators while the adaptive-noise window is still open)
+    ns = len(bounds)
+    met_name = np.where(
+        metric_codes == METRIC_LATENCY, METRIC_NAMES[METRIC_LATENCY],
+        METRIC_NAMES[1 - METRIC_LATENCY],
+    )
+    last_bucket = axis[ends]
+
+    def _state_table(mask, label_prefix, cnt, vmin_, vmax_, vsum_, mean_,
+                     value_, sd_):
+        k = int(mask.sum())
+        labels = label_prefix + pd.Series(met_name[mask]) + ":" + tier
+        lab_codes, lab_uniques = pd.factorize(labels, sort=False)
+        conv_c, conv_u = pd.factorize(bounds["conv_id"].to_numpy()[mask], sort=False)
+        return pa.table(
+            {
+                "conv_id": pa.DictionaryArray.from_arrays(
+                    pa.array(conv_c.astype(np.int32)), pa.array(conv_u, pa.string())
+                ),
+                "metric": pa.DictionaryArray.from_arrays(
+                    pa.array(lab_codes.astype(np.int32)),
+                    pa.array(lab_uniques, pa.string()),
+                ),
+                "tier": pa.DictionaryArray.from_arrays(
+                    pa.array(np.zeros(k, dtype=np.int8)),
+                    pa.array(["raw"], pa.string()),
+                ),
+                "bucket_start": pa.array(last_bucket[mask], pa.timestamp("us")),
+                "count": pa.array(cnt[mask].astype(np.int64)),
+                "min": pa.array(vmin_[mask]),
+                "max": pa.array(vmax_[mask]),
+                "sum": pa.array(vsum_[mask]),
+                "mean": pa.array(mean_[mask]),
+                "value": pa.array(value_[mask]),
+                "value_sd": pa.array(sd_[mask]),
+                "gap_filled": pa.array(np.zeros(k, dtype=bool)),
+            },
+            schema=TIER_ARROW_SCHEMA,
+        )
+
+    all_mask = np.ones(ns, dtype=bool)
+    tables = [
+        main,
+        # _s row: value=m, mean=b, min=P00, max=P01, sum=P11, value_sd=R,
+        # count=spin_seen
+        _state_table(all_mask, "_s:", st_seen, st_p00, st_p01, st_p11, st_b,
+                     st_m, st_r),
+    ]
+    from ..schema import SPINUP_BUCKETS as _SPB
+
+    spin_open = st_seen < _SPB
+    if spin_open.any():
+        # _p row: count=spin_seen, min=spin_n, max=s1, sum=s2
+        nanv = np.full(ns, np.nan)
+        tables.append(
+            _state_table(spin_open, "_p:", st_seen, st_n, st_s1, st_s2, nanv,
+                         nanv, nanv)
+        )
+    return pa.concat_tables(tables)
 
 
 def finalize_conversation(
@@ -483,15 +711,31 @@ def state_frames(prior_state: dict) -> tuple[pd.DataFrame, pd.DataFrame]:
     from ..functions.rollup import METRIC_LATENCY as ML
     from ..functions.rollup import METRIC_TURN_RATE as MT
 
+    from ..schema import COLD_START as _CS
+    from ..schema import OBS_NOISE_VAR as _R
+    from ..schema import SPINUP_BUCKETS as _SP
+
     code = {"turn_rate": MT, "latency": ML}
     srows, crows = [], []
-    for (conv, metric, tier), (mu, var, lb) in prior_state.items():
+    for (conv, metric, tier), v in prior_state.items():
         if metric.startswith("_context"):  # incl. per-turn "_context@N" keys
-            crows.append((conv, int(mu), int(lb)))
+            crows.append((conv, int(v[0]), int(v[2])))
         elif metric in code:
-            srows.append((conv, code[metric], tier, mu, var, lb))
+            mu, var, lb = v[0], v[1], v[2]
+            if len(v) > 3:
+                bm, bc, bv, ov, sp_seen, sp_n, sp_s1, sp_s2 = v[3:11]
+            else:  # legacy 3-tuple: cold bias, spin done
+                bm, bc, bv = _CS["bias_mean"], 0.0, _CS["bias_sd"] ** 2
+                ov, sp_seen, sp_n, sp_s1, sp_s2 = _R, float(_SP), 0.0, 0.0, 0.0
+            srows.append(
+                (conv, code[metric], tier, mu, var, bm, bc, bv, ov,
+                 sp_seen, sp_n, sp_s1, sp_s2, lb)
+            )
     state_df = pd.DataFrame(
-        srows, columns=["conv_id", "metric_code", "tier", "mean", "var", "last_bucket_us"]
+        srows,
+        columns=["conv_id", "metric_code", "tier", "mean", "var", "bias_mean",
+                 "bias_cov", "bias_var", "obs_var", "spin_seen", "spin_n",
+                 "spin_s1", "spin_s2", "last_bucket_us"],
     )
     context_df = pd.DataFrame(crows, columns=["conv_id", "turn_idx", "ts_us"])
     return state_df, context_df

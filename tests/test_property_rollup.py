@@ -65,7 +65,7 @@ def _run_local_pipeline(df: pd.DataFrame, cuts: list[int], num_partitions=4):
     out = pd.concat(outs, ignore_index=True)
     for c in ("conv_id", "metric", "tier"):
         out[c] = out[c].astype(str)
-    out = out[out["metric"] != "_context"]
+    out = out[~out["metric"].str.startswith("_")]  # context + checkpoint rows
     out["bucket_start"] = out["bucket_start"].astype("datetime64[us]")
     return out.sort_values(
         ["tier", "conv_id", "metric", "bucket_start"], ignore_index=True

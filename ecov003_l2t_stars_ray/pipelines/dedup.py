@@ -18,8 +18,6 @@ across runs and cluster sizes.
 
 from __future__ import annotations
 
-import hashlib
-
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -63,27 +61,102 @@ def exact_dedup(docs: ray.data.Dataset) -> ray.data.Dataset:
     )
 
 
+#: rolling-hash constants for word-k-shingles and band mixing (odd 64-bit
+#: multipliers, deterministic across processes)
+_SHINGLE_C = np.uint64(0x9E3779B97F4A7C15)
+_BAND_C = np.uint64(0xBF58476D1CE4E5B9)
+
+
+def _shingle_hash_flat(
+    texts: pd.Series, k: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """All word-k-shingle hashes of a batch, flat: (doc_pos, shingle_hash).
+
+    One ``hash_array`` call hashes every word of the batch; shingle hashes
+    are a k-term polynomial over consecutive word hashes (uint64
+    wraparound), built with k vectorized shifted adds — no per-doc or
+    per-shingle Python. Docs with 0 < len < k words contribute one shingle
+    over all their words (matching :func:`shingle_hashes` semantics)."""
+    words = texts.reset_index(drop=True).str.split().explode().dropna()
+    if not len(words):
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.uint64)
+    doc_pos = words.index.to_numpy(dtype=np.int64)
+    wh = pd.util.hash_array(words.to_numpy(dtype=object))
+    n = len(wh)
+    with np.errstate(over="ignore"):
+        # full-length shingles: position i combines wh[i..i+k-1] when all
+        # k words belong to the same doc
+        if n >= k:
+            acc = wh[: n - k + 1].copy()
+            for j in range(1, k):
+                acc = acc * _SHINGLE_C + wh[j : n - k + 1 + j]
+            full_ok = doc_pos[: n - k + 1] == doc_pos[k - 1 :]
+            full_doc = doc_pos[: n - k + 1][full_ok]
+            full_h = acc[full_ok]
+        else:
+            full_doc = np.empty(0, dtype=np.int64)
+            full_h = np.empty(0, dtype=np.uint64)
+        # short docs (< k words): one shingle over all their words
+        counts = np.bincount(doc_pos, minlength=int(doc_pos.max()) + 1)
+        short_docs = np.nonzero((counts > 0) & (counts < k))[0]
+        if len(short_docs):
+            short_mask = np.isin(doc_pos, short_docs)
+            sd = doc_pos[short_mask]
+            sw = wh[short_mask]
+            # per-doc polynomial via a sequential-free trick: segment-scan
+            # is overkill at <k words — a tiny per-short-doc loop is fine
+            sh_h = np.empty(len(short_docs), dtype=np.uint64)
+            starts = np.searchsorted(sd, short_docs)
+            ends = np.searchsorted(sd, short_docs, side="right")
+            for ii, (a, b) in enumerate(zip(starts, ends)):
+                acc2 = sw[a]
+                for j in range(a + 1, b):
+                    acc2 = acc2 * _SHINGLE_C + sw[j]
+                sh_h[ii] = acc2
+            full_doc = np.concatenate([full_doc, short_docs])
+            full_h = np.concatenate([full_h, sh_h])
+    return full_doc, full_h
+
+
 def minhash_signatures(df: pd.DataFrame, k: int = 5) -> pd.DataFrame:
-    """(doc_id, band_id, band_hash) rows — one per band per document."""
-    out_doc, out_band, out_hash = [], [], []
-    for doc_id, text in zip(df["doc_id"].to_numpy(), df["text"].to_numpy()):
-        sh = shingle_hashes(text, k=k)
-        if not len(sh):
-            continue
-        with np.errstate(over="ignore"):
-            # h_i(x) = (a_i * x + b_i) mod p, minimized over shingles
-            prod = (sh[None, :] * _A[:, None] + _B[:, None]) % _MERSENNE
-        sig = prod.min(axis=1)
-        bands = sig.reshape(_BANDS, _ROWS_PER_BAND)
-        for b in range(_BANDS):
-            bh = hashlib.blake2b(bands[b].tobytes(), digest_size=8).hexdigest()
-            out_doc.append(doc_id)
-            out_band.append(b)
-            out_hash.append(bh)
+    """(doc_id, band_id, band_hash) rows — one per band per document.
+
+    Fully vectorized across the batch: flat shingle hashes -> permutation
+    minima per doc via ``np.minimum.reduceat`` (permutations processed in
+    chunks to bound memory) -> band keys via a vectorized uint64 mix."""
+    n = len(df)
+    doc_pos, sh = _shingle_hash_flat(df["text"], k)
+    if not len(sh):
+        return pd.DataFrame(
+            {"doc_id": pd.Series(dtype="int64"),
+             "band_id": pd.Series(dtype="int8"),
+             "band_hash": pd.Series(dtype="uint64")}
+        )
+    order = np.argsort(doc_pos, kind="stable")
+    doc_pos = doc_pos[order]
+    sh = sh[order]
+    counts = np.bincount(doc_pos, minlength=n)
+    nz = counts > 0
+    starts = (np.cumsum(counts) - counts)[nz]
+    ndocs = int(nz.sum())
+    sig = np.empty((_NUM_PERM, ndocs), dtype=np.uint64)
+    chunk = 16
+    with np.errstate(over="ignore"):
+        for c0 in range(0, _NUM_PERM, chunk):
+            c1 = min(c0 + chunk, _NUM_PERM)
+            prod = (sh[None, :] * _A[c0:c1, None] + _B[c0:c1, None]) % _MERSENNE
+            sig[c0:c1] = np.minimum.reduceat(prod, starts, axis=1)
+        bands = sig.T.reshape(ndocs, _BANDS, _ROWS_PER_BAND)
+        mix = bands[:, :, 0].copy()
+        for j in range(1, _ROWS_PER_BAND):
+            mix = mix * _BAND_C + bands[:, :, j]
+    doc_ids = df["doc_id"].to_numpy()[nz]
     return pd.DataFrame(
-        {"doc_id": np.asarray(out_doc, dtype=np.int64),
-         "band_id": np.asarray(out_band, dtype=np.int8),
-         "band_hash": out_hash}
+        {
+            "doc_id": np.repeat(doc_ids, _BANDS),
+            "band_id": np.tile(np.arange(_BANDS, dtype=np.int8), ndocs),
+            "band_hash": mix.reshape(-1),
+        }
     )
 
 
@@ -364,16 +437,9 @@ def embedding_near_dups(
     return out.sort_values(["vec_a", "vec_b"], ignore_index=True)
 
 
-def dup_groups(pairs: pd.DataFrame, max_rounds: int = 20) -> pd.DataFrame:
-    """Connected components over near-dup pairs -> (doc_id, group_id).
-
-    Min-label propagation: every node starts labeled with its own id; each
-    round every edge pushes the smaller endpoint label to the larger, until
-    a fixpoint (group_id = min doc_id of the component). Each round is two
-    vectorized merges + a groupby-min — exactly the per-round shape of the
-    distributed `hash_combine` version; at candidate-set scale (LSH-pruned)
-    a handful of rounds converge.
-    """
+def dup_groups_local(pairs: pd.DataFrame, max_rounds: int = 20) -> pd.DataFrame:
+    """Driver-side min-label propagation (tests / cross-validation oracle
+    for :func:`dup_groups`; same fixpoint, same round semantics)."""
     if not len(pairs):
         return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
                              "group_id": pd.Series(dtype="int64")})
@@ -397,6 +463,71 @@ def dup_groups(pairs: pd.DataFrame, max_rounds: int = 20) -> pd.DataFrame:
                          "group_id": label.to_numpy()}).sort_values(
         "doc_id", ignore_index=True
     )
+
+
+def dup_groups(pairs: pd.DataFrame, max_rounds: int = 20) -> pd.DataFrame:
+    """DISTRIBUTED connected components over near-dup pairs ->
+    (doc_id, group_id) with group_id = min doc_id of the component.
+
+    Min-label propagation as ``hash_combine`` rounds: the edge list is
+    materialized once in the object store as (key, other) rows — each
+    undirected edge twice, keyed by each endpoint — and every round does
+
+        shuffle 1 (key = node): co-partition label rows with edge rows,
+            vectorized merge inside the partition, emit (other, label);
+        shuffle 2 (key = node): min-combine proposals with current labels.
+
+    The driver holds ONLY the label table between rounds (O(nodes in the
+    pruned pair set), never the edges); labels converge in O(component
+    diameter) rounds. At 100 TB the label table itself would stay a
+    Dataset — the round shape is unchanged.
+    """
+    empty = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                          "group_id": pd.Series(dtype="int64")})
+    if not len(pairs):
+        return empty
+    a = pairs["doc_a"].to_numpy(dtype=np.int64)
+    b = pairs["doc_b"].to_numpy(dtype=np.int64)
+    both = pd.DataFrame(
+        {"key": np.concatenate([a, b]), "other": np.concatenate([b, a]),
+         "lab": np.int64(0)}  # placeholder; label rows use other == -1
+    )
+    edges_ds = ray.data.from_pandas(both).materialize()
+    nodes = np.unique(np.concatenate([a, b]))
+    labels = pd.DataFrame({"node": nodes, "lab": nodes})
+
+    from ..functions.shuffle import hash_combine
+
+    def join_emit(g: pd.DataFrame) -> pd.DataFrame:
+        labs = g[g["other"] == -1]
+        eds = g[g["other"] != -1]
+        m = eds[["key", "other"]].merge(labs[["key", "lab"]], on="key")
+        return pd.DataFrame({"node": m["other"].to_numpy(),
+                             "lab": m["lab"].to_numpy()})
+
+    def min_combine(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("node", as_index=False)["lab"].min()
+
+    for _ in range(max_rounds):
+        lab_rows = labels.rename(columns={"node": "key"}).copy()
+        lab_rows["other"] = np.int64(-1)
+        lab_rows = lab_rows[["key", "other", "lab"]]
+        union = ray.data.from_pandas(lab_rows).union(edges_ds)
+        props = hash_combine(union, ["key"], join_emit, num_partitions=16)
+        cur = ray.data.from_pandas(labels)
+        new_labels = (
+            hash_combine(props.union(cur), ["node"], min_combine, num_partitions=16)
+            .to_pandas()
+            .sort_values("node", ignore_index=True)
+        )
+        if np.array_equal(new_labels["lab"].to_numpy(),
+                          labels.sort_values("node")["lab"].to_numpy()):
+            labels = new_labels
+            break
+        labels = new_labels
+    return pd.DataFrame(
+        {"doc_id": labels["node"].to_numpy(), "group_id": labels["lab"].to_numpy()}
+    ).sort_values("doc_id", ignore_index=True)
 
 
 def near_dup_groups(docs: ray.data.Dataset, k: int = 5,

@@ -66,7 +66,7 @@ def brute_force_topk(
         fn_constructor_args=(ref, k),
         batch_format="pandas",
         batch_size=4096,
-        concurrency=2,
+        concurrency=(2, 16),  # scale with the node; 2 actors starved 32 CPUs
     )
 
     def final_topk(g: pd.DataFrame) -> pd.DataFrame:

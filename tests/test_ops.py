@@ -211,3 +211,23 @@ def test_ivf_index_recall():
         hits += len(e & a)
     # nprobe=4 of 8 centroids: expect decent recall on random data
     assert hits >= len(qid) * 2
+
+
+def test_distributed_dup_groups_multi_component():
+    """Distributed min-label propagation matches the driver-side oracle on
+    a multi-component graph (chain, triangle, pair, plus shared-min
+    collisions)."""
+    from ecov003_l2t_stars_ray.pipelines.dedup import dup_groups, dup_groups_local
+
+    pairs = pd.DataFrame(
+        {
+            "doc_a": [1, 2, 3, 10, 11, 10, 20, 30, 31, 32],
+            "doc_b": [2, 3, 4, 11, 12, 12, 21, 31, 32, 33],
+        }
+    )
+    got = dup_groups(pairs)
+    want = dup_groups_local(pairs)
+    pd.testing.assert_frame_equal(got, want)
+    # chain 1-2-3-4 labels to 1; triangle 10-11-12 to 10; etc.
+    lab = dict(zip(got["doc_id"], got["group_id"]))
+    assert lab[4] == 1 and lab[12] == 10 and lab[21] == 20 and lab[33] == 30

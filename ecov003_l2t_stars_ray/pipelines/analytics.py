@@ -133,8 +133,8 @@ def _dense_1m(sf_dir: str) -> pd.DataFrame:
         starts[cum] = True
         value, sd, _ = _kalman_batch(
             np.where(obs, n.astype(np.float64), 0.0), obs, starts,
-            np.full(total, COLD_START["mean"]),
-            np.full(total, COLD_START["sd"] ** 2),
+            np.full(len(bounds), COLD_START["mean"]),
+            np.full(len(bounds), COLD_START["sd"] ** 2),
         )
         return pd.DataFrame(
             {

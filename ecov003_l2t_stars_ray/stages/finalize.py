@@ -134,42 +134,43 @@ def _kalman_batch(
     the IDENTICAL float64 op order (the oracle contract).
 
     ``series_start[i]`` True where row i begins a new series; ``prior_*``
-    are per-ROW arrays whose values at start rows seed the state
-    (COLD_START baked in by the caller). ``prior_spin`` is a
-    (seen, n, s1, s2) tuple of per-row arrays for the adaptive-noise
-    spin-up accumulators; None pins R to the default (spin pre-done).
-    Returns ``(value, sd, finals)`` where ``finals`` maps
-    STATE_FIELDS to per-row running-state arrays (slice at series ends to
-    checkpoint).
+    are per-SERIES arrays (one entry per series, in first-appearance
+    order) whose values seed the state at each start row (COLD_START
+    baked in by the caller). ``prior_spin`` is a (seen, n, s1, s2) tuple
+    of per-series arrays for the adaptive-noise spin-up accumulators;
+    None pins R to the default (spin pre-done). Returns
+    ``(value, sd, finals)`` where ``finals`` maps STATE_FIELDS to
+    per-series end-state arrays (the checkpoint).
     """
     import math
 
     from ..schema import BIAS_PROCESS_NOISE_VAR, MIN_SUPPORT, SPINUP_BUCKETS
 
     n = len(y)
+    ns = int(np.asarray(series_start).sum())
     q = PROCESS_NOISE_VAR
     qb = BIAS_PROCESS_NOISE_VAR
     r_def = OBS_NOISE_VAR
     SP = SPINUP_BUCKETS
-    zeros = np.zeros(n)
+    zeros = np.zeros(ns)
     pb = zeros if prior_bias is None else prior_bias
     pbc = zeros if prior_bias_cov is None else prior_bias_cov
     pbv = (
-        np.full(n, COLD_START["bias_sd"] ** 2)
+        np.full(ns, COLD_START["bias_sd"] ** 2)
         if prior_bias_var is None
         else prior_bias_var
     )
-    p_r = np.full(n, r_def) if prior_obs_var is None else prior_obs_var
+    p_r = np.full(ns, r_def) if prior_obs_var is None else prior_obs_var
     if prior_spin is None:
-        spin_init = np.full(n, SP, dtype=np.float64)  # spin pre-done
+        spin_init = np.full(ns, SP, dtype=np.float64)  # spin pre-done
         p_seen, p_n, p_s1, p_s2 = spin_init, zeros, zeros, zeros
     else:
         p_seen, p_n, p_s1, p_s2 = prior_spin
     yl = y.tolist()
     ol = observed.tolist()
     sl = series_start.tolist()
-    pml = prior_mean.tolist()
-    pvl = prior_var.tolist()
+    pml = np.asarray(prior_mean, dtype=np.float64).tolist()
+    pvl = np.asarray(prior_var, dtype=np.float64).tolist()
     pbl = np.asarray(pb, dtype=np.float64).tolist()
     pbcl = np.asarray(pbc, dtype=np.float64).tolist()
     pbvl = np.asarray(pbv, dtype=np.float64).tolist()
@@ -180,32 +181,34 @@ def _kalman_batch(
     ps2l = np.asarray(p_s2, dtype=np.float64).tolist()
     vout = [0.0] * n
     sout = [0.0] * n
-    f_m = [0.0] * n
-    f_b = [0.0] * n
-    f_p00 = [0.0] * n
-    f_p01 = [0.0] * n
-    f_p11 = [0.0] * n
-    f_r = [0.0] * n
-    f_seen = [0.0] * n
-    f_n = [0.0] * n
-    f_s1 = [0.0] * n
-    f_s2 = [0.0] * n
+    f_m = [0.0] * ns
+    f_b = [0.0] * ns
+    f_p00 = [0.0] * ns
+    f_p01 = [0.0] * ns
+    f_p11 = [0.0] * ns
+    f_r = [0.0] * ns
+    f_seen = [0.0] * ns
+    f_n = [0.0] * ns
+    f_s1 = [0.0] * ns
+    f_s2 = [0.0] * ns
     m = b = p00 = p01 = p11 = r = 0.0
     seen = cn = 0
     s1 = s2 = 0.0
     done = False
+    si = -1
     for i in range(n):
         if sl[i]:
-            m = pml[i]
-            b = pbl[i]
-            p00 = pvl[i]
-            p01 = pbcl[i]
-            p11 = pbvl[i]
-            r = prl[i]
-            seen = int(psel[i])
-            cn = int(pnl[i])
-            s1 = ps1l[i]
-            s2 = ps2l[i]
+            si += 1
+            m = pml[si]
+            b = pbl[si]
+            p00 = pvl[si]
+            p01 = pbcl[si]
+            p11 = pbvl[si]
+            r = prl[si]
+            seen = int(psel[si])
+            cn = int(pnl[si])
+            s1 = ps1l[si]
+            s2 = ps2l[si]
             # invariant: done <=> seen >= SP (R finalizes the moment seen
             # reaches the window, so a done prior carries its finalized R)
             done = seen >= SP
@@ -239,16 +242,17 @@ def _kalman_batch(
                 done = True
         vout[i] = m + b
         sout[i] = math.sqrt((p00 + p01) + (p01 + p11))
-        f_m[i] = m
-        f_b[i] = b
-        f_p00[i] = p00
-        f_p01[i] = p01
-        f_p11[i] = p11
-        f_r[i] = r
-        f_seen[i] = seen
-        f_n[i] = cn
-        f_s1[i] = s1
-        f_s2[i] = s2
+        if i + 1 == n or sl[i + 1]:  # series end: snapshot checkpoint state
+            f_m[si] = m
+            f_b[si] = b
+            f_p00[si] = p00
+            f_p01[si] = p01
+            f_p11[si] = p11
+            f_r[si] = r
+            f_seen[si] = seen
+            f_n[si] = cn
+            f_s1[si] = s1
+            f_s2[si] = s2
     finals = {
         "m": np.asarray(f_m), "b": np.asarray(f_b), "p00": np.asarray(f_p00),
         "p01": np.asarray(f_p01), "p11": np.asarray(f_p11), "r": np.asarray(f_r),
@@ -553,29 +557,29 @@ def _densify_and_smooth_tier(
         series_start[cum] = True
         value, value_sd, finals = _kalman_batch(
             y, observed, series_start,
-            np.repeat(bounds["p_mean"].to_numpy(), lens),
-            np.repeat(bounds["p_var"].to_numpy(), lens),
-            np.repeat(bounds["p_bias"].to_numpy(), lens),
-            np.repeat(bounds["p_bcov"].to_numpy(), lens),
-            np.repeat(bounds["p_bvar"].to_numpy(), lens),
-            np.repeat(bounds["p_r"].to_numpy(), lens),
+            bounds["p_mean"].to_numpy(),
+            bounds["p_var"].to_numpy(),
+            bounds["p_bias"].to_numpy(),
+            bounds["p_bcov"].to_numpy(),
+            bounds["p_bvar"].to_numpy(),
+            bounds["p_r"].to_numpy(),
             prior_spin=(
-                np.repeat(bounds["p_seen"].to_numpy(), lens),
-                np.repeat(bounds["p_n"].to_numpy(), lens),
-                np.repeat(bounds["p_s1"].to_numpy(), lens),
-                np.repeat(bounds["p_s2"].to_numpy(), lens),
+                bounds["p_seen"].to_numpy(),
+                bounds["p_n"].to_numpy(),
+                bounds["p_s1"].to_numpy(),
+                bounds["p_s2"].to_numpy(),
             ),
         )
-        st_m = finals["m"][ends]
-        st_b = finals["b"][ends]
-        st_p00 = finals["p00"][ends]
-        st_p01 = finals["p01"][ends]
-        st_p11 = finals["p11"][ends]
-        st_r = finals["r"][ends]
-        st_seen = finals["seen"][ends]
-        st_n = finals["n"][ends]
-        st_s1 = finals["s1"][ends]
-        st_s2 = finals["s2"][ends]
+        st_m = finals["m"]
+        st_b = finals["b"]
+        st_p00 = finals["p00"]
+        st_p01 = finals["p01"]
+        st_p11 = finals["p11"]
+        st_r = finals["r"]
+        st_seen = finals["seen"]
+        st_n = finals["n"]
+        st_s1 = finals["s1"]
+        st_s2 = finals["s2"]
     else:
         value = np.where(
             observed,

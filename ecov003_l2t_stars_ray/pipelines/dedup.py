@@ -186,36 +186,70 @@ def minhash_candidates(docs: ray.data.Dataset, k: int = 5) -> pd.DataFrame:
     )
 
 
+class _JaccardVerify:
+    """Actor-pool pair verifier: the candidate shingle-set map is fetched
+    from the object store ONCE per actor (K6 pattern); each batch of
+    candidate pairs is verified in the worker, not on the driver."""
+
+    def __init__(self, sh_ref):
+        self.sh = ray.get(sh_ref)
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        sh = self.sh
+        jac = np.empty(len(batch))
+        for i, (a, b) in enumerate(
+            zip(batch["doc_a"].to_numpy(), batch["doc_b"].to_numpy())
+        ):
+            sa, sb = sh.get(a), sh.get(b)
+            if sa is None or sb is None or not len(sa) or not len(sb):
+                jac[i] = 0.0
+                continue
+            inter = len(np.intersect1d(sa, sb, assume_unique=True))
+            jac[i] = inter / (len(sa) + len(sb) - inter)
+        out = batch.copy()
+        out["jaccard"] = jac
+        return out
+
+
 def jaccard_verify(
     docs: ray.data.Dataset, pairs: pd.DataFrame, k: int = 5, threshold: float = 0.7
 ) -> pd.DataFrame:
-    """Exact n-gram Jaccard over candidate pairs (broadcast doc lookup).
-
-    The candidate set is LSH-pruned and small; texts for it are fetched via
-    a broadcast id->text map (``ray.put`` once — small-side join, no
-    shuffle). At 100 TB the map becomes a per-bucket join instead.
+    """Exact n-gram Jaccard over candidate pairs, verified in an actor
+    pool. The candidate set is LSH-pruned: shingle sets exist only for
+    candidate doc ids (gathered with a distributed filtered scan, shipped
+    once via ``ray.put``, read once per actor). At 100 TB the broadcast
+    map becomes a per-bucket join keyed on doc_id — same verify kernel.
     """
     if not len(pairs):
         return pd.DataFrame({"doc_a": pd.Series(dtype="int64"),
                              "doc_b": pd.Series(dtype="int64"),
                              "jaccard": pd.Series(dtype="float64")})
     wanted = set(pairs["doc_a"]) | set(pairs["doc_b"])
-    texts = {}
-    for batch in docs.iter_batches(batch_size=4096, batch_format="pandas"):
-        m = batch["doc_id"].isin(wanted)
-        texts.update(zip(batch.loc[m, "doc_id"], batch.loc[m, "text"]))
-    sh = {d: shingle_hashes(t, k=k) for d, t in texts.items()}
-    jac = np.empty(len(pairs))
-    for i, (a, b) in enumerate(zip(pairs["doc_a"], pairs["doc_b"])):
-        sa, sb = sh.get(a), sh.get(b)
-        if sa is None or sb is None or not len(sa) or not len(sb):
-            jac[i] = 0.0
-            continue
-        inter = len(np.intersect1d(sa, sb, assume_unique=True))
-        jac[i] = inter / (len(sa) + len(sb) - inter)
-    out = pairs.copy()
-    out["jaccard"] = jac
-    return out[out["jaccard"] >= threshold].reset_index(drop=True)
+    wanted_ref = ray.put(wanted)
+
+    def shingles_of_candidates(df: pd.DataFrame) -> pd.DataFrame:
+        w = ray.get(wanted_ref)
+        m = df["doc_id"].isin(w)
+        sub = df[m]
+        return pd.DataFrame(
+            {"doc_id": sub["doc_id"].to_numpy(),
+             "sh": [shingle_hashes(t, k=k) for t in sub["text"].to_numpy()]}
+        )
+
+    cand = docs.map_batches(shingles_of_candidates, batch_format="pandas").to_pandas()
+    sh_ref = ray.put(dict(zip(cand["doc_id"], cand["sh"])))
+    out = (
+        ray.data.from_pandas(pairs)
+        .map_batches(
+            _JaccardVerify, fn_constructor_args=(sh_ref,),
+            batch_format="pandas", batch_size=4096, concurrency=(1, 8),
+        )
+        .to_pandas()
+    )
+    return (
+        out[out["jaccard"] >= threshold]
+        .sort_values(["doc_a", "doc_b"], ignore_index=True)
+    )
 
 
 #: byte-popcount lookup (numpy 1.x has no bitwise_count)

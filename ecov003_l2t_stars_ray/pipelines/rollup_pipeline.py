@@ -130,6 +130,118 @@ def rollup_tiers(
     return parts.groupby("part_id").map_groups(_finalize, batch_format="pandas")
 
 
+def write_raw_tier(
+    ds: ray.data.Dataset, out_dir: str, num_partitions: int = 64
+) -> None:
+    """MAP-ONLY exact raw tier writer (the 10^12-turn path).
+
+    ``rollup_tiers(include_raw=True)`` pushes per-observation rows through
+    the conv-keyed shuffle — correct, but the shuffled stream becomes
+    input-sized. This writer instead:
+
+    1. streams the bulk raw rows (turn_rate per turn, latency for gaps
+       resolvable inside the block) straight from ``map_batches`` to
+       Parquet — no shuffle, no materialization;
+    2. shuffles ONLY the tiny need/provide boundary stream (O(convs x
+       blocks)) to resolve cross-block latency gaps, writing those few
+       rows alongside.
+
+    Output = the same rows as the shuffled raw tier, in a resumable
+    directory layout."""
+    import numpy as np
+
+    from ..functions.rollup import METRIC_LATENCY, METRIC_TURN_RATE
+    from ..functions.shuffle import hash_combine
+    from ..stages.finalize import _raw_tier_table
+
+    def bulk(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "conv_id": batch["conv_id"].to_pandas(),
+                "turn_idx": batch["turn_idx"].to_numpy(zero_copy_only=False),
+                "ts_us": batch["ts"].cast(pa.timestamp("us")).cast(pa.int64())
+                .to_numpy(zero_copy_only=False),
+            }
+        ).sort_values(["conv_id", "turn_idx"], kind="mergesort", ignore_index=True)
+        conv = df["conv_id"].to_numpy()
+        idx = df["turn_idx"].to_numpy()
+        ts = df["ts_us"].to_numpy()
+        n = len(df)
+        same_prev = np.zeros(n, dtype=bool)
+        same_prev[1:] = (conv[1:] == conv[:-1]) & (idx[1:] == idx[:-1] + 1)
+        frames = [
+            pd.DataFrame(
+                {"conv_id": conv, "metric": np.int8(METRIC_TURN_RATE),
+                 "vsum": 1.0, "ts_us": ts}
+            )
+        ]
+        if same_prev.any():
+            gap = (ts[same_prev] - np.roll(ts, 1)[same_prev]) / 1e6
+            frames.append(
+                pd.DataFrame(
+                    {"conv_id": conv[same_prev], "metric": np.int8(METRIC_LATENCY),
+                     "vsum": gap, "ts_us": ts[same_prev]}
+                )
+            )
+        return _raw_tier_table(pd.concat(frames, ignore_index=True))
+
+    os.makedirs(out_dir, exist_ok=True)
+    ds.map_batches(bulk, batch_format="pyarrow").write_parquet(out_dir)
+
+    # tiny boundary stream: block-edge turns only
+    def boundary(batch: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                "conv_id": batch["conv_id"].to_pandas(),
+                "turn_idx": batch["turn_idx"].to_numpy(zero_copy_only=False),
+                "ts_us": batch["ts"].cast(pa.timestamp("us")).cast(pa.int64())
+                .to_numpy(zero_copy_only=False),
+            }
+        ).sort_values(["conv_id", "turn_idx"], kind="mergesort", ignore_index=True)
+        conv = df["conv_id"].to_numpy()
+        idx = df["turn_idx"].to_numpy()
+        n = len(df)
+        same_prev = np.zeros(n, dtype=bool)
+        same_prev[1:] = (conv[1:] == conv[:-1]) & (idx[1:] == idx[:-1] + 1)
+        has_next = np.zeros(n, dtype=bool)
+        has_next[:-1] = same_prev[1:]
+        need = (idx > 0) & ~same_prev
+        keep = need | ~has_next
+        out = df[keep].copy()
+        out["is_need"] = need[keep]
+        return out
+
+    def resolve(g: pd.DataFrame) -> pa.Table:
+        needs = g[g["is_need"]]
+        provides = g[~g["is_need"]].drop_duplicates(["conv_id", "turn_idx"])
+        m = needs.merge(
+            provides,
+            left_on=["conv_id", needs["turn_idx"] - 1],
+            right_on=["conv_id", "turn_idx"],
+            suffixes=("", "_prev"),
+        )
+        if not len(m):
+            return _raw_tier_table(
+                pd.DataFrame({"conv_id": pd.Series(dtype=str),
+                              "metric": pd.Series(dtype=np.int8),
+                              "vsum": pd.Series(dtype=float),
+                              "ts_us": pd.Series(dtype=np.int64)})
+            )
+        gap = (m["ts_us"] - m["ts_us_prev"]).to_numpy() / 1e6
+        return _raw_tier_table(
+            pd.DataFrame(
+                {"conv_id": m["conv_id"].to_numpy(),
+                 "metric": np.int8(METRIC_LATENCY), "vsum": gap,
+                 "ts_us": m["ts_us"].to_numpy()}
+            )
+        )
+
+    hash_combine(
+        ds.map_batches(boundary, batch_format="pyarrow"), ["conv_id"], resolve,
+        num_partitions=num_partitions,
+    ).write_parquet(out_dir)
+
+
 def write_tiers(tiers: ray.data.Dataset, out_dir: str) -> None:
     """Write tier-partitioned Parquet (resumable layout: one dir per tier)."""
     os.makedirs(out_dir, exist_ok=True)

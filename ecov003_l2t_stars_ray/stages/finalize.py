@@ -129,108 +129,168 @@ def _kalman_batch(
     prior_obs_var: np.ndarray | None = None,
     prior_spin: tuple | None = None,
 ) -> tuple[np.ndarray, np.ndarray, dict]:
-    """Sequential bias-aware Kalman over concatenated series (reset at each
-    start) — the batch form of ``functions.kalman.kalman_gap_fill`` with
-    the IDENTICAL float64 op order (the oracle contract).
+    """Bias-aware Kalman over concatenated series — EVENT-BASED.
 
-    ``series_start[i]`` True where row i begins a new series; ``prior_*``
-    are per-SERIES arrays (one entry per series, in first-appearance
-    order) whose values seed the state at each start row (COLD_START
-    baked in by the caller). ``prior_spin`` is a (seen, n, s1, s2) tuple
-    of per-series arrays for the adaptive-noise spin-up accumulators;
-    None pins R to the default (spin pre-done). Returns
-    ``(value, sd, finals)`` where ``finals`` maps STATE_FIELDS to
-    per-series end-state arrays (the checkpoint).
+    Semantically identical (within float64 associativity) to the stepwise
+    recurrence in ``functions.kalman.kalman_gap_fill``: between observed
+    buckets the filter state is affine in the gap length (m, b, P01
+    constant; P00 += d*Q; P11 += d*Qb), so the sequential Python loop
+    touches ONLY observed buckets (plus one virtual prior event per
+    series) and every gap bucket's (value, sd) is filled vectorized from
+    the preceding event's state. On minute tiers ~85% of dense buckets are
+    gaps — this is the hot-path optimization that keeps the smoother off
+    the wall-clock critical path.
+
+    ``prior_*`` are per-SERIES arrays (first-appearance order); None means
+    cold start. ``prior_spin`` is a (seen, n, s1, s2) tuple of per-series
+    arrays; None pins R to the default (spin pre-done). Returns
+    ``(value, sd, finals)`` with finals = per-series end-state arrays
+    (STATE_FIELDS), adjusted for trailing gap buckets.
     """
     import math
 
     from ..schema import BIAS_PROCESS_NOISE_VAR, MIN_SUPPORT, SPINUP_BUCKETS
 
     n = len(y)
-    ns = int(np.asarray(series_start).sum())
+    series_start = np.asarray(series_start, dtype=bool)
+    observed = np.asarray(observed, dtype=bool)
+    ns = int(series_start.sum())
     q = PROCESS_NOISE_VAR
     qb = BIAS_PROCESS_NOISE_VAR
     r_def = OBS_NOISE_VAR
     SP = SPINUP_BUCKETS
     zeros = np.zeros(ns)
-    pb = zeros if prior_bias is None else prior_bias
-    pbc = zeros if prior_bias_cov is None else prior_bias_cov
+    pm = np.asarray(prior_mean, dtype=np.float64)
+    pv = np.asarray(prior_var, dtype=np.float64)
+    pb = zeros if prior_bias is None else np.asarray(prior_bias, dtype=np.float64)
+    pbc = zeros if prior_bias_cov is None else np.asarray(prior_bias_cov, dtype=np.float64)
     pbv = (
         np.full(ns, COLD_START["bias_sd"] ** 2)
         if prior_bias_var is None
-        else prior_bias_var
+        else np.asarray(prior_bias_var, dtype=np.float64)
     )
-    p_r = np.full(ns, r_def) if prior_obs_var is None else prior_obs_var
+    pr = np.full(ns, r_def) if prior_obs_var is None else np.asarray(prior_obs_var, dtype=np.float64)
     if prior_spin is None:
-        spin_init = np.full(ns, SP, dtype=np.float64)  # spin pre-done
-        p_seen, p_n, p_s1, p_s2 = spin_init, zeros, zeros, zeros
+        p_seen = np.full(ns, SP, dtype=np.float64)  # spin pre-done
+        p_n, p_s1, p_s2 = zeros, zeros, zeros
     else:
-        p_seen, p_n, p_s1, p_s2 = prior_spin
+        p_seen, p_n, p_s1, p_s2 = (np.asarray(a, dtype=np.float64) for a in prior_spin)
+
+    row = np.arange(n, dtype=np.int64)
+    sidx = np.cumsum(series_start) - 1           # row -> series index
+    start_rows = row[series_start]               # per-series first row
+    end_rows = np.empty(ns, dtype=np.int64)      # per-series last row
+    end_rows[:-1] = start_rows[1:] - 1
+    end_rows[-1] = n - 1
+    obs_rows = row[observed]
+    n_obs = len(obs_rows)
+    n_ev = ns + n_obs
+
+    # events sorted by row position; the virtual prior event of series s
+    # sits at start_s - 1 and must sort AFTER an observed last row of
+    # series s-1 at the same position: key = 2*pos (observed) / 2*pos+1
+    # (virtual)
+    ev_pos = np.concatenate([start_rows - 1, obs_rows])
+    ev_key = np.concatenate([2 * (start_rows - 1) + 1, 2 * obs_rows])
+    order = np.argsort(ev_key, kind="stable")
+    ev_pos = ev_pos[order]
+    ev_key = ev_key[order]
+    is_virtual = order < ns
+    ev_series = np.where(is_virtual, order, sidx[np.maximum(ev_pos, 0)])
+    # (for observed events ev_pos >= 0 always; the maximum() only guards
+    # the virtual rows already resolved by the where())
+
+    # ---- sequential pass over events only
+    evl = ev_pos.tolist()
+    virt = is_virtual.tolist()
+    ser = ev_series.tolist()
     yl = y.tolist()
-    ol = observed.tolist()
-    sl = series_start.tolist()
-    pml = np.asarray(prior_mean, dtype=np.float64).tolist()
-    pvl = np.asarray(prior_var, dtype=np.float64).tolist()
-    pbl = np.asarray(pb, dtype=np.float64).tolist()
-    pbcl = np.asarray(pbc, dtype=np.float64).tolist()
-    pbvl = np.asarray(pbv, dtype=np.float64).tolist()
-    prl = np.asarray(p_r, dtype=np.float64).tolist()
-    psel = np.asarray(p_seen, dtype=np.float64).tolist()
-    pnl = np.asarray(p_n, dtype=np.float64).tolist()
-    ps1l = np.asarray(p_s1, dtype=np.float64).tolist()
-    ps2l = np.asarray(p_s2, dtype=np.float64).tolist()
-    vout = [0.0] * n
-    sout = [0.0] * n
-    f_m = [0.0] * ns
-    f_b = [0.0] * ns
-    f_p00 = [0.0] * ns
-    f_p01 = [0.0] * ns
-    f_p11 = [0.0] * ns
-    f_r = [0.0] * ns
-    f_seen = [0.0] * ns
-    f_n = [0.0] * ns
-    f_s1 = [0.0] * ns
-    f_s2 = [0.0] * ns
+    pml = pm.tolist(); pvl = pv.tolist(); pbl = pb.tolist()
+    pbcl = pbc.tolist(); pbvl = pbv.tolist(); prl = pr.tolist()
+    psel = p_seen.tolist(); pnl = p_n.tolist()
+    ps1l = p_s1.tolist(); ps2l = p_s2.tolist()
+    e_m = [0.0] * n_ev
+    e_b = [0.0] * n_ev
+    e_svar = [0.0] * n_ev
+    f_m = [0.0] * ns; f_b = [0.0] * ns
+    f_p00 = [0.0] * ns; f_p01 = [0.0] * ns; f_p11 = [0.0] * ns
+    f_r = [0.0] * ns; f_seen = [0.0] * ns; f_n = [0.0] * ns
+    f_s1 = [0.0] * ns; f_s2 = [0.0] * ns
+    endl = end_rows.tolist()
     m = b = p00 = p01 = p11 = r = 0.0
     seen = cn = 0
     s1 = s2 = 0.0
-    done = False
+    done = True
     si = -1
-    for i in range(n):
-        if sl[i]:
-            si += 1
-            m = pml[si]
-            b = pbl[si]
-            p00 = pvl[si]
-            p01 = pbcl[si]
-            p11 = pbvl[si]
+    pos_prev = -1
+
+    def _close(idx):
+        # fold trailing gap buckets into the checkpoint state
+        nonlocal seen, r, done
+        trail = endl[idx] - pos_prev
+        if not done:
+            seen += trail
+            if seen >= SP:
+                seen = SP
+                if cn >= MIN_SUPPORT:
+                    var = (s2 - s1 * s1 / cn) / (cn - 1.0)
+                    r = var if var > r_def else r_def
+                else:
+                    r = r_def
+                done = True
+        f_m[idx] = m; f_b[idx] = b
+        f_p00[idx] = p00 + trail * q
+        f_p01[idx] = p01
+        f_p11[idx] = p11 + trail * qb
+        f_r[idx] = r; f_seen[idx] = seen; f_n[idx] = cn
+        f_s1[idx] = s1; f_s2[idx] = s2
+
+    for e in range(n_ev):
+        if virt[e]:
+            if si >= 0:
+                _close(si)
+            si = ser[e]
+            m = pml[si]; b = pbl[si]
+            p00 = pvl[si]; p01 = pbcl[si]; p11 = pbvl[si]
             r = prl[si]
-            seen = int(psel[si])
-            cn = int(pnl[si])
-            s1 = ps1l[si]
-            s2 = ps2l[si]
-            # invariant: done <=> seen >= SP (R finalizes the moment seen
-            # reaches the window, so a done prior carries its finalized R)
+            seen = int(psel[si]); cn = int(pnl[si])
+            s1 = ps1l[si]; s2 = ps2l[si]
             done = seen >= SP
-        p00 = p00 + q
-        p11 = p11 + qb
-        if ol[i]:
-            if not done:
-                cn += 1
-                s1 += yl[i]
-                s2 += yl[i] * yl[i]
-            k0num = p00 + p01
-            k1num = p01 + p11
-            s = k0num + k1num + r
-            k0 = k0num / s
-            k1 = k1num / s
-            nu = yl[i] - (m + b)
-            m = m + k0 * nu
-            b = b + k1 * nu
-            p00n = (1.0 - k0) * p00 - k0 * p01
-            p01n = (1.0 - k0) * p01 - k0 * p11
-            p11n = (1.0 - k1) * p11 - k1 * p01
-            p00, p01, p11 = p00n, p01n, p11n
+            pos_prev = evl[e]
+            e_m[e] = m; e_b[e] = b
+            e_svar[e] = (p00 + p01) + (p01 + p11)
+            continue
+        d = evl[e] - pos_prev
+        pos_prev = evl[e]
+        if not done:
+            seen += d - 1
+            if seen >= SP:
+                seen = SP
+                if cn >= MIN_SUPPORT:
+                    var = (s2 - s1 * s1 / cn) / (cn - 1.0)
+                    r = var if var > r_def else r_def
+                else:
+                    r = r_def
+                done = True
+        p00 = p00 + d * q
+        p11 = p11 + d * qb
+        yv = yl[evl[e]]
+        if not done:
+            cn += 1
+            s1 += yv
+            s2 += yv * yv
+        k0num = p00 + p01
+        k1num = p01 + p11
+        sden = k0num + k1num + r
+        k0 = k0num / sden
+        k1 = k1num / sden
+        nu = yv - (m + b)
+        m = m + k0 * nu
+        b = b + k1 * nu
+        p00n = (1.0 - k0) * p00 - k0 * p01
+        p01n = (1.0 - k0) * p01 - k0 * p11
+        p11n = (1.0 - k1) * p11 - k1 * p01
+        p00, p01, p11 = p00n, p01n, p11n
         if not done:
             seen += 1
             if seen >= SP:
@@ -240,26 +300,27 @@ def _kalman_batch(
                 else:
                     r = r_def
                 done = True
-        vout[i] = m + b
-        sout[i] = math.sqrt((p00 + p01) + (p01 + p11))
-        if i + 1 == n or sl[i + 1]:  # series end: snapshot checkpoint state
-            f_m[si] = m
-            f_b[si] = b
-            f_p00[si] = p00
-            f_p01[si] = p01
-            f_p11[si] = p11
-            f_r[si] = r
-            f_seen[si] = seen
-            f_n[si] = cn
-            f_s1[si] = s1
-            f_s2[si] = s2
+        e_m[e] = m; e_b[e] = b
+        e_svar[e] = (p00 + p01) + (p01 + p11)
+    if si >= 0:
+        _close(si)
+
+    # ---- vectorized fill of every dense row from its governing event
+    em = np.asarray(e_m)
+    eb = np.asarray(e_b)
+    esvar = np.asarray(e_svar)
+    k = np.searchsorted(ev_key, 2 * row, side="right") - 1
+    value = em[k] + eb[k]
+    t = (row - ev_pos[k]).astype(np.float64)
+    sd = np.sqrt(esvar[k] + t * (q + qb))
+
     finals = {
         "m": np.asarray(f_m), "b": np.asarray(f_b), "p00": np.asarray(f_p00),
-        "p01": np.asarray(f_p01), "p11": np.asarray(f_p11), "r": np.asarray(f_r),
-        "seen": np.asarray(f_seen), "n": np.asarray(f_n),
-        "s1": np.asarray(f_s1), "s2": np.asarray(f_s2),
+        "p01": np.asarray(f_p01), "p11": np.asarray(f_p11),
+        "r": np.asarray(f_r), "seen": np.asarray(f_seen),
+        "n": np.asarray(f_n), "s1": np.asarray(f_s1), "s2": np.asarray(f_s2),
     }
-    return np.asarray(vout), np.asarray(sout), finals
+    return value, sd, finals
 
 
 def _raw_tier_table(rawall: pd.DataFrame) -> pa.Table:

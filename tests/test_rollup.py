@@ -139,3 +139,27 @@ def test_cascade_from_stored_tier(tmp_path, small_transcripts):
     np.testing.assert_allclose(
         got["value"].to_numpy(), want["value"].to_numpy(), rtol=1e-9
     )
+
+
+def test_map_only_raw_tier_matches_shuffled(small_corpus_dir, small_transcripts, tmp_path):
+    """write_raw_tier (map-only bulk + tiny boundary shuffle) produces the
+    same raw rows as the shuffle path / oracle."""
+    import pyarrow.dataset as pads
+
+    from ecov003_l2t_stars_ray.pipelines.rollup_pipeline import write_raw_tier
+
+    out = str(tmp_path / "raw")
+    write_raw_tier(read_transcripts(small_corpus_dir), out)
+    got = pads.dataset(out).to_table().to_pandas()
+    for c in ("conv_id", "metric", "tier"):
+        got[c] = got[c].astype(str)
+    key = ["conv_id", "metric", "bucket_start", "value"]
+    got = got.sort_values(key, ignore_index=True)
+    want = oracle.tier_rollup(
+        small_transcripts.to_pandas(), smooth=True, include_raw=True
+    )
+    want = want[want.tier == "raw"].sort_values(key, ignore_index=True)
+    assert len(got) == len(want)
+    for k in ["conv_id", "metric", "bucket_start", "count"]:
+        assert (got[k].to_numpy() == want[k].to_numpy()).all(), k
+    np.testing.assert_allclose(got["value"].to_numpy(), want["value"].to_numpy())

@@ -25,7 +25,11 @@ import time
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
-#: corpus size per sf tier: (n_convs, mean_turns)
+#: corpus size per sf tier: (n_convs, mean_turns). (A 2x "scaling" corpus
+#: was tried for --scaling and rejected: its 5.9 GB per-run sink churns
+#: the page cache / tmpfs against Ray's object store and makes the 32-cpu
+#: wall swing 11.9-22.7 s on identical config — aggregated repeats on the
+#: sf0.1 corpus give a long timed wall without that pressure.)
 CORPUS = {"sf0.001": (200, 40), "sf0.01": (600, 45), "sf0.1": (130000, 60)}
 
 
@@ -107,10 +111,11 @@ def run_bench() -> dict:
                 num_partitions=256, shuffle_blocks=64,
             )
             tiers.write_parquet(out_dir)
+            # remove each repeat's sink immediately: tmpfs shares RAM with
+            # Ray's object store — letting repeat outputs accumulate forces
+            # object spilling and poisons the measurement
+            shutil.rmtree(out_dir, ignore_errors=True)
         headline_sec = min(headline_sec, (time.perf_counter() - t0) / repeats)
-        for rep in range(repeats):
-            shutil.rmtree(f"{out_base}/rollup_bench_out_{NUM_CPUS}_{trial}_{rep}",
-                          ignore_errors=True)
     turns_per_sec = n_turns / headline_sec
 
     # representative operator queries over the driver's testdata
@@ -148,11 +153,11 @@ def run_scaling() -> dict:
     """Same job, two fresh processes at 8 and 32 CPUs; efficiency =
     (throughput_32 / throughput_8) / 4.
 
-    Each level times BENCH_REPEATS (default 4) back-to-back full-pipeline
-    runs as one wall measurement, so the 32-cpu wall is >=30 s and the
-    efficiency is not jitter-dominated (round-1 samples on a ~7 s wall
+    Each level times BENCH_REPEATS (default 5) back-to-back full-pipeline
+    runs as one wall measurement, so the 32-cpu timed wall is >=30 s and
+    the efficiency is not jitter-dominated (round-1 samples on a ~7 s wall
     ranged 0.76-0.94 on identical code)."""
-    repeats = os.environ.get("BENCH_REPEATS", "4")
+    repeats = os.environ.get("BENCH_REPEATS", "5")
 
     def run(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), BENCH_SKIP_QUERIES="1",

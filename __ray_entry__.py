@@ -331,6 +331,17 @@ def _text_invariant(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def _ngram_jaccard_pairs(sf_dir: str) -> pd.DataFrame:
+    import ray.data
+
+    from ecov003_l2t_stars_ray.pipelines.dedup import ngram_jaccard_pairs
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = ngram_jaccard_pairs(docs, threshold=0.5)
+    out["jaccard"] = out["jaccard"].round(6)
+    return out
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from ecov003_l2t_stars_ray.pipelines import analytics as A
     from ecov003_l2t_stars_ray.pipelines import text_analysis as T
@@ -383,6 +394,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_token_stats": T.doc_token_stats,
         "doc_quality": T.doc_quality,
         "doc_langid": T.doc_langid,
+        "doc_bpe_tokens": T.doc_bpe_tokens,
+        "doc_char_ngrams": T.doc_char_ngrams,
+        "doc_winnow": T.doc_winnow,
+        # exact distributed word-set Jaccard (block-pair scan)
+        "ngram_jaccard_pairs": _ngram_jaccard_pairs,
         # similarity search
         "ann_topk": _ann_topk,
         "srp_ann": _srp_ann,
@@ -679,6 +695,37 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                          CAST(b.embedding AS DOUBLE[])) >= 0.35
+        """,
+        "doc_bpe_tokens": r"""
+            SELECT doc_id,
+                   LENGTH(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS n_bpe_tokens,
+                   LENGTH(regexp_extract_all(text, '\S+')) AS n_ws_tokens,
+                   ROUND(CAST(LENGTH(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS DOUBLE)
+                         / GREATEST(LENGTH(regexp_extract_all(text, '\S+')), 1), 6) AS expansion
+            FROM documents
+        """,
+        "doc_char_ngrams": """
+            SELECT doc_id,
+                   CASE WHEN LENGTH(text) >= 4
+                        THEN len(list_distinct(list_transform(
+                                 generate_series(1, LENGTH(text) - 3),
+                                 i -> substr(text, i, 4))))
+                        ELSE 0 END AS n_distinct_ngrams
+            FROM documents
+        """,
+        "ngram_jaccard_pairs": r"""
+            WITH w AS (
+                SELECT doc_id,
+                       list_distinct(list_filter(
+                           string_split_regex(text, '\s+'), x -> x <> '')) AS ws
+                FROM documents
+            )
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   ROUND(CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE)
+                         / (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))), 6) AS jaccard
+            FROM w a JOIN w b ON a.doc_id < b.doc_id
+            WHERE CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE)
+                  / (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))) >= 0.5
         """,
         "ann_topk": """
             WITH q AS (

@@ -94,3 +94,43 @@ def shingle_hashes(text: str, k: int = 5) -> np.ndarray:
         count=len(shingles),
     )
     return np.unique(h)
+
+
+#: BPE-ish tokenizer-shape proxy: letter runs, single digits, single
+#: symbol characters. Chosen so Python ``re`` and DuckDB's RE2 agree
+#: exactly (no lookarounds, no backrefs).
+BPEISH_RE = re.compile(r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]")
+
+
+def char_ngram_hashes(text: str, k: int = 4) -> np.ndarray:
+    """uint64 hash per character k-gram (rolling window over raw bytes);
+    empty for texts shorter than k. Vectorized sliding windows."""
+    b = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+    if len(b) < k:
+        return np.empty(0, dtype=np.uint64)
+    win = np.lib.stride_tricks.sliding_window_view(b, k).astype(np.uint64)
+    with np.errstate(over="ignore"):
+        h = win[:, 0].copy()
+        for j in range(1, k):
+            h = h * np.uint64(0x100000001B3) + win[:, j]  # FNV-ish roll
+    return h
+
+
+def winnow_fingerprints(text: str, k: int = 5, window: int = 4) -> np.ndarray:
+    """Winnowing document fingerprints (Schleimer et al.): k-gram rolling
+    hashes -> per-window minimum (rightmost tie-break) -> consecutive
+    dedup. Guarantees any shared substring of length >= k + window - 1
+    between two documents yields a shared fingerprint."""
+    h = char_ngram_hashes(text, k)
+    if len(h) == 0:
+        return np.empty(0, dtype=np.uint64)
+    if len(h) <= window:
+        return np.unique(h.min(keepdims=True))
+    win = np.lib.stride_tricks.sliding_window_view(h, window)
+    # rightmost minimum per window (reverse, argmin, map back); the
+    # fingerprint SET is what matters downstream, so a final unique
+    # subsumes the classic consecutive-duplicate drop
+    rev = win[:, ::-1]
+    pos = (window - 1) - rev.argmin(axis=1)
+    sel = win[np.arange(len(win)), pos]
+    return np.unique(sel)

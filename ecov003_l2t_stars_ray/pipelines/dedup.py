@@ -578,3 +578,118 @@ def near_dup_groups(docs: ray.data.Dataset, k: int = 5,
                              "is_survivor": pd.Series(dtype="bool")})
     groups["is_survivor"] = groups["doc_id"] == groups["group_id"]
     return groups
+
+
+class _SetJaccardScan:
+    """Actor-pool stage for the exact block-pair word-set Jaccard scan
+    (same block-nested-loop shape as :class:`_BlockPairScan`): each task
+    computes one (chunk_i, chunk_j) block of the pair matrix over sorted
+    distinct word-hash sets; chunks LRU-cached per actor."""
+
+    def __init__(self, root: str, threshold: float, cache_size: int = 4):
+        self.root = root
+        self.threshold = threshold
+        self.cache_size = cache_size
+        self.cache: dict[int, tuple[np.ndarray, list]] = {}
+
+    def _load(self, c: int):
+        import os
+
+        import pyarrow.dataset as pads
+
+        if c in self.cache:
+            return self.cache[c]
+        d = os.path.join(self.root, f"chunk={c}")
+        if not os.path.isdir(d):
+            out = (np.empty(0, dtype=np.int64), [])
+        else:
+            df = pads.dataset(d).to_table(columns=["doc_id", "wh"]).to_pandas()
+            out = (df["doc_id"].to_numpy(),
+                   [np.asarray(w, dtype=np.uint64) for w in df["wh"]])
+        if len(self.cache) >= self.cache_size:
+            self.cache.pop(next(iter(self.cache)))
+        self.cache[c] = out
+        return out
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        rows_a, rows_b, rows_j = [], [], []
+        for ci, cj in zip(batch["ci"].to_numpy(), batch["cj"].to_numpy()):
+            ida, wa = self._load(int(ci))
+            idb, wb = self._load(int(cj))
+            for i in range(len(ida)):
+                sa = wa[i]
+                na = len(sa)
+                j0 = i + 1 if ci == cj else 0
+                for j in range(j0, len(idb)):
+                    sb = wb[j]
+                    inter = len(np.intersect1d(sa, sb, assume_unique=True))
+                    jac = float(inter) / (na + len(sb) - inter)
+                    if jac >= self.threshold:
+                        a, b = int(ida[i]), int(idb[j])
+                        rows_a.append(min(a, b))
+                        rows_b.append(max(a, b))
+                        rows_j.append(jac)
+        return pd.DataFrame(
+            {"doc_a": pd.Series(rows_a, dtype="int64"),
+             "doc_b": pd.Series(rows_b, dtype="int64"),
+             "jaccard": pd.Series(rows_j, dtype="float64")}
+        )
+
+
+def ngram_jaccard_pairs(
+    docs: ray.data.Dataset, threshold: float = 0.5, n_chunks: int = 8
+) -> pd.DataFrame:
+    """EXACT word-set Jaccard near-dup pairs, distributed.
+
+    Stage 1: one ``map_batches`` pass hashes each doc's DISTINCT words
+    (one ``hash_array`` call per batch) and writes chunk-partitioned
+    Parquet. Stage 2: K(K+1)/2 chunk-pair tasks over a
+    :class:`_SetJaccardScan` actor pool — per-task memory is two chunks,
+    nothing broadcast whole. Exactness is the contract (the DuckDB oracle
+    checks every pair via ``list_intersect`` on the same split); the
+    approximate candidate path for large corpora is MinHash-LSH above.
+    """
+    import tempfile
+
+    import ray as _ray
+
+    scratch = tempfile.mkdtemp(prefix="jacc_chunks_")
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        words = df["text"].reset_index(drop=True).str.split().explode().dropna()
+        hashes: list[np.ndarray] = [np.empty(0, dtype=np.uint64)] * len(df)
+        if len(words):
+            wh = pd.util.hash_array(words.to_numpy(dtype=object))
+            doc_pos = words.index.to_numpy(dtype=np.int64)
+            order = np.argsort(doc_pos, kind="stable")
+            doc_pos = doc_pos[order]
+            whs = wh[order]
+            bounds = np.flatnonzero(np.diff(doc_pos)) + 1
+            for pos, seg in zip(
+                np.unique(doc_pos), np.split(whs, bounds)
+            ):
+                hashes[pos] = np.unique(seg)
+        out = pd.DataFrame(
+            {"doc_id": df["doc_id"].to_numpy(), "wh": hashes}
+        )
+        out["chunk"] = (out["doc_id"].to_numpy() % n_chunks).astype(np.int32)
+        return out
+
+    docs.map_batches(prep, batch_format="pandas").write_parquet(
+        scratch, partition_cols=["chunk"]
+    )
+    pair_ds = _ray.data.from_items(
+        [{"ci": i, "cj": j} for i in range(n_chunks) for j in range(i, n_chunks)]
+    )
+    out = pair_ds.map_batches(
+        _SetJaccardScan,
+        fn_constructor_args=(scratch, threshold),
+        batch_format="pandas",
+        batch_size=2,
+        concurrency=(1, 8),
+    ).to_pandas()
+    if "doc_a" not in out.columns:
+        return pd.DataFrame({"doc_a": pd.Series(dtype="int64"),
+                             "doc_b": pd.Series(dtype="int64"),
+                             "jaccard": pd.Series(dtype="float64")})
+    return out.sort_values(["doc_a", "doc_b"], ignore_index=True)

@@ -85,3 +85,85 @@ def doc_langid(sf_dir: str) -> pd.DataFrame:
         .sort_values("doc_id", ignore_index=True)
     )
     return out
+
+
+def doc_bpe_tokens(sf_dir: str) -> pd.DataFrame:
+    """BPE-ish token counting (letter runs, single digits, single symbol
+    chars — the tokenizer-shape proxy) next to whitespace tokens, with the
+    subword/word expansion ratio. Vectorized ``str.count`` per batch."""
+    import numpy as np
+
+    from ..functions.text import BPEISH_RE, token_count
+
+    def stats(df: pd.DataFrame) -> pd.DataFrame:
+        bpe = df["text"].str.count(BPEISH_RE).astype("int64")
+        ws = token_count(df["text"])
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "n_bpe_tokens": bpe,
+                "n_ws_tokens": ws,
+                "expansion": np.round(
+                    bpe.to_numpy(dtype=np.float64)
+                    / np.maximum(ws.to_numpy(), 1), 6
+                ),
+            }
+        )
+
+    return (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(stats, batch_format="pandas")
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+
+
+def doc_char_ngrams(sf_dir: str, k: int = 4) -> pd.DataFrame:
+    """Distinct character k-gram count per doc — the rolling-hash
+    fingerprint cardinality (document-fingerprinting family). Per-doc
+    numpy sliding windows; no per-character Python."""
+    from ..functions.text import char_ngram_hashes
+
+    def stats(df: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        counts = np.fromiter(
+            (len(np.unique(char_ngram_hashes(t, k))) for t in df["text"].to_numpy()),
+            dtype=np.int64, count=len(df),
+        )
+        return pd.DataFrame({"doc_id": df["doc_id"], "n_distinct_ngrams": counts})
+
+    return (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(stats, batch_format="pandas")
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+
+
+def doc_winnow(sf_dir: str, k: int = 5, window: int = 4) -> pd.DataFrame:
+    """Winnowing fingerprints per doc (rows-only; the near-dup overlap
+    property is pytest-verified)."""
+    from ..functions.text import winnow_fingerprints
+
+    def stats(df: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        fps = [winnow_fingerprints(t, k=k, window=window)
+               for t in df["text"].to_numpy()]
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "n_fingerprints": np.array([len(f) for f in fps], dtype=np.int64),
+                "min_fp": np.array(
+                    [int(f.min()) if len(f) else 0 for f in fps], dtype=np.uint64
+                ).astype("uint64"),
+            }
+        )
+
+    return (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(stats, batch_format="pandas")
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )

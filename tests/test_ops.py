@@ -231,3 +231,46 @@ def test_distributed_dup_groups_multi_component():
     # chain 1-2-3-4 labels to 1; triangle 10-11-12 to 10; etc.
     lab = dict(zip(got["doc_id"], got["group_id"]))
     assert lab[4] == 1 and lab[12] == 10 and lab[21] == 20 and lab[33] == 30
+
+
+def test_winnowing_overlap_property():
+    """Winnowing guarantee: docs sharing long substrings share
+    fingerprints; unrelated docs share (almost) none."""
+    import numpy as np
+
+    from ecov003_l2t_stars_ray.functions.text import winnow_fingerprints
+
+    a = "the quick brown fox jumps over the lazy dog again and again today"
+    b = a.replace("fox", "cat")
+    c = "zzz completely unrelated words qqq xxx yyy www vvv uuu ttt sss"
+    fa, fb, fc = (winnow_fingerprints(t) for t in (a, b, c))
+    ab = len(np.intersect1d(fa, fb)) / len(fa)
+    ac = len(np.intersect1d(fa, fc)) / len(fa)
+    assert ab > 0.5 and ac < 0.1
+    # deterministic across calls
+    assert np.array_equal(fa, winnow_fingerprints(a))
+
+
+def test_ngram_jaccard_exact_vs_local():
+    """Distributed block-pair word-set Jaccard == local all-pairs oracle."""
+    import numpy as np
+
+    from ecov003_l2t_stars_ray.pipelines.dedup import ngram_jaccard_pairs
+
+    docs = ray.data.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    got = ngram_jaccard_pairs(docs, threshold=0.6, n_chunks=4)
+    pdf = docs.to_pandas()
+    sets = {r.doc_id: frozenset(r.text.split()) for r in pdf.itertuples()}
+    ids = sorted(sets)
+    rows = []
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            inter = len(sets[a] & sets[b])
+            j = inter / (len(sets[a]) + len(sets[b]) - inter)
+            if j >= 0.6:
+                rows.append((a, b, j))
+    want = pd.DataFrame(rows, columns=["doc_a", "doc_b", "jaccard"])
+    assert len(got) == len(want)
+    assert (got["doc_a"].to_numpy() == want["doc_a"].to_numpy()).all()
+    assert (got["doc_b"].to_numpy() == want["doc_b"].to_numpy()).all()
+    np.testing.assert_allclose(got["jaccard"].to_numpy(), want["jaccard"].to_numpy())

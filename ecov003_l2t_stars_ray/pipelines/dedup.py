@@ -161,22 +161,44 @@ def minhash_signatures(df: pd.DataFrame, k: int = 5) -> pd.DataFrame:
 
 
 def minhash_candidates(docs: ray.data.Dataset, k: int = 5) -> pd.DataFrame:
-    """Candidate near-dup pairs (doc_a < doc_b) from LSH band collisions."""
+    """Candidate near-dup pairs (doc_a < doc_b) from LSH band collisions.
+
+    Bucket enumeration follows the engine's map_groups-granularity
+    invariant: buckets are co-located by a HASH PARTITION of (band, key)
+    and one combine call enumerates every colliding bucket of the
+    partition — per-tiny-group Python overhead (80k buckets at sf0.1)
+    was the dominant cost of the naive per-bucket groupby."""
+    from ..functions.shuffle import hash_combine
+
     sigs = docs.map_batches(
         lambda df: minhash_signatures(df, k=k), batch_format="pandas"
     )
 
-    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(g["doc_id"].unique())
-        if len(ids) < 2:
-            return pd.DataFrame({"doc_a": pd.Series(dtype="int64"),
-                                 "doc_b": pd.Series(dtype="int64")})
-        a, b = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"doc_a": ids[a], "doc_b": ids[b]})
+    def pairs_in_partition(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"doc_a": pd.Series(dtype="int64"),
+                              "doc_b": pd.Series(dtype="int64")})
+        g = g.drop_duplicates(["band_id", "band_hash", "doc_id"])
+        g = g.sort_values(["band_id", "band_hash", "doc_id"], kind="mergesort")
+        n = len(g)
+        if n < 2:
+            return empty
+        band = g["band_id"].to_numpy()
+        bh = g["band_hash"].to_numpy()
+        new_bucket = np.ones(n, dtype=bool)
+        new_bucket[1:] = (band[1:] != band[:-1]) | (bh[1:] != bh[:-1])
+        starts = np.flatnonzero(new_bucket)
+        sizes = np.diff(np.append(starts, n))
+        ids = g["doc_id"].to_numpy()
+        frames = []
+        for st, sz in zip(starts[sizes > 1], sizes[sizes > 1]):
+            a, b = np.triu_indices(int(sz), k=1)
+            frames.append(
+                pd.DataFrame({"doc_a": ids[st + a], "doc_b": ids[st + b]})
+            )
+        return pd.concat(frames, ignore_index=True) if frames else empty
 
-    cand = sigs.groupby(["band_id", "band_hash"]).map_groups(
-        pairs_in_bucket, batch_format="pandas"
-    )
+    cand = hash_combine(sigs, ["band_id", "band_hash"], pairs_in_partition,
+                        num_partitions=16)
     df = cand.to_pandas()
     if not len(df):
         return pd.DataFrame({"doc_a": pd.Series(dtype="int64"),
@@ -228,13 +250,19 @@ def jaccard_verify(
     wanted_ref = ray.put(wanted)
 
     def shingles_of_candidates(df: pd.DataFrame) -> pd.DataFrame:
+        # vectorized shingle sets via the batch rolling-hash path (Jaccard
+        # over hashed shingle SETS is invariant to the hash function)
         w = ray.get(wanted_ref)
-        m = df["doc_id"].isin(w)
-        sub = df[m]
-        return pd.DataFrame(
-            {"doc_id": sub["doc_id"].to_numpy(),
-             "sh": [shingle_hashes(t, k=k) for t in sub["text"].to_numpy()]}
-        )
+        sub = df[df["doc_id"].isin(w)].reset_index(drop=True)
+        doc_pos, sh = _shingle_hash_flat(sub["text"], k)
+        sets: list[np.ndarray] = [np.empty(0, dtype=np.uint64)] * len(sub)
+        if len(sh):
+            order = np.argsort(doc_pos, kind="stable")
+            doc_pos, sh = doc_pos[order], sh[order]
+            bounds = np.flatnonzero(np.diff(doc_pos)) + 1
+            for pos, seg in zip(np.unique(doc_pos), np.split(sh, bounds)):
+                sets[pos] = np.unique(seg)
+        return pd.DataFrame({"doc_id": sub["doc_id"].to_numpy(), "sh": sets})
 
     cand = docs.map_batches(shingles_of_candidates, batch_format="pandas").to_pandas()
     sh_ref = ray.put(dict(zip(cand["doc_id"], cand["sh"])))
@@ -320,28 +348,45 @@ def simhash_near_dups(
             )
         return pd.concat(frames, ignore_index=True)
 
-    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+    def pairs_in_partition(g: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame(
             {"doc_a": pd.Series(dtype="int64"), "doc_b": pd.Series(dtype="int64"),
              "hamming": pd.Series(dtype="int64")}
         )
-        g = g.drop_duplicates("doc_id").sort_values("doc_id")
-        if len(g) < 2 or len(g) > max_bucket:
+        g = g.drop_duplicates(["band", "key", "doc_id"])
+        g = g.sort_values(["band", "key", "doc_id"], kind="mergesort")
+        n = len(g)
+        if n < 2:
             return empty
+        bk = g["band"].to_numpy(dtype=np.int64) * np.int64(1 << 48) + g[
+            "key"
+        ].to_numpy(dtype=np.int64)
+        new_bucket = np.ones(n, dtype=bool)
+        new_bucket[1:] = bk[1:] != bk[:-1]
+        starts = np.flatnonzero(new_bucket)
+        sizes = np.diff(np.append(starts, n))
         ids = g["doc_id"].to_numpy()
         sg = g["simhash"].to_numpy(dtype=np.uint64)
-        a, b = np.triu_indices(len(ids), k=1)
-        dist = _popcount64(sg[a] ^ sg[b])
-        keep = dist <= hamming_k
-        return pd.DataFrame(
-            {"doc_a": ids[a][keep], "doc_b": ids[b][keep],
-             "hamming": dist[keep]}
-        )
+        frames = []
+        for st, sz in zip(starts[sizes > 1], sizes[sizes > 1]):
+            if sz > max_bucket:
+                continue  # degenerate bucket: exact dedup is the tool
+            a, b = np.triu_indices(int(sz), k=1)
+            dist = _popcount64(sg[st + a] ^ sg[st + b])
+            keep = dist <= hamming_k
+            if keep.any():
+                frames.append(
+                    pd.DataFrame({"doc_a": ids[st + a][keep],
+                                  "doc_b": ids[st + b][keep],
+                                  "hamming": dist[keep]})
+                )
+        return pd.concat(frames, ignore_index=True) if frames else empty
 
-    cand = (
-        sigs.map_batches(explode_bands, batch_format="pandas")
-        .groupby(["band", "key"])
-        .map_groups(pairs_in_bucket, batch_format="pandas")
+    from ..functions.shuffle import hash_combine
+
+    cand = hash_combine(
+        sigs.map_batches(explode_bands, batch_format="pandas"),
+        ["band", "key"], pairs_in_partition, num_partitions=16,
     )
     df = cand.to_pandas()
     if not len(df):

@@ -31,6 +31,11 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--num-partitions", type=int, default=64)
     ap.add_argument("--giveup-buckets", type=int, default=None)
     ap.add_argument("--num-cpus", type=int, default=None)
+    ap.add_argument(
+        "--address", default="local",
+        help='Ray address: "local" starts a single-node session; "auto" '
+             "connects to a running cluster (ray job submit / ray up)",
+    )
     args = ap.parse_args(argv)
 
     from .config import RollupJobConfig
@@ -60,13 +65,11 @@ def main(argv: list[str] | None = None) -> int:
 
     owns_ray = not ray.is_initialized()
     if owns_ray:
-        ray.init(
-            address="local",
-            num_cpus=cfg.num_cpus,
-            include_dashboard=False,
-            ignore_reinit_error=True,
-            logging_level="ERROR",
-        )
+        kwargs = dict(include_dashboard=False, ignore_reinit_error=True,
+                      logging_level="ERROR")
+        if args.address == "local":
+            kwargs["num_cpus"] = cfg.num_cpus  # single-node dev/test session
+        ray.init(address=args.address, **kwargs)
     try:
         from .pipelines.epochs import run_epoch
 

@@ -331,6 +331,17 @@ def _text_invariant(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def _ivf_near_dups(sf_dir: str) -> pd.DataFrame:
+    import ray.data
+
+    from ecov003_l2t_stars_ray.pipelines.similarity import ivf_near_dups
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    out = ivf_near_dups(emb, threshold=0.35, n_centroids=8, n_probe=4, seed=11)
+    out["cosine"] = out["cosine"].round(6)
+    return out
+
+
 def _ngram_jaccard_pairs(sf_dir: str) -> pd.DataFrame:
     import ray.data
 
@@ -405,6 +416,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ivf_ann": _ivf_ann,
         # full MinHash dedup with connected-component groups — rows-only
         "minhash_dup_groups": _minhash_dup_groups,
+        # IVF-routed approximate near-dups (scale path; recall pytest)
+        "ivf_near_dups": _ivf_near_dups,
         # engine-native pipelines
         "lineage_manifest": _lineage_manifest,
         "transcript_latency_1m": _transcript_latency_1m,

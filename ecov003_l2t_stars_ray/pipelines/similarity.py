@@ -246,3 +246,73 @@ class IVFIndex:
             .sort_values(["query_id", "cosine", "vec_id"],
                          ascending=[True, False, True], ignore_index=True)
         )
+
+
+def ivf_near_dups(
+    emb: ray.data.Dataset,
+    threshold: float = 0.9,
+    n_centroids: int = 16,
+    n_probe: int = 2,
+    seed: int = 11,
+) -> pd.DataFrame:
+    """APPROXIMATE cosine near-dup pairs via IVF bucket routing — the
+    corpus-size-independent candidate path (vs the exact block-pair scan
+    in ``dedup.embedding_near_dups``).
+
+    Each vector is multi-assigned to its ``n_probe`` nearest centroids
+    (recall knob: two genuinely-near vectors share a bucket with high
+    probability at high thresholds); pair generation is bucket-local —
+    one vectorized matmul per centroid bucket inside a hash-partitioned
+    combine, candidates never leave their bucket. Recall < 1 by design;
+    exactness at moderate thresholds needs the block scan.
+    """
+    from ..functions.shuffle import hash_combine
+
+    idx = IVFIndex(n_centroids=n_centroids, n_probe=n_probe, seed=seed).fit(emb)
+    ref = ray.put(idx.centroids)
+
+    def assign_multi(df: pd.DataFrame) -> pd.DataFrame:
+        cc = ray.get(ref)
+        m = _to_matrix(df["embedding"])
+        order = np.argsort(-(m @ cc.T), axis=1)[:, :n_probe]
+        n = len(df)
+        return pd.DataFrame(
+            {
+                "centroid": order.reshape(-1).astype(np.int32),
+                "vec_id": np.repeat(df["vec_id"].to_numpy(), n_probe),
+                "emb": list(np.repeat(m, n_probe, axis=0)),
+            }
+        )
+
+    def pairs_in_partition(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"vec_a": pd.Series(dtype="int64"),
+                              "vec_b": pd.Series(dtype="int64"),
+                              "cosine": pd.Series(dtype="float64")})
+        frames = []
+        for _c, b in g.groupby("centroid", sort=False):
+            b = b.drop_duplicates("vec_id")
+            if len(b) < 2:
+                continue
+            m = np.stack(b["emb"].to_numpy())
+            ids = b["vec_id"].to_numpy()
+            sims = m @ m.T
+            ai, bj = np.nonzero(sims >= threshold)
+            keep = ids[ai] < ids[bj]
+            if keep.any():
+                frames.append(
+                    pd.DataFrame({"vec_a": ids[ai][keep], "vec_b": ids[bj][keep],
+                                  "cosine": sims[ai, bj][keep]})
+                )
+        return pd.concat(frames, ignore_index=True) if frames else empty
+
+    out = hash_combine(
+        emb.map_batches(assign_multi, batch_format="pandas"),
+        ["centroid"], pairs_in_partition, num_partitions=8,
+    ).to_pandas()
+    if not len(out):
+        return pd.DataFrame({"vec_a": pd.Series(dtype="int64"),
+                             "vec_b": pd.Series(dtype="int64"),
+                             "cosine": pd.Series(dtype="float64")})
+    return out.drop_duplicates(["vec_a", "vec_b"]).sort_values(
+        ["vec_a", "vec_b"], ignore_index=True
+    )

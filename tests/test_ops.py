@@ -274,3 +274,21 @@ def test_ngram_jaccard_exact_vs_local():
     assert (got["doc_a"].to_numpy() == want["doc_a"].to_numpy()).all()
     assert (got["doc_b"].to_numpy() == want["doc_b"].to_numpy()).all()
     np.testing.assert_allclose(got["jaccard"].to_numpy(), want["jaccard"].to_numpy())
+
+
+def test_ivf_near_dups_recall_vs_exact():
+    """IVF-routed approximate near-dups recover most exact pairs at the
+    working threshold, with a corpus-size-independent candidate set."""
+    import numpy as np
+
+    from ecov003_l2t_stars_ray.pipelines.dedup import embedding_near_dups
+    from ecov003_l2t_stars_ray.pipelines.similarity import ivf_near_dups
+
+    emb = ray.data.read_parquet(f"{SF}/embeddings.parquet")
+    exact = embedding_near_dups(emb, threshold=0.35)
+    approx = ivf_near_dups(emb, threshold=0.35, n_centroids=8, n_probe=4, seed=11)
+    ex = set(zip(exact["vec_a"], exact["vec_b"]))
+    ap = set(zip(approx["vec_a"], approx["vec_b"]))
+    assert ap <= ex  # no false pairs (same similarity, pruned candidates)
+    recall = len(ap & ex) / max(len(ex), 1)
+    assert recall >= 0.5, recall

@@ -32,7 +32,11 @@ KIND_NEED = 1
 KIND_PROVIDE = 2
 KIND_RAW = 3  # opt-in per-observation rows for the exact raw tier
 
-#: Intermediate (pre-shuffle) schema. ``metric``: 0=turn_rate, 1=latency.
+#: Intermediate (pre-shuffle) schema. KIND_PARTIAL rows carry BOTH metrics
+#: of a (conv, 1m-bucket) in one row (tr_count = turn_rate count;
+#: lat_count + vmin/vmax/vsum = latency aggregate) — half the shuffled
+#: rows of a per-metric layout. ``metric`` (0=turn_rate, 1=latency) is
+#: used only by KIND_RAW per-observation rows.
 PARTIAL_SCHEMA = pa.schema(
     [
         ("part_id", pa.int32()),
@@ -40,7 +44,8 @@ PARTIAL_SCHEMA = pa.schema(
         ("kind", pa.int8()),
         ("metric", pa.int8()),
         ("bucket_us", pa.int64()),
-        ("count", pa.int64()),
+        ("tr_count", pa.int64()),
+        ("lat_count", pa.int64()),
         ("vmin", pa.float64()),
         ("vmax", pa.float64()),
         ("vsum", pa.float64()),
@@ -107,64 +112,43 @@ def partial_rollup(
 
     out: list[pd.DataFrame] = []
 
-    # turn_rate partials: every turn contributes value 1.0
+    # merged per-(conv, bucket) partials: turn_rate count + latency
+    # aggregate in ONE row / ONE groupby (latency NaN where the gap is not
+    # resolvable in-batch — pandas count/min/max/sum skip NaN)
+    gap = np.full(n, np.nan)
+    if same_prev.any():
+        gap[same_prev] = (ts[same_prev] - np.roll(ts, 1)[same_prev]) / 1e6
     g = (
-        pd.DataFrame({"conv_id": conv, "bucket_us": bucket})
-        .groupby(["conv_id", "bucket_us"], sort=False)
-        .size()
-        .reset_index(name="count")
+        pd.DataFrame({"conv_id": conv, "bucket_us": bucket, "lat": gap})
+        .groupby(["conv_id", "bucket_us"], sort=False)["lat"]
+        .agg(tr="size", ln="count", vmin="min", vmax="max", vsum="sum")
+        .reset_index()
     )
     out.append(
         pd.DataFrame(
             {
                 "conv_id": g["conv_id"],
                 "kind": KIND_PARTIAL,
-                "metric": METRIC_TURN_RATE,
+                "metric": np.int8(-1),
                 "bucket_us": g["bucket_us"],
-                "count": g["count"].astype(np.int64),
-                "vmin": 1.0,
-                "vmax": 1.0,
-                "vsum": g["count"].astype(np.float64),
+                "tr_count": g["tr"].astype(np.int64),
+                "lat_count": g["ln"].astype(np.int64),
+                "vmin": g["vmin"],
+                "vmax": g["vmax"],
+                "vsum": g["vsum"],
                 "turn_idx": np.int32(-1),
                 "ts_us": np.int64(0),
             }
         )
     )
 
-    # latency partials: gaps resolvable inside this batch
-    if same_prev.any():
-        gap = np.full(n, np.nan)
-        gap[same_prev] = (ts[same_prev] - np.roll(ts, 1)[same_prev]) / 1e6
-        lat = pd.DataFrame(
-            {"conv_id": conv[same_prev], "bucket_us": bucket[same_prev],
-             "value": gap[same_prev]}
-        )
-        ag = lat.groupby(["conv_id", "bucket_us"], sort=False)["value"].agg(
-            ["count", "min", "max", "sum"]
-        ).reset_index()
-        out.append(
-            pd.DataFrame(
-                {
-                    "conv_id": ag["conv_id"],
-                    "kind": KIND_PARTIAL,
-                    "metric": METRIC_LATENCY,
-                    "bucket_us": ag["bucket_us"],
-                    "count": ag["count"].astype(np.int64),
-                    "vmin": ag["min"],
-                    "vmax": ag["max"],
-                    "vsum": ag["sum"],
-                    "turn_idx": np.int32(-1),
-                    "ts_us": np.int64(0),
-                }
-            )
-        )
-
     if emit_raw:
         raw_frames = [
             pd.DataFrame(
                 {"conv_id": conv, "kind": np.int8(KIND_RAW),
                  "metric": np.int8(METRIC_TURN_RATE), "bucket_us": ts,
-                 "count": np.int64(1), "vmin": 1.0, "vmax": 1.0, "vsum": 1.0,
+                 "tr_count": np.int64(1), "lat_count": np.int64(0),
+                 "vmin": 1.0, "vmax": 1.0, "vsum": 1.0,
                  "turn_idx": idx.astype(np.int32), "ts_us": ts}
             )
         ]
@@ -174,7 +158,8 @@ def partial_rollup(
                 pd.DataFrame(
                     {"conv_id": conv[same_prev], "kind": np.int8(KIND_RAW),
                      "metric": np.int8(METRIC_LATENCY), "bucket_us": ts[same_prev],
-                     "count": np.int64(1), "vmin": gap_r, "vmax": gap_r,
+                     "tr_count": np.int64(1), "lat_count": np.int64(0),
+                     "vmin": gap_r, "vmax": gap_r,
                      "vsum": gap_r, "turn_idx": idx[same_prev].astype(np.int32),
                      "ts_us": ts[same_prev]}
                 )
@@ -192,7 +177,8 @@ def partial_rollup(
                         "kind": np.int8(kind),
                         "metric": np.int8(-1),
                         "bucket_us": np.int64(0),
-                        "count": np.int64(0),
+                        "tr_count": np.int64(0),
+                        "lat_count": np.int64(0),
                         "vmin": np.nan,
                         "vmax": np.nan,
                         "vsum": np.nan,

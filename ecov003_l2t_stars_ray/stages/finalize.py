@@ -384,13 +384,54 @@ def finalize_batch(
 
     extra, matched = _resolve_latency_boundaries(needs, provides)
     cols = ["conv_id", "metric", "bucket_us", "count", "vmin", "vmax", "vsum"]
-    partials = part[cols]
+    # explode the merged per-(conv, bucket) partial rows back into
+    # per-metric rows (partition-local, vectorized): turn_rate from
+    # tr_count, latency where lat_count > 0
+    frames = []
+    if len(part):
+        from ..functions.rollup import METRIC_TURN_RATE as _MT
+
+        trc = part["tr_count"].to_numpy()
+        frames.append(
+            pd.DataFrame(
+                {
+                    "conv_id": part["conv_id"].to_numpy(),
+                    "metric": np.int8(_MT),
+                    "bucket_us": part["bucket_us"].to_numpy(),
+                    "count": trc,
+                    "vmin": 1.0,
+                    "vmax": 1.0,
+                    "vsum": trc.astype(np.float64),
+                }
+            )
+        )
+        latm = part["lat_count"].to_numpy() > 0
+        if latm.any():
+            lp = part[latm]
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "conv_id": lp["conv_id"].to_numpy(),
+                        "metric": np.int8(METRIC_LATENCY),
+                        "bucket_us": lp["bucket_us"].to_numpy(),
+                        "count": lp["lat_count"].to_numpy(),
+                        "vmin": lp["vmin"].to_numpy(),
+                        "vmax": lp["vmax"].to_numpy(),
+                        "vsum": lp["vsum"].to_numpy(),
+                    }
+                )
+            )
     if extra is not None:
-        partials = pd.concat([partials, extra[cols]], ignore_index=True)
+        frames.append(extra[cols])
+    partials = (
+        pd.concat(frames, ignore_index=True)
+        if frames
+        else pd.DataFrame(columns=cols)
+    )
 
     out: list[pa.Table] = []
     if include_raw:
-        raw = df[df["kind"] == KIND_RAW]
+        raw = df[df["kind"] == KIND_RAW].rename(columns={"tr_count": "count"})
         frames = [raw[["conv_id", "metric", "bucket_us", "count", "vmin", "vmax", "vsum", "ts_us"]]]
         if extra is not None:  # boundary-resolved gaps are raw obs too
             e = extra.copy()

@@ -120,15 +120,33 @@ def run_epoch(
     # reference analog: latency-vs-failure distinction,
     # ``generate_STARS_inputs.py:220-231``). Row-group stats prune the scan.
     late_turns = 0
+    late_by_partition: dict[int, int] = {}
     prev_horizon = prev_close_us if prev_close_us is not None else prev_wm_us
     new_frags = sorted(set(input_fragments) - set(carried))
     if prev_horizon is not None and new_frags:
-        import pyarrow.compute as pc
-
         cutoff = pd.Timestamp(int(prev_horizon) - US_PER_DAY, unit="us")
-        late_turns = int(
-            pads.dataset(new_frags).count_rows(filter=pc.field("ts") < pc.scalar(cutoff))
+
+        def _late_partial(t: pa.Table) -> pd.DataFrame:
+            import pyarrow.compute as pc
+
+            t = t.filter(pc.less(t["ts"], pa.scalar(cutoff)))
+            if t.num_rows == 0:
+                return pd.DataFrame({"pid": pd.Series(dtype="int32"),
+                                     "n": pd.Series(dtype="int64")})
+            pid = partition_of(t["conv_id"].to_pandas(), num_partitions)
+            vc = pd.Series(pid).value_counts()
+            return pd.DataFrame({"pid": vc.index.to_numpy(dtype=np.int32),
+                                 "n": vc.to_numpy(dtype=np.int64)})
+
+        late_df = (
+            ray.data.read_parquet(new_frags, columns=["conv_id", "ts"])
+            .map_batches(_late_partial, batch_format="pyarrow")
+            .to_pandas()
         )
+        if len(late_df):
+            agg = late_df.groupby("pid")["n"].sum()
+            late_by_partition = {int(k): int(v) for k, v in agg.items()}
+        late_turns = int(sum(late_by_partition.values()))
 
     committed = manifest.committed(epoch)
     done_parts = {p for (p, tier, _e) in committed if tier == "all"}
@@ -186,7 +204,11 @@ def run_epoch(
             total_rows += rows
         # also mark partition-complete cells for resume bookkeeping
     for pid in range(num_partitions):
-        manifest.commit(pid, "all", epoch, fragments, watermark_us, 0, out_root)
+        # the per-partition late-drop metric rides the partition-complete
+        # cell: it commits even when every late row of the partition was
+        # dropped and no tier output dir exists
+        manifest.commit(pid, "all", epoch, fragments, watermark_us, 0, out_root,
+                        late_turns=late_by_partition.get(pid, 0))
 
     # state checkpoint: per-cell streaming reduction over this epoch's tier
     # output (never materializes the whole epoch on the driver)

@@ -148,6 +148,7 @@ MANIFEST_SCHEMA = pa.schema(
         ("input_fragments", pa.list_(pa.string())),
         ("watermark", pa.timestamp("us")),
         ("row_count", pa.int64()),
+        ("late_turns", pa.int64()),
         ("committed_at", pa.timestamp("us")),
         ("output_path", pa.string()),
     ]

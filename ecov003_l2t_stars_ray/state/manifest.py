@@ -42,8 +42,14 @@ class Manifest:
         watermark_us: int,
         row_count: int,
         output_path: str,
+        late_turns: int = 0,
     ) -> None:
-        """Atomically record one committed (partition, tier, epoch) cell."""
+        """Atomically record one committed (partition, tier, epoch) cell.
+
+        ``late_turns``: rows of this epoch's NEW fragments that landed in
+        this partition but were older than the committed horizon (dropped
+        deterministically by the bucket filter) — the per-partition
+        late-data metric of the north rule's lineage records."""
         table = pa.table(
             {
                 "partition_id": pa.array([partition_id], pa.int32()),
@@ -52,6 +58,7 @@ class Manifest:
                 "input_fragments": pa.array([input_fragments], pa.list_(pa.string())),
                 "watermark": pa.array([watermark_us], pa.timestamp("us")),
                 "row_count": pa.array([row_count], pa.int64()),
+                "late_turns": pa.array([late_turns], pa.int64()),
                 "committed_at": pa.array(
                     [int(datetime.now(timezone.utc).timestamp() * 1e6)],
                     pa.timestamp("us"),

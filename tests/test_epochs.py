@@ -115,6 +115,12 @@ def test_late_data_beyond_giveup_dropped(tmp_path, small_transcripts):
     # and the drop is visible in the epoch's lineage metrics
     assert t1["count"].sum() == t2["count"].sum()
     assert r2["late_turns"] >= 1
+    # and the per-partition lineage records carry the drop count on
+    # exactly the late conversation's partition
+    mf = Manifest(os.path.join(root, "manifest")).load()
+    e2 = mf[(mf["epoch"] == 2) & (mf["tier"] == "all")]
+    assert e2["late_turns"].sum() == r2["late_turns"]
+    assert (e2[e2["late_turns"] > 0]["partition_id"].nunique()) == 1
 
 
 def test_partial_commit_resume(tmp_path, small_transcripts):

@@ -379,6 +379,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "late_events": A.late_events,
         # session windows, moving average, exact distinct (§2.9/A5)
         "sessionize": A.sessionize,
+        # exact discrete quantiles, hopping windows, categorical pivot
+        "latency_quantiles": A.latency_quantiles,
+        "hopping_count_1h_15m": A.hopping_count_1h_15m,
+        "event_mix_1h": A.event_mix_1h,
         "moving_avg_1h": A.moving_avg_1h,
         "distinct_event_types": A.distinct_event_types,
         # derived trig columns (M9), zero-missing + global fallback
@@ -606,6 +610,36 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(CAST(MAX(date_diff('microsecond', lo, hi)) AS DOUBLE)
                          / 1000000.0, 6) AS max_session_s
             FROM p GROUP BY user_id
+        """,
+        "latency_quantiles": """
+            WITH g AS (
+                SELECT user_id,
+                       date_diff('microsecond',
+                            LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                            ts) AS gap_us
+                FROM events
+            )
+            SELECT user_id, COUNT(*) AS n_gaps,
+                   ROUND(CAST(quantile_disc(gap_us, 0.5) AS DOUBLE) / 1000000.0, 6) AS p50_s,
+                   ROUND(CAST(quantile_disc(gap_us, 0.95) AS DOUBLE) / 1000000.0, 6) AS p95_s
+            FROM g WHERE gap_us IS NOT NULL GROUP BY user_id
+        """,
+        "hopping_count_1h_15m": """
+            SELECT user_id,
+                   make_timestamp((epoch_us(ts) // 900000000 - k) * 900000000) AS window_start,
+                   COUNT(*) AS n
+            FROM events, range(4) t(k)
+            GROUP BY 1, 2
+        """,
+        "event_mix_1h": """
+            SELECT user_id, date_trunc('hour', ts) AS bucket_start,
+                   SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
+                   SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error,
+                   SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
+                   SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_signup,
+                   SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view,
+                   COUNT(*) AS n_total
+            FROM events GROUP BY 1, 2
         """,
         "moving_avg_1h": """
             WITH h AS (

@@ -784,3 +784,137 @@ def lut_lookup(sf_dir: str) -> pd.DataFrame:
         .to_pandas()
         .sort_values("event_id", ignore_index=True)
     )
+
+
+def latency_quantiles(sf_dir: str) -> pd.DataFrame:
+    """Discrete per-user latency quantiles (p50/p95 of inter-event gaps).
+
+    Exact, not sketched (SURVEY §2.5: the engine's aggregates are exact):
+    each user's gaps are co-located by the hash shuffle, sorted once per
+    partition, and the quantile element picked by DuckDB's
+    ``quantile_disc`` rank rule — the smallest k with (k+1)/n >= q under
+    double comparison. Integer microseconds end-to-end; one float
+    division at the very end."""
+    ds = _events(sf_dir, ["user_id", "event_id", "ts"])
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        u = g["user_id"].to_numpy()
+        t = g["ts"].astype("datetime64[us]").astype(np.int64).to_numpy()
+        same = np.zeros(len(g), dtype=bool)
+        same[1:] = u[1:] == u[:-1]
+        d = pd.DataFrame({"user_id": u[same], "gap_us": t[same] - np.roll(t, 1)[same]})
+        d = d.sort_values(["user_id", "gap_us"], kind="mergesort")
+        uu = d["user_id"].to_numpy()
+        gv = d["gap_us"].to_numpy()
+        bounds = np.ones(len(d), dtype=bool)
+        bounds[1:] = uu[1:] != uu[:-1]
+        starts = np.flatnonzero(bounds)
+        n = np.diff(np.append(starts, len(d)))
+
+        def qidx(q: float) -> np.ndarray:
+            # smallest k with (k+1)/n >= q, matching quantile_disc's
+            # double-precision comparisons (incl. exact-boundary ulps)
+            k = np.ceil(q * n).astype(np.int64) - 1
+            k = np.where((k > 0) & (k.astype(np.float64) / n >= q), k - 1, k)
+            k = np.where((k + 1).astype(np.float64) / n < q, k + 1, k)
+            return np.maximum(k, 0)
+
+        i50 = starts + qidx(0.5)
+        i95 = starts + qidx(0.95)
+        return pd.DataFrame(
+            {
+                "user_id": uu[starts],
+                "n_gaps": n,
+                "p50_s": np.round(gv[i50].astype(np.float64) / 1e6, 6),
+                "p95_s": np.round(gv[i95].astype(np.float64) / 1e6, 6),
+            }
+        )
+
+    return (
+        hash_combine(ds, ["user_id"], combine)
+        .to_pandas()
+        .sort_values("user_id", ignore_index=True)
+    )
+
+
+def hopping_count_1h_15m(sf_dir: str) -> pd.DataFrame:
+    """Hopping-window counts (1 h windows, 15 min hop): each event lands in
+    4 overlapping windows — exploded map-side (integer window arithmetic),
+    then one hash-partitioned count combine. The overlapping-window
+    streaming operator next to the tumbling tiers (§2.9)."""
+    hop = 15 * 60 * US
+    ds = _events(sf_dir, ["user_id", "ts"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        t = df["ts"].astype("datetime64[us]").astype(np.int64).to_numpy()
+        base = t // hop * hop
+        k = np.arange(4, dtype=np.int64)
+        ws = (base[:, None] - k[None, :] * hop).reshape(-1)
+        uid = np.repeat(df["user_id"].to_numpy(), 4)
+        return (
+            pd.DataFrame({"user_id": uid, "window_us": ws})
+            .groupby(["user_id", "window_us"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(["user_id", "window_us"], as_index=False)["n"].sum()
+
+    out = hash_combine(
+        ds.map_batches(partial, batch_format="pandas"), ["user_id"], combine
+    ).to_pandas()
+    out["window_start"] = out.pop("window_us").to_numpy().view("datetime64[us]")
+    return out[["user_id", "window_start", "n"]].sort_values(
+        ["user_id", "window_start"], ignore_index=True
+    )
+
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def event_mix_1h(sf_dir: str) -> pd.DataFrame:
+    """Per-(user, hour) event-type mix — the engine's pivoted categorical
+    count (conditional-count columns, one per type)."""
+    width = WIDTHS["1h"]
+    ds = _events(sf_dir, ["user_id", "event_type", "ts"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        b = df["ts"].astype("datetime64[us]").astype(np.int64) // width * width
+        return (
+            pd.DataFrame(
+                {"user_id": df["user_id"], "bucket_us": b,
+                 "event_type": df["event_type"].astype(str)}
+            )
+            .groupby(["user_id", "bucket_us", "event_type"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.groupby(["user_id", "bucket_us", "event_type"], as_index=False)["n"].sum()
+        piv = g.pivot_table(
+            index=["user_id", "bucket_us"], columns="event_type", values="n",
+            aggfunc="sum", fill_value=0,
+        )
+        out = pd.DataFrame({
+            "user_id": piv.index.get_level_values(0).to_numpy(),
+            "bucket_us": piv.index.get_level_values(1).to_numpy(),
+        })
+        total = np.zeros(len(piv), dtype=np.int64)
+        for et in EVENT_TYPES:
+            col = (piv[et].to_numpy(dtype=np.int64) if et in piv.columns
+                   else np.zeros(len(piv), dtype=np.int64))
+            out[f"n_{et}"] = col
+            total += col
+        out["n_total"] = total
+        return out
+
+    out = hash_combine(
+        ds.map_batches(partial, batch_format="pandas"), ["user_id", "bucket_us"],
+        combine,
+    ).to_pandas()
+    out["bucket_start"] = out.pop("bucket_us").to_numpy().view("datetime64[us]")
+    cols = ["user_id", "bucket_start"] + [f"n_{t}" for t in EVENT_TYPES] + ["n_total"]
+    return out[cols].sort_values(["user_id", "bucket_start"], ignore_index=True)

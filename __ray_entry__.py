@@ -262,10 +262,16 @@ def _lineage_manifest(sf_dir: str) -> pd.DataFrame:
     run_epoch(paths[2:], root, epoch=2, num_partitions=4, giveup_buckets=0)
     df = Manifest(f"{root}/manifest").load()
     df["n_fragments"] = df["input_fragments"].map(len).astype("int64")
-    # J2-style catalog filter: committed 1m cells of the latest epoch
+    # J2-style catalog filter: committed 1m cells of the latest epoch,
+    # joined with the partition-complete cells' late-drop metric
+    late = df[df["tier"] == "all"][["partition_id", "epoch", "late_turns"]]
     out = df[(df["tier"] == "1m") & (df["epoch"] == df["epoch"].max())]
+    out = out.drop(columns=["late_turns"]).merge(
+        late, on=["partition_id", "epoch"], how="left"
+    )
     return (
-        out[["partition_id", "tier", "epoch", "watermark", "row_count", "n_fragments"]]
+        out[["partition_id", "tier", "epoch", "watermark", "row_count",
+             "n_fragments", "late_turns"]]
         .sort_values(["partition_id"], ignore_index=True)
     )
 

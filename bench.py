@@ -130,6 +130,8 @@ def run_bench() -> dict:
         "asof_purchase_view", "dedup_exact", "doc_token_stats", "ann_topk",
         "sessionize", "moving_avg_1h", "distinct_event_types",
         "calibration", "spinup_variance", "minhash_near_dups",
+        "range_clamp", "event_mix_1h", "latency_quantiles",
+        "hopping_count_1h_15m", "embedding_near_dups", "simhash_near_dups",
     ]
     for name in q_list:
         t0 = time.perf_counter()

@@ -107,11 +107,23 @@ def run_epoch(
     open_day_start = (
         (watermark_us if close_us is None else close_us) // US_PER_DAY * US_PER_DAY
     )
-    pending_fragments = (
-        []
-        if close_us is None
-        else [p for p in fragments if _fragment_max_ts_us(p) >= open_day_start]
-    )
+    if close_us is None:
+        pending_fragments = []
+    elif len(fragments) <= 64:
+        pending_fragments = [
+            p for p in fragments if _fragment_max_ts_us(p) >= open_day_start
+        ]
+    else:
+        # many fragments: footer scans fan out as Ray tasks instead of a
+        # serial driver loop
+        @ray.remote
+        def _max_ts(path: str) -> int:
+            return _fragment_max_ts_us(path)
+
+        maxes = ray.get([_max_ts.remote(p) for p in fragments])
+        pending_fragments = [
+            p for p, m in zip(fragments, maxes) if m >= open_day_start
+        ]
 
     # late-arrival metric (provenance-aware): rows in NEW fragments older
     # than the previous epoch's committed horizon minus a one-day grace —

@@ -101,5 +101,5 @@ def decode_features(
         fn_constructor_kwargs={"fake_decoder": fake_decoder},
         batch_format="pandas",
         batch_size=32,  # wide rows: keep batch x concurrency within heap
-        concurrency=2,
+        concurrency=(1, 4),
     )

@@ -120,12 +120,25 @@ def _tier_rollup_synthetic(sf_dir: str) -> pd.DataFrame:
 
 
 def _gorilla_chunks(sf_dir: str) -> pd.DataFrame:
-    """Gorilla-compress the synthetic tier output; per-tier byte stats
-    (rows-only; roundtrip exactness is pytest-verified)."""
+    """Gorilla-compress the synthetic tier output — the codec runs as a
+    distributed ``map_batches`` stage over the tier stream (chunks
+    concatenate on decode, so executor block splits only affect chunk
+    counts, not correctness); per-tier byte stats (rows-only; roundtrip
+    exactness is pytest-verified)."""
+    import ray.data
+
+    from ecov003_l2t_stars_ray.pipelines.rollup_pipeline import rollup_tiers
+    from ecov003_l2t_stars_ray.sources.synthetic import generate_transcripts
     from ecov003_l2t_stars_ray.stages.compress import compress_batch
 
-    tiers = _tier_rollup_synthetic(sf_dir)
-    chunks = compress_batch(tiers)
+    n_convs = {"sf0.001": 40, "sf0.01": 120, "sf0.1": 400}.get(
+        os.path.basename(sf_dir.rstrip("/")), 60
+    )
+    table = generate_transcripts(n_convs=n_convs, seed=42, mean_turns=40)
+    tiers_ds = rollup_tiers(ray.data.from_arrow(table).repartition(8), smooth=True)
+    chunks = tiers_ds.map_batches(
+        compress_batch, batch_format="pandas"
+    ).to_pandas()
     out = (
         pd.DataFrame(
             {

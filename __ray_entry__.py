@@ -32,7 +32,11 @@ def _derive_transcripts(sf_dir: str):
 
     import ray.data
 
-    key = os.path.basename(sf_dir.rstrip("/"))
+    src = f"{sf_dir}/events.parquet"
+    st = os.stat(src)
+    # cache key includes the source fingerprint: a regenerated testdata
+    # dir must never serve a stale derived corpus
+    key = f"{os.path.basename(sf_dir.rstrip('/'))}_{st.st_size}_{int(st.st_mtime)}"
     out_dir = f"/tmp/graft_transcripts_{key}"
     marker = os.path.join(out_dir, "_COMPLETE")
     if not os.path.exists(marker):

@@ -405,6 +405,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # exact discrete quantiles, hopping windows, categorical pivot
         "latency_quantiles": A.latency_quantiles,
         "hopping_count_1h_15m": A.hopping_count_1h_15m,
+        "ewma_1h": A.ewma_1h,  # decayed aggregate — rows-only, pytest oracle
         "event_mix_1h": A.event_mix_1h,
         "moving_avg_1h": A.moving_avg_1h,
         "distinct_event_types": A.distinct_event_types,

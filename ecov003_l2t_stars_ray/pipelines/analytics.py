@@ -918,3 +918,52 @@ def event_mix_1h(sf_dir: str) -> pd.DataFrame:
     out["bucket_start"] = out.pop("bucket_us").to_numpy().view("datetime64[us]")
     cols = ["user_id", "bucket_start"] + [f"n_{t}" for t in EVENT_TYPES] + ["n_total"]
     return out[cols].sort_values(["user_id", "bucket_start"], ignore_index=True)
+
+
+def ewma_1h(sf_dir: str, alpha: float = 0.3) -> pd.DataFrame:
+    """Exponentially-weighted moving average over hourly per-user sums —
+    the decayed-aggregate streaming operator (§2.9 family). The recursive
+    scan runs inside the distributed partition combine over the (small)
+    hourly bucket stream; rows-only (recursion is not cleanly
+    SQL-expressible), pytest-verified against a numpy oracle."""
+    width = WIDTHS["1h"]
+    ds = _events(sf_dir, ["user_id", "ts", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        b = df["ts"].astype("datetime64[us]").astype(np.int64) // width * width
+        return (
+            pd.DataFrame({"user_id": df["user_id"], "bucket_us": b, "v": df["value"]})
+            .groupby(["user_id", "bucket_us"], sort=False, as_index=False)["v"]
+            .sum()
+        )
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.groupby(["user_id", "bucket_us"], as_index=False)["v"].sum()
+        g = g.sort_values(["user_id", "bucket_us"], kind="mergesort")
+        u = g["user_id"].to_numpy()
+        x = g["v"].to_numpy(dtype=np.float64)
+        out = np.empty(len(g))
+        prev_u = None
+        e = 0.0
+        for i in range(len(g)):  # hourly buckets: tiny per partition
+            if u[i] != prev_u:
+                e = x[i]
+                prev_u = u[i]
+            else:
+                e = alpha * x[i] + (1.0 - alpha) * e
+            out[i] = e
+        return pd.DataFrame(
+            {
+                "user_id": u,
+                "bucket_start": g["bucket_us"].to_numpy().view("datetime64[us]"),
+                "ewma": np.round(out, 6),
+            }
+        )
+
+    return (
+        hash_combine(
+            ds.map_batches(partial, batch_format="pandas"), ["user_id"], combine
+        )
+        .to_pandas()
+        .sort_values(["user_id", "bucket_start"], ignore_index=True)
+    )

@@ -292,3 +292,27 @@ def test_ivf_near_dups_recall_vs_exact():
     assert ap <= ex  # no false pairs (same similarity, pruned candidates)
     recall = len(ap & ex) / max(len(ex), 1)
     assert recall >= 0.5, recall
+
+
+def test_ewma_matches_numpy_oracle():
+    """Distributed EWMA over hourly sums == single-process numpy scan."""
+    import numpy as np
+
+    from ecov003_l2t_stars_ray.pipelines.analytics import ewma_1h
+
+    got = ewma_1h(SF, alpha=0.3)
+    ev = ray.data.read_parquet(f"{SF}/events.parquet").to_pandas()
+    ev["b"] = (
+        ev["ts"].astype("datetime64[us]").astype(np.int64) // (3600 * 10**6)
+        * (3600 * 10**6)
+    )
+    hourly = ev.groupby(["user_id", "b"], as_index=False)["value"].sum()
+    hourly = hourly.sort_values(["user_id", "b"], ignore_index=True)
+    want = []
+    for _u, grp in hourly.groupby("user_id"):
+        e = None
+        for x in grp["value"]:
+            e = x if e is None else 0.3 * x + 0.7 * e
+            want.append(round(e, 6))
+    assert len(got) == len(want)
+    np.testing.assert_allclose(got["ewma"].to_numpy(), np.array(want), rtol=1e-9)

@@ -509,6 +509,9 @@ def embedding_near_dups(
         batch_size=2,
         concurrency=(1, 8),
     ).to_pandas()
+    import shutil
+
+    shutil.rmtree(scratch, ignore_errors=True)
     if "vec_a" not in out.columns:
         return pd.DataFrame({"vec_a": pd.Series(dtype="int64"),
                              "vec_b": pd.Series(dtype="int64"),
@@ -733,6 +736,9 @@ def ngram_jaccard_pairs(
         batch_size=2,
         concurrency=(1, 8),
     ).to_pandas()
+    import shutil
+
+    shutil.rmtree(scratch, ignore_errors=True)
     if "doc_a" not in out.columns:
         return pd.DataFrame({"doc_a": pd.Series(dtype="int64"),
                              "doc_b": pd.Series(dtype="int64"),

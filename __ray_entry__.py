@@ -630,7 +630,8 @@ def oracle_sql() -> dict[str, str]:
                 SELECT user_id, sid, COUNT(*) AS n, MIN(ts) AS lo, MAX(ts) AS hi
                 FROM s GROUP BY 1, 2
             )
-            SELECT user_id, COUNT(*) AS n_sessions, SUM(n) AS n_events,
+            SELECT user_id, COUNT(*) AS n_sessions,
+                   CAST(SUM(n) AS BIGINT) AS n_events,
                    ROUND(CAST(MAX(date_diff('microsecond', lo, hi)) AS DOUBLE)
                          / 1000000.0, 6) AS max_session_s
             FROM p GROUP BY user_id
@@ -657,11 +658,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "event_mix_1h": """
             SELECT user_id, date_trunc('hour', ts) AS bucket_start,
-                   SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
-                   SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error,
-                   SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
-                   SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_signup,
-                   SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view,
+                   CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+                   CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+                   CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+                   CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+                   CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
                    COUNT(*) AS n_total
             FROM events GROUP BY 1, 2
         """,

@@ -42,6 +42,18 @@ def compare(name: str, got: pd.DataFrame, want: pd.DataFrame) -> bool:
     if len(got) != len(want):
         print(f"  [{name}] ROWCOUNT mismatch: {len(got)} vs {len(want)}")
         ok = False
+    # Dtype-strict, mirroring the driver's value hash: an int64 engine column
+    # vs a float64 oracle column hashes differently even when every value is
+    # numerically equal (bit us in r2: DuckDB HUGEINT SUM -> float64 via .df()).
+    for c in sorted(got.columns):
+        gk = got[c].dtype.kind
+        wk = want[c].dtype.kind
+        gk = "i" if gk == "u" else gk
+        wk = "i" if wk == "u" else wk
+        if gk != wk:
+            print(f"  [{name}] DTYPE mismatch on '{c}': "
+                  f"{got[c].dtype} (engine) vs {want[c].dtype} (oracle)")
+            ok = False
     g, w = _canon(got), _canon(want)
     if len(g) == len(w):
         try:

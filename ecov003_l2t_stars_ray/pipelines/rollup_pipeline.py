@@ -131,7 +131,8 @@ def rollup_tiers(
 
 
 def write_raw_tier(
-    ds: ray.data.Dataset, out_dir: str, num_partitions: int = 64
+    ds: ray.data.Dataset, out_dir: str, num_partitions: int = 64,
+    batch_size: int | None = None,
 ) -> None:
     """MAP-ONLY exact raw tier writer (the 10^12-turn path).
 
@@ -186,7 +187,8 @@ def write_raw_tier(
         return _raw_tier_table(pd.concat(frames, ignore_index=True))
 
     os.makedirs(out_dir, exist_ok=True)
-    ds.map_batches(bulk, batch_format="pyarrow").write_parquet(out_dir)
+    bs = {} if batch_size is None else {"batch_size": batch_size}
+    ds.map_batches(bulk, batch_format="pyarrow", **bs).write_parquet(out_dir)
 
     # tiny boundary stream: block-edge turns only
     def boundary(batch: pa.Table) -> pd.DataFrame:
@@ -206,14 +208,21 @@ def write_raw_tier(
         has_next = np.zeros(n, dtype=bool)
         has_next[:-1] = same_prev[1:]
         need = (idx > 0) & ~same_prev
-        keep = need | ~has_next
+        provide = ~has_next
+        # A row can be BOTH: a conversation contributing exactly one turn to
+        # this block has no in-block predecessor (need) and no in-block
+        # successor (provide). Carry independent flags so resolve() can use
+        # it in both roles — folding them into one flag silently dropped the
+        # successor block's latency gap.
+        keep = need | provide
         out = df[keep].copy()
         out["is_need"] = need[keep]
+        out["is_provide"] = provide[keep]
         return out
 
     def resolve(g: pd.DataFrame) -> pa.Table:
         needs = g[g["is_need"]]
-        provides = g[~g["is_need"]].drop_duplicates(["conv_id", "turn_idx"])
+        provides = g[g["is_provide"]].drop_duplicates(["conv_id", "turn_idx"])
         m = needs.merge(
             provides,
             left_on=["conv_id", needs["turn_idx"] - 1],
@@ -237,8 +246,8 @@ def write_raw_tier(
         )
 
     hash_combine(
-        ds.map_batches(boundary, batch_format="pyarrow"), ["conv_id"], resolve,
-        num_partitions=num_partitions,
+        ds.map_batches(boundary, batch_format="pyarrow", **bs), ["conv_id"],
+        resolve, num_partitions=num_partitions,
     ).write_parquet(out_dir)
 
 

@@ -163,3 +163,29 @@ def test_map_only_raw_tier_matches_shuffled(small_corpus_dir, small_transcripts,
     for k in ["conv_id", "metric", "bucket_start", "count"]:
         assert (got[k].to_numpy() == want[k].to_numpy()).all(), k
     np.testing.assert_allclose(got["value"].to_numpy(), want["value"].to_numpy())
+
+
+def test_map_only_raw_tier_single_turn_blocks(small_corpus_dir, small_transcripts, tmp_path):
+    """write_raw_tier parity when every block holds exactly ONE turn
+    (batch_size=1): a block-edge row is then both a need (no in-block
+    predecessor) and a provide (no in-block successor), and must serve
+    both roles or successor blocks' latency gaps vanish."""
+    import pyarrow.dataset as pads
+
+    from ecov003_l2t_stars_ray.pipelines.rollup_pipeline import write_raw_tier
+
+    out = str(tmp_path / "raw1")
+    write_raw_tier(read_transcripts(small_corpus_dir), out, batch_size=1)
+    got = pads.dataset(out).to_table().to_pandas()
+    for c in ("conv_id", "metric", "tier"):
+        got[c] = got[c].astype(str)
+    key = ["conv_id", "metric", "bucket_start", "value"]
+    got = got.sort_values(key, ignore_index=True)
+    want = oracle.tier_rollup(
+        small_transcripts.to_pandas(), smooth=True, include_raw=True
+    )
+    want = want[want.tier == "raw"].sort_values(key, ignore_index=True)
+    assert len(got) == len(want)
+    for k in ["conv_id", "metric", "bucket_start", "count"]:
+        assert (got[k].to_numpy() == want[k].to_numpy()).all(), k
+    np.testing.assert_allclose(got["value"].to_numpy(), want["value"].to_numpy())

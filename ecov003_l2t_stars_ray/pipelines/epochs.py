@@ -53,6 +53,38 @@ def _epoch_meta_path(root: str, epoch: int) -> str:
     return os.path.join(root, "manifest", f"epoch-e{epoch:05d}.json")
 
 
+class FragmentIntegrityError(RuntimeError):
+    """A carried (pending) input fragment's CRC no longer matches the value
+    recorded when the previous epoch deferred it — the input changed under
+    us, so resuming would silently mix old committed buckets with new data.
+    Reference analog: checksum-verified staging with delete-and-refetch on
+    mismatch (``LPDAACDataPool.py:368-430``)."""
+
+
+@ray.remote
+def _crc_task(path: str) -> int:
+    from ..functions.checksum import crc32_file
+
+    return crc32_file(path)
+
+
+def _fragment_crcs(
+    fragments: list[str], prev_crcs: dict[str, int], carried: set[str]
+) -> dict[str, int]:
+    """CRC-32 every input fragment via parallel Ray tasks (never a serial
+    full-file read loop on the driver), then verify carried fragments
+    against the CRCs the previous epoch recorded for them."""
+    crcs = dict(zip(fragments, ray.get([_crc_task.remote(p) for p in fragments])))
+    for p in carried:
+        want = prev_crcs.get(p)
+        if want is not None and crcs.get(p) != want:
+            raise FragmentIntegrityError(
+                f"pending fragment changed between epochs: {p} "
+                f"(crc32 {crcs.get(p):#010x} != recorded {want:#010x})"
+            )
+    return crcs
+
+
 def run_epoch(
     input_fragments: list[str],
     root: str,
@@ -76,12 +108,20 @@ def run_epoch(
         carried = _pm.get("pending_fragments", [])
         prev_close_us = _pm.get("close_us")
         prev_wm_us = _pm.get("watermark_us")
+        prev_crcs = _pm.get("fragment_crc32", {})
+    else:
+        prev_crcs = {}
 
     fragments = sorted(set(input_fragments) | set(carried))
     if not fragments:  # nothing new and nothing pending: trivially complete
         return {"epoch": epoch, "skipped": True, "watermark_us": None,
                 "close_us": None, "cells": 0, "rows": 0, "late_turns": 0,
                 "pending_fragments": []}
+    # integrity gate first (reference: verify checksum BEFORE using a staged
+    # file): CRC every fragment in parallel; a carried fragment whose CRC
+    # drifted from the recorded value aborts the epoch before any compute.
+    fragment_crcs = _fragment_crcs(fragments, prev_crcs, set(carried))
+
     prior_ref = None
     prior = load_state(state_root, epoch - 1)
     if prior is not None:
@@ -257,13 +297,6 @@ def run_epoch(
             .reset_index(drop=True)
         )
     save_state(new_state, state_root, epoch)
-
-    # integrity column for lineage (reference analog: checksum-verified
-    # staging, ``LPDAACDataPool.py:368-430``): CRC-32 per input fragment so
-    # a resume can detect a silently-changed input
-    from ..functions.checksum import crc32_file
-
-    fragment_crcs = {p: crc32_file(p) for p in fragments}
 
     os.makedirs(os.path.dirname(_epoch_meta_path(root, epoch)), exist_ok=True)
     with open(_epoch_meta_path(root, epoch), "w") as f:

@@ -123,6 +123,35 @@ def test_late_data_beyond_giveup_dropped(tmp_path, small_transcripts):
     assert (e2[e2["late_turns"] > 0]["partition_id"].nunique()) == 1
 
 
+def test_corrupted_pending_fragment_aborts_epoch(tmp_path, small_transcripts):
+    """A pending fragment silently rewritten between epochs fails the CRC
+    verify recorded in the previous epoch's meta, aborting before any
+    compute (reference: checksum verify before use, delete-and-refetch on
+    mismatch, ``LPDAACDataPool.py:368-430``)."""
+    from ecov003_l2t_stars_ray.pipelines.epochs import FragmentIntegrityError
+
+    root = str(tmp_path / "root")
+    pdf = small_transcripts.to_pandas()
+    ts_us = pdf["ts"].astype("datetime64[us]").astype(np.int64)
+    mid = int(np.quantile(ts_us, 0.6))
+    f1 = str(tmp_path / "f1.parquet")
+    f2 = str(tmp_path / "f2.parquet")
+    first, second = pdf[ts_us <= mid], pdf[ts_us > mid]
+    pq.write_table(pa.Table.from_pandas(first, preserve_index=False), f1)
+    pq.write_table(pa.Table.from_pandas(second, preserve_index=False), f2)
+
+    r1 = run_epoch([f1], root, epoch=1, num_partitions=2)
+    assert f1 in r1["pending_fragments"]
+
+    # rewrite f1 in place with subtly different content (one ts nudged)
+    mod = first.copy()
+    mod.iloc[0, mod.columns.get_loc("ts")] += pd.Timedelta(microseconds=1)
+    pq.write_table(pa.Table.from_pandas(mod, preserve_index=False), f1)
+
+    with pytest.raises(FragmentIntegrityError):
+        run_epoch([f2], root, epoch=2, num_partitions=2)
+
+
 def test_partial_commit_resume(tmp_path, small_transcripts):
     """Deleting some committed cells forces recompute of only those
     partitions; result is identical afterwards."""

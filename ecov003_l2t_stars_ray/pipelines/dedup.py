@@ -208,76 +208,114 @@ def minhash_candidates(docs: ray.data.Dataset, k: int = 5) -> pd.DataFrame:
     )
 
 
-class _JaccardVerify:
-    """Actor-pool pair verifier: the candidate shingle-set map is fetched
-    from the object store ONCE per actor (K6 pattern); each batch of
-    candidate pairs is verified in the worker, not on the driver."""
-
-    def __init__(self, sh_ref):
-        self.sh = ray.get(sh_ref)
-
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        sh = self.sh
-        jac = np.empty(len(batch))
-        for i, (a, b) in enumerate(
-            zip(batch["doc_a"].to_numpy(), batch["doc_b"].to_numpy())
-        ):
-            sa, sb = sh.get(a), sh.get(b)
-            if sa is None or sb is None or not len(sa) or not len(sb):
-                jac[i] = 0.0
-                continue
-            inter = len(np.intersect1d(sa, sb, assume_unique=True))
-            jac[i] = inter / (len(sa) + len(sb) - inter)
-        out = batch.copy()
-        out["jaccard"] = jac
-        return out
-
-
 def jaccard_verify(
-    docs: ray.data.Dataset, pairs: pd.DataFrame, k: int = 5, threshold: float = 0.7
+    docs: ray.data.Dataset, pairs: pd.DataFrame, k: int = 5,
+    threshold: float = 0.7, num_partitions: int = 16,
 ) -> pd.DataFrame:
-    """Exact n-gram Jaccard over candidate pairs, verified in an actor
-    pool. The candidate set is LSH-pruned: shingle sets exist only for
-    candidate doc ids (gathered with a distributed filtered scan, shipped
-    once via ``ray.put``, read once per actor). At 100 TB the broadcast
-    map becomes a per-bucket join keyed on doc_id — same verify kernel.
-    """
-    if not len(pairs):
-        return pd.DataFrame({"doc_a": pd.Series(dtype="int64"),
-                             "doc_b": pd.Series(dtype="int64"),
-                             "jaccard": pd.Series(dtype="float64")})
-    wanted = set(pairs["doc_a"]) | set(pairs["doc_b"])
-    wanted_ref = ray.put(wanted)
+    """Exact n-gram Jaccard over candidate pairs as a BUCKET JOIN — no
+    whole-candidate-map broadcast, no actor pool.
 
-    def shingles_of_candidates(df: pd.DataFrame) -> pd.DataFrame:
-        # vectorized shingle sets via the batch rolling-hash path (Jaccard
-        # over hashed shingle SETS is invariant to the hash function)
+    Shape (two hash-partitioned shuffles over LSH-pruned streams):
+
+    1. key = doc_id: pair-membership rows (doc_id, pair_id, side) are
+       co-partitioned with flat shingle rows (doc_id, h) from a filtered
+       scan; one vectorized merge per partition emits (pair_id, side, h).
+    2. key = pair_id: both docs' shingle hashes meet; per-pair distinct
+       counts give |A|, |B| and |A∩B| (an h seen on both sides) in one
+       pandas groupby per partition.
+
+    Only the candidate ID SET is broadcast (ids, not sets — O(pruned
+    candidates)). A pair whose union is empty never produces join rows and
+    is defined out, matching the SQL oracle's NULL-drop behavior.
+    """
+    empty = pd.DataFrame({"doc_a": pd.Series(dtype="int64"),
+                          "doc_b": pd.Series(dtype="int64"),
+                          "jaccard": pd.Series(dtype="float64")})
+    if not len(pairs):
+        return empty
+    from ..functions.shuffle import hash_combine
+
+    pairs = pairs.reset_index(drop=True)
+    a = pairs["doc_a"].to_numpy(dtype=np.int64)
+    b = pairs["doc_b"].to_numpy(dtype=np.int64)
+    pair_id = np.arange(len(pairs), dtype=np.int64)
+    member = pd.DataFrame(
+        {"doc_id": np.concatenate([a, b]),
+         "pair_id": np.concatenate([pair_id, pair_id]),
+         "side": np.concatenate(
+             [np.zeros(len(a), dtype=np.int8), np.ones(len(b), dtype=np.int8)]
+         ),
+         "h": np.uint64(0)}
+    )
+    wanted_ref = ray.put(set(np.unique(np.concatenate([a, b])).tolist()))
+
+    def shingle_rows(df: pd.DataFrame) -> pd.DataFrame:
+        # flat (doc_id, h) rows, distinct per doc (Jaccard over hashed
+        # shingle SETS is invariant to the hash function)
         w = ray.get(wanted_ref)
         sub = df[df["doc_id"].isin(w)].reset_index(drop=True)
         doc_pos, sh = _shingle_hash_flat(sub["text"], k)
-        sets: list[np.ndarray] = [np.empty(0, dtype=np.uint64)] * len(sub)
-        if len(sh):
-            order = np.argsort(doc_pos, kind="stable")
-            doc_pos, sh = doc_pos[order], sh[order]
-            bounds = np.flatnonzero(np.diff(doc_pos)) + 1
-            for pos, seg in zip(np.unique(doc_pos), np.split(sh, bounds)):
-                sets[pos] = np.unique(seg)
-        return pd.DataFrame({"doc_id": sub["doc_id"].to_numpy(), "sh": sets})
+        out = pd.DataFrame(
+            {"doc_id": sub["doc_id"].to_numpy()[doc_pos], "h": sh}
+        ).drop_duplicates()
+        out["pair_id"] = np.int64(-1)
+        out["side"] = np.int8(-1)
+        return out[["doc_id", "pair_id", "side", "h"]]
 
-    cand = docs.map_batches(shingles_of_candidates, batch_format="pandas").to_pandas()
-    sh_ref = ray.put(dict(zip(cand["doc_id"], cand["sh"])))
-    out = (
-        ray.data.from_pandas(pairs)
-        .map_batches(
-            _JaccardVerify, fn_constructor_args=(sh_ref,),
-            batch_format="pandas", batch_size=4096, concurrency=(1, 8),
+    shingles = docs.map_batches(shingle_rows, batch_format="pandas")
+    both = ray.data.from_pandas(member).union(shingles)
+
+    def route_to_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        m = g[g["side"] >= 0]
+        s = g[g["side"] < 0]
+        out = m[["doc_id", "pair_id", "side"]].merge(
+            s[["doc_id", "h"]], on="doc_id"
         )
-        .to_pandas()
+        return out[["pair_id", "side", "h"]]
+
+    routed = hash_combine(both, ["doc_id"], route_to_pairs,
+                          num_partitions=num_partitions)
+
+    def score_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["pair_id", "side", "h"])
+        sizes = g.groupby(["pair_id", "side"], sort=False).size().unstack(
+            fill_value=0
+        )
+        na = sizes[0] if 0 in sizes else pd.Series(0, index=sizes.index)
+        nb = sizes[1] if 1 in sizes else pd.Series(0, index=sizes.index)
+        on_both = g.groupby(["pair_id", "h"], sort=False).size()
+        inter = (
+            (on_both == 2).groupby(level=0).sum().reindex(sizes.index, fill_value=0)
+        )
+        union = na + nb - inter
+        jac = inter[union > 0] / union[union > 0]
+        return pd.DataFrame({"pair_id": jac.index.to_numpy(dtype=np.int64),
+                             "jaccard": jac.to_numpy(dtype=np.float64)})
+
+    scored = hash_combine(routed, ["pair_id"], score_pairs,
+                          num_partitions=num_partitions).to_pandas()
+    if "pair_id" not in scored.columns or not len(scored):
+        return empty
+    scored = scored[scored["jaccard"] >= threshold]
+    out = pd.DataFrame(
+        {"doc_a": a[scored["pair_id"].to_numpy()],
+         "doc_b": b[scored["pair_id"].to_numpy()],
+         "jaccard": scored["jaccard"].to_numpy()}
     )
-    return (
-        out[out["jaccard"] >= threshold]
-        .sort_values(["doc_a", "doc_b"], ignore_index=True)
-    )
+    return out.sort_values(["doc_a", "doc_b"], ignore_index=True)
+
+
+def _existing_chunks(scratch: str) -> set[int]:
+    """Chunk ids that the driver actually wrote (a chunk with zero rows has
+    no dir — that absence is legitimate; an absence of a WRITTEN chunk on a
+    reading node is not)."""
+    import glob as _glob
+    import os
+
+    return {
+        int(p.rsplit("=", 1)[1])
+        for p in _glob.glob(os.path.join(scratch, "chunk=*"))
+    }
 
 
 #: byte-popcount lookup (numpy 1.x has no bitwise_count)
@@ -408,9 +446,11 @@ class _BlockPairScan:
     (K6 one-time-setup pattern) — per-task memory is O(2 chunks), never the
     corpus."""
 
-    def __init__(self, root: str, threshold: float, cache_size: int = 4):
+    def __init__(self, root: str, threshold: float,
+                 expected_chunks: set[int] | None = None, cache_size: int = 4):
         self.root = root
         self.threshold = threshold
+        self.expected = expected_chunks
         self.cache_size = cache_size
         self.cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
 
@@ -423,6 +463,14 @@ class _BlockPairScan:
             return self.cache[c]
         d = os.path.join(self.root, f"chunk={c}")
         if not os.path.isdir(d):
+            if self.expected is not None and c in self.expected:
+                # missing scratch on this node = incomplete pair set; the
+                # exactness contract requires failing loudly (shared
+                # storage is needed for multi-node runs)
+                raise FileNotFoundError(
+                    f"chunk dir missing on this node: {d} — scratch must be "
+                    "on shared storage for multi-node runs"
+                )
             out = (np.empty(0, dtype=np.int64), np.empty((0, 0)))
         else:
             df = pads.dataset(d).to_table(columns=["vec_id", "embedding"]).to_pandas()
@@ -498,13 +546,14 @@ def embedding_near_dups(
     emb.map_batches(assign, batch_format="pandas").write_parquet(
         scratch, partition_cols=["chunk"]
     )
+    expected = _existing_chunks(scratch)
 
     pair_ds = _ray.data.from_items(
         [{"ci": i, "cj": j} for i in range(n_chunks) for j in range(i, n_chunks)]
     )
     out = pair_ds.map_batches(
         _BlockPairScan,
-        fn_constructor_args=(scratch, threshold),
+        fn_constructor_args=(scratch, threshold, expected),
         batch_format="pandas",
         batch_size=2,
         concurrency=(1, 8),
@@ -631,14 +680,26 @@ def near_dup_groups(docs: ray.data.Dataset, k: int = 5,
 class _SetJaccardScan:
     """Actor-pool stage for the exact block-pair word-set Jaccard scan
     (same block-nested-loop shape as :class:`_BlockPairScan`): each task
-    computes one (chunk_i, chunk_j) block of the pair matrix over sorted
-    distinct word-hash sets; chunks LRU-cached per actor."""
+    computes one (chunk_i, chunk_j) block of the pair matrix; chunks are
+    LRU-cached per actor as FLAT (doc_idx, hash) arrays.
 
-    def __init__(self, root: str, threshold: float, cache_size: int = 4):
+    Intersection counts for EVERY pair of the block come from one
+    sort-merge hash join + segment count (no per-pair Python, no per-pair
+    ``intersect1d``): join rows = total intersection mass of the block —
+    the minimum any intersection-counting algorithm touches. A pair with
+    an empty union never appears in the join and is defined out (matches
+    the SQL oracle's NULL-drop; also kills the 0/0 crash on all-empty
+    docs). Requires ``threshold > 0``: zero-intersection pairs are never
+    emitted.
+    """
+
+    def __init__(self, root: str, threshold: float,
+                 expected_chunks: set[int] | None = None, cache_size: int = 4):
         self.root = root
         self.threshold = threshold
+        self.expected = expected_chunks
         self.cache_size = cache_size
-        self.cache: dict[int, tuple[np.ndarray, list]] = {}
+        self.cache: dict[int, tuple] = {}
 
     def _load(self, c: int):
         import os
@@ -649,39 +710,67 @@ class _SetJaccardScan:
             return self.cache[c]
         d = os.path.join(self.root, f"chunk={c}")
         if not os.path.isdir(d):
-            out = (np.empty(0, dtype=np.int64), [])
+            if self.expected is not None and c in self.expected:
+                # on a multi-node cluster a worker without the (node-local)
+                # scratch dir must FAIL, not silently return an incomplete
+                # pair set — exactness is this operator's contract
+                raise FileNotFoundError(
+                    f"chunk dir missing on this node: {d} — scratch must be "
+                    "on shared storage for multi-node runs"
+                )
+            out = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64),
+                   np.empty(0, dtype=np.int64), np.empty(0, dtype=np.uint64))
         else:
             df = pads.dataset(d).to_table(columns=["doc_id", "wh"]).to_pandas()
-            out = (df["doc_id"].to_numpy(),
-                   [np.asarray(w, dtype=np.uint64) for w in df["wh"]])
+            arrs = [np.asarray(w, dtype=np.uint64) for w in df["wh"]]
+            lens = np.fromiter((len(x) for x in arrs), dtype=np.int64,
+                               count=len(arrs))
+            flat_i = np.repeat(np.arange(len(df), dtype=np.int64), lens)
+            flat_h = (
+                np.concatenate(arrs) if lens.sum()
+                else np.empty(0, dtype=np.uint64)
+            )
+            out = (df["doc_id"].to_numpy(), lens, flat_i, flat_h)
         if len(self.cache) >= self.cache_size:
             self.cache.pop(next(iter(self.cache)))
         self.cache[c] = out
         return out
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        rows_a, rows_b, rows_j = [], [], []
+        frames = []
         for ci, cj in zip(batch["ci"].to_numpy(), batch["cj"].to_numpy()):
-            ida, wa = self._load(int(ci))
-            idb, wb = self._load(int(cj))
-            for i in range(len(ida)):
-                sa = wa[i]
-                na = len(sa)
-                j0 = i + 1 if ci == cj else 0
-                for j in range(j0, len(idb)):
-                    sb = wb[j]
-                    inter = len(np.intersect1d(sa, sb, assume_unique=True))
-                    jac = float(inter) / (na + len(sb) - inter)
-                    if jac >= self.threshold:
-                        a, b = int(ida[i]), int(idb[j])
-                        rows_a.append(min(a, b))
-                        rows_b.append(max(a, b))
-                        rows_j.append(jac)
-        return pd.DataFrame(
-            {"doc_a": pd.Series(rows_a, dtype="int64"),
-             "doc_b": pd.Series(rows_b, dtype="int64"),
-             "jaccard": pd.Series(rows_j, dtype="float64")}
-        )
+            ida, la, ia, ha = self._load(int(ci))
+            idb, lb, jb, hb = self._load(int(cj))
+            if not len(ida) or not len(idb):
+                continue
+            m = pd.DataFrame({"i": ia, "h": ha}).merge(
+                pd.DataFrame({"j": jb, "h": hb}), on="h"
+            )
+            if not len(m):
+                continue
+            key = m["i"].to_numpy() * np.int64(len(idb)) + m["j"].to_numpy()
+            uk, inter = np.unique(key, return_counts=True)
+            i = uk // len(idb)
+            j = uk % len(idb)
+            jac = inter / (la[i] + lb[j] - inter)  # union >= inter >= 1
+            keep = jac >= self.threshold
+            if ci == cj:
+                keep &= i < j
+            if not keep.any():
+                continue
+            va, vb = ida[i[keep]], idb[j[keep]]
+            frames.append(
+                pd.DataFrame({"doc_a": np.minimum(va, vb),
+                              "doc_b": np.maximum(va, vb),
+                              "jaccard": jac[keep]})
+            )
+        if not frames:
+            return pd.DataFrame(
+                {"doc_a": pd.Series(dtype="int64"),
+                 "doc_b": pd.Series(dtype="int64"),
+                 "jaccard": pd.Series(dtype="float64")}
+            )
+        return pd.concat(frames, ignore_index=True)
 
 
 def ngram_jaccard_pairs(
@@ -726,12 +815,13 @@ def ngram_jaccard_pairs(
     docs.map_batches(prep, batch_format="pandas").write_parquet(
         scratch, partition_cols=["chunk"]
     )
+    expected = _existing_chunks(scratch)
     pair_ds = _ray.data.from_items(
         [{"ci": i, "cj": j} for i in range(n_chunks) for j in range(i, n_chunks)]
     )
     out = pair_ds.map_batches(
         _SetJaccardScan,
-        fn_constructor_args=(scratch, threshold),
+        fn_constructor_args=(scratch, threshold, expected),
         batch_format="pandas",
         batch_size=2,
         concurrency=(1, 8),

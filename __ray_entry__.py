@@ -414,6 +414,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "time_features": A.time_features,
         # named per-metric clamp/validity (M7) + relative angle (M12)
         "range_clamp": A.range_clamp,
+        # packed bit-field QA decode + mask-to-null (M4)
+        "qa_bitfield": A.qa_bitfield,
+        # two-source weighted blend with constrained fallbacks (M10)
+        "blend_two_source": A.blend_two_source,
         "global_mean_fallback": A.global_mean_fallback,
         "lut_lookup": A.lut_lookup,
         # calibration (K5/A6), spin-up variance (K2), trailing flag (A2)
@@ -595,6 +599,31 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(LEAST(ABS((value % 360.0) - a2),
                                360.0 - ABS((value % 360.0) - a2)), 6) AS rel_angle
             FROM cfg
+        """,
+        "qa_bitfield": """
+            SELECT event_id,
+                   (event_id >> 2) & 3 AS cloud_state,
+                   (event_id >> 4) & 7 AS land_water,
+                   (event_id & 3) = 0 AS good_quality,
+                   CASE WHEN (event_id >> 2) & 3 = 0
+                        THEN ROUND(value, 6) ELSE NULL END AS value_masked
+            FROM events
+        """,
+        "blend_two_source": """
+            WITH c AS (
+                SELECT l_orderkey, l_linenumber,
+                       l_extendedprice / 1000.0 AS a0,
+                       l_quantity AS b0,
+                       LEAST(GREATEST(l_discount * 10.0, 0.0), 1.0) AS w
+                FROM lineitem
+            )
+            SELECT l_orderkey, l_linenumber,
+                   ROUND(w * (CASE WHEN a0 >= 0.0 AND a0 <= 60.0
+                                   THEN a0 ELSE 30.0 END)
+                         + (1.0 - w) * (CASE WHEN b0 >= 1.0 AND b0 <= 50.0
+                                             THEN b0 ELSE 25.0 END), 6)
+                   AS blend_value
+            FROM c
         """,
         "global_mean_fallback": """
             SELECT event_id,

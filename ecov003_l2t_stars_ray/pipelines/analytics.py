@@ -786,6 +786,92 @@ def lut_lookup(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def qa_bitfield(sf_dir: str) -> pd.DataFrame:
+    """M4 analog: packed bit-field QA decode (reference
+    ``VIIRS/VNP09GA.py:56-80`` — ``(QF1 >> 2) & 3`` mask extraction, then
+    mask-to-null on the science value).
+
+    ``event_id`` plays the packed QA word: a 2-bit cloud-state field at
+    bits 2-3, a 3-bit land/water field at bits 4-6, and a 2-bit quality
+    field at bits 0-1.  Fully Arrow-native — ``pc.shift_right`` /
+    ``pc.bit_wise_and`` over zero-copy pyarrow batches, with
+    ``pc.if_else`` masking ``value`` to NULL wherever cloud-state != 0."""
+    import pyarrow.compute as pc
+
+    ds = _events(sf_dir, ["event_id", "value"])
+
+    def decode(t: pa.Table) -> pa.Table:
+        qf = t["event_id"]
+        cloud = pc.bit_wise_and(pc.shift_right(qf, 2), 3)
+        land = pc.bit_wise_and(pc.shift_right(qf, 4), 7)
+        good = pc.equal(pc.bit_wise_and(qf, 3), 0)
+        masked = pc.if_else(
+            pc.equal(cloud, 0),
+            pc.round(t["value"], ndigits=6),
+            pa.scalar(None, pa.float64()),
+        )
+        return pa.table(
+            {
+                "event_id": qf,
+                "cloud_state": cloud,
+                "land_water": land,
+                "good_quality": good,
+                "value_masked": masked,
+            }
+        )
+
+    return (
+        ds.map_batches(decode, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("event_id", ignore_index=True)
+    )
+
+
+#: M10 blend config — per-input valid range + fallback constant (the
+#: constrained-fallback semantics of the reference's albedo blend).
+BLEND_A = (0.0, 60.0, 30.0)  # lo, hi, fallback for input A (price/1000)
+BLEND_B = (1.0, 50.0, 25.0)  # lo, hi, fallback for input B (quantity)
+
+
+def blend_two_source(sf_dir: str) -> pd.DataFrame:
+    """M10 analog: two-source weighted blend (reference ``BRDF/BRDF.py:20-57``
+    — ``albedo = WSA*SRT + BSA*(1-SRT)`` with constrained fallbacks).
+
+    Input A is ``l_extendedprice/1000`` (WSA analog), input B is
+    ``l_quantity`` (BSA), and the per-row weight is ``l_discount*10``
+    clipped to [0,1] (the diffuse-fraction SRT).  Each input is
+    range-validated and replaced by its fallback constant when out of
+    range; the blend chain ``w*a + (1-w)*b`` is mirrored op-for-op in the
+    SQL oracle (per-row, no accumulation — ROUND(6) both sides)."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_extendedprice",
+                 "l_quantity", "l_discount"],
+    )
+
+    def blend(df: pd.DataFrame) -> pd.DataFrame:
+        a = df["l_extendedprice"].to_numpy(dtype=np.float64) / 1000.0
+        b = df["l_quantity"].to_numpy(dtype=np.float64)
+        w = np.minimum(
+            np.maximum(df["l_discount"].to_numpy(dtype=np.float64) * 10.0, 0.0), 1.0
+        )
+        a = np.where((a >= BLEND_A[0]) & (a <= BLEND_A[1]), a, BLEND_A[2])
+        b = np.where((b >= BLEND_B[0]) & (b <= BLEND_B[1]), b, BLEND_B[2])
+        return pd.DataFrame(
+            {
+                "l_orderkey": df["l_orderkey"],
+                "l_linenumber": df["l_linenumber"],
+                "blend_value": np.round(w * a + (1.0 - w) * b, 6),
+            }
+        )
+
+    return (
+        ds.map_batches(blend, batch_format="pandas")
+        .to_pandas()
+        .sort_values(["l_orderkey", "l_linenumber"], ignore_index=True)
+    )
+
+
 def latency_quantiles(sf_dir: str) -> pd.DataFrame:
     """Discrete per-user latency quantiles (p50/p95 of inter-event gaps).
 

@@ -316,3 +316,41 @@ def test_ewma_matches_numpy_oracle():
             want.append(round(e, 6))
     assert len(got) == len(want)
     np.testing.assert_allclose(got["ewma"].to_numpy(), np.array(want), rtol=1e-9)
+
+
+def test_qa_bitfield_decode():
+    """M4 bit-decode: Arrow kernel fields == python bit arithmetic."""
+    from ecov003_l2t_stars_ray.pipelines.analytics import qa_bitfield
+
+    got = qa_bitfield(SF)
+    ev = ray.data.read_parquet(f"{SF}/events.parquet").to_pandas()
+    ev = ev.sort_values("event_id", ignore_index=True)
+    eid = ev["event_id"].to_numpy()
+    np.testing.assert_array_equal(got["cloud_state"].to_numpy(), (eid >> 2) & 3)
+    np.testing.assert_array_equal(got["land_water"].to_numpy(), (eid >> 4) & 7)
+    np.testing.assert_array_equal(got["good_quality"].to_numpy(), (eid & 3) == 0)
+    cloudy = ((eid >> 2) & 3) != 0
+    assert got.loc[cloudy, "value_masked"].isna().all()
+    np.testing.assert_allclose(
+        got.loc[~cloudy, "value_masked"].to_numpy(),
+        np.round(ev.loc[~cloudy, "value"].to_numpy(), 6),
+    )
+
+
+def test_blend_two_source_fallbacks():
+    """M10 blend: weight clip + per-input out-of-range fallback constants."""
+    from ecov003_l2t_stars_ray.pipelines.analytics import blend_two_source
+
+    got = blend_two_source(SF)
+    li = ray.data.read_parquet(f"{SF}/lineitem.parquet").to_pandas()
+    li = li.sort_values(["l_orderkey", "l_linenumber"], ignore_index=True)
+    a = li["l_extendedprice"].to_numpy() / 1000.0
+    b = li["l_quantity"].to_numpy()
+    w = np.clip(li["l_discount"].to_numpy() * 10.0, 0.0, 1.0)
+    a = np.where((a >= 0.0) & (a <= 60.0), a, 30.0)
+    b = np.where((b >= 1.0) & (b <= 50.0), b, 25.0)
+    np.testing.assert_allclose(
+        got["blend_value"].to_numpy(), np.round(w * a + (1.0 - w) * b, 6)
+    )
+    # the corpus must actually exercise the fallback branch
+    assert (li["l_extendedprice"].to_numpy() / 1000.0 > 60.0).any()

@@ -5,7 +5,8 @@ sf dir, comparing row count, sorted column names, and an order-insensitive
 value hash (floats rounded to 9 dp before hashing, mirroring a tolerant
 driver compare; mismatches print a sample diff).
 
-Usage: python tools/check_oracle.py [sf_dir]
+Usage: python tools/check_oracle.py [sf_dir] [query_name ...]
+(with query names given, only those entries run)
 """
 
 from __future__ import annotations
@@ -68,7 +69,7 @@ def compare(name: str, got: pd.DataFrame, want: pd.DataFrame) -> bool:
     return ok
 
 
-def main(sf_dir: str):
+def main(sf_dir: str, only: list[str] | None = None):
     import ray
 
     ray.init(address="local", num_cpus=8, include_dashboard=False,
@@ -88,6 +89,8 @@ def main(sf_dir: str):
 
     qs = entrymod.queries()
     sqls = entrymod.oracle_sql()
+    if only:
+        qs = {k: v for k, v in qs.items() if k in only}
     passed = failed = rows_only = 0
     for name, fn in qs.items():
         try:
@@ -120,4 +123,4 @@ def main(sf_dir: str):
 
 if __name__ == "__main__":
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    sys.exit(1 if main(sf) else 0)
+    sys.exit(1 if main(sf, sys.argv[2:] or None) else 0)

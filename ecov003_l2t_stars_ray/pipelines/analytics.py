@@ -1028,16 +1028,18 @@ def ewma_1h(sf_dir: str, alpha: float = 0.3) -> pd.DataFrame:
         g = g.sort_values(["user_id", "bucket_us"], kind="mergesort")
         u = g["user_id"].to_numpy()
         x = g["v"].to_numpy(dtype=np.float64)
-        out = np.empty(len(g))
-        prev_u = None
-        e = 0.0
-        for i in range(len(g)):  # hourly buckets: tiny per partition
-            if u[i] != prev_u:
-                e = x[i]
-                prev_u = u[i]
-            else:
-                e = alpha * x[i] + (1.0 - alpha) * e
-            out[i] = e
+        n = len(g)
+        out = np.empty(n)
+        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]]) if n else np.array([], dtype=np.int64)
+        lens = np.diff(np.append(starts, n))
+        out[starts] = x[starts]
+        # segmented scan vectorized ACROSS series: step i advances every
+        # series with > i buckets by one recurrence — identical op order to
+        # the scalar loop (bit-exact), max(len) numpy ops instead of a
+        # per-row Python loop (VERDICT r2 "what's wrong" #5)
+        for i in range(1, int(lens.max()) if n else 0):
+            idx = starts[lens > i] + i
+            out[idx] = alpha * x[idx] + (1.0 - alpha) * out[idx - 1]
         return pd.DataFrame(
             {
                 "user_id": u,

@@ -34,15 +34,17 @@ def _derive_transcripts(sf_dir: str):
 
     src = f"{sf_dir}/events.parquet"
     st = os.stat(src)
-    # cache key includes the source fingerprint: a regenerated testdata
-    # dir must never serve a stale derived corpus
-    key = f"{os.path.basename(sf_dir.rstrip('/'))}_{st.st_size}_{int(st.st_mtime)}"
+    # cache key includes the source fingerprint (nanosecond mtime: a
+    # regenerated corpus within the same second must not serve stale data)
+    key = f"{os.path.basename(sf_dir.rstrip('/'))}_{st.st_size}_{st.st_mtime_ns}"
     out_dir = f"/tmp/graft_transcripts_{key}"
-    marker = os.path.join(out_dir, "_COMPLETE")
-    if not os.path.exists(marker):
+    if not os.path.isdir(out_dir):
+        # race-safe: derive into a unique dir, atomically rename into
+        # place; a concurrent loser keeps reading its own complete copy
+        # and discards it (never rmtree of a dir another process reads)
         import shutil
+        import tempfile
 
-        shutil.rmtree(out_dir, ignore_errors=True)
         ds = ray.data.read_parquet(
             f"{sf_dir}/events.parquet",
             columns=["event_id", "user_id", "event_type", "props", "ts"],
@@ -62,10 +64,14 @@ def _derive_transcripts(sf_dir: str):
                 }
             )
 
+        tmp_dir = tempfile.mkdtemp(prefix=f"graft_transcripts_{key}.", dir="/tmp")
         ds.groupby("user_id").map_groups(
             per_user, batch_format="pandas"
-        ).write_parquet(out_dir)
-        open(marker, "w").close()
+        ).write_parquet(tmp_dir)
+        try:
+            os.rename(tmp_dir, out_dir)
+        except OSError:  # another process won the publish race
+            shutil.rmtree(tmp_dir, ignore_errors=True)
     shards = sorted(glob.glob(os.path.join(out_dir, "*.parquet")))
     return ray.data.read_parquet(shards)
 

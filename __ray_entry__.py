@@ -315,6 +315,24 @@ def _media_decode(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def _media_decode_real(sf_dir: str) -> pd.DataFrame:
+    """Real pure-numpy WAV/PPM decode (no fake double) over synthetic media."""
+    import ray.data
+
+    from ecov003_l2t_stars_ray.pipelines.multimodal import (
+        decode_features,
+        synthesize_real_media,
+    )
+
+    media = ray.data.from_arrow(synthesize_real_media(n=64, seed=42))
+    out = decode_features(media, fake_decoder=False).to_pandas()
+    # feature[1] is rms for audio, decoded height for images
+    out["feat1"] = out["feature"].map(lambda f: round(float(f[1]), 6))
+    return out[
+        ["media_id", "modality", "codec", "payload_bytes", "feat1"]
+    ].sort_values("media_id", ignore_index=True)
+
+
 def _dedup_exact(sf_dir: str) -> pd.DataFrame:
     import ray.data
 
@@ -462,6 +480,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tier_rollup_synthetic": _tier_rollup_synthetic,
         "gorilla_chunks": _gorilla_chunks,
         "media_decode": _media_decode,
+        "media_decode_real": _media_decode_real,
     }
 
 

@@ -3,11 +3,12 @@
 Image/audio/video payloads are opaque ``binary`` columns with metadata
 columns (modality, width/height or sample rate, codec). The Ray-side
 plumbing — schema, small batch sizes for wide rows, actor-pool decode
-stage signature, output layout — is real and tested; the actual decode is
-STUBBED (no image/audio libraries in this container): ``DecodeStage``
-raises ``NotImplementedError`` unless constructed with
-``fake_decoder=True``, which produces a deterministic fake feature vector
-from the payload bytes so the downstream pipeline shape is exercised.
+stage signature, output layout — is real and tested, and ``DecodeStage``
+carries REAL pure-numpy decoders for uncompressed containers
+(``functions.media``: RIFF/WAVE PCM16 audio, P6 binary PPM images);
+compressed codecs (png/jpeg/mp4 — libraries absent in this container)
+raise ``NotImplementedError``. ``fake_decoder=True`` keeps the
+deterministic payload-hash feature double for the synthetic opaque path.
 
 The reference's analog is its HDF5 granule decode (fill-value -> NaN,
 scale factor; ``VNP09GA.py:84-123``): opaque stored payload -> typed
@@ -22,6 +23,13 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray.data
+
+from ecov003_l2t_stars_ray.functions.media import (
+    decode_ppm,
+    decode_wav,
+    encode_ppm,
+    encode_wav,
+)
 
 MEDIA_SCHEMA = pa.schema(
     [
@@ -58,34 +66,104 @@ def synthesize_media(n: int = 64, seed: int = 42) -> pa.Table:
     )
 
 
+def synthesize_real_media(n: int = 64, seed: int = 42) -> pa.Table:
+    """Deterministic media table with REAL payloads (WAV sines, PPM noise)."""
+    rng = np.random.default_rng(seed)
+    rows: dict[str, list] = {k: [] for k in MEDIA_SCHEMA.names}
+    for i in range(n):
+        if i % 2 == 0:  # audio: sine burst, PCM16 WAV
+            rate = int(rng.choice([8000, 16000]))
+            dur = float(rng.uniform(0.05, 0.2))
+            freq = float(rng.uniform(200.0, 2000.0))
+            amp = float(rng.uniform(0.3, 0.95))
+            t = np.arange(int(dur * rate)) / rate
+            payload = encode_wav(amp * np.sin(2 * np.pi * freq * t), rate)
+            meta = ("audio", 0, 0, rate, "wav")
+        else:  # image: uint8 noise, binary PPM
+            w, h = int(rng.integers(8, 33)), int(rng.integers(8, 33))
+            payload = encode_ppm(rng.integers(0, 256, (h, w, 3), dtype=np.uint8))
+            meta = ("image", w, h, 0, "ppm")
+        modality, w, h, rate, codec = meta
+        rows["media_id"].append(i)
+        rows["modality"].append(modality)
+        rows["payload"].append(payload)
+        rows["width"].append(w)
+        rows["height"].append(h)
+        rows["sample_rate"].append(rate)
+        rows["codec"].append(codec)
+    return pa.table(rows, schema=MEDIA_SCHEMA)
+
+
 class DecodeStage:
     """Actor-pool decode/feature-extract stage.
 
-    Real deployments construct with a decoder callable loaded ONCE in
-    ``__init__`` (model weights, codec context). Here: ``fake_decoder=True``
-    derives a deterministic 8-dim feature from payload bytes; otherwise the
-    stage raises NotImplementedError at first batch (decode libs absent).
+    The codec registry is built ONCE in ``__init__`` (the place a real
+    deployment loads model weights / codec contexts). Real decoders exist
+    for ``wav`` (RIFF PCM16) and ``ppm`` (netpbm P6) via
+    ``functions.media``; any other codec raises ``NotImplementedError``
+    (compressed-codec libraries are absent in this container).
+    ``fake_decoder=True`` keeps the payload-hash feature double instead.
+
+    Every path emits the same 8-dim float64 ``feature`` column so the
+    downstream schema is codec-independent:
+
+    - audio: duration_s, rms, peak, zero-cross rate, mean, std,
+      n_channels, sample_rate/48000
+    - image: width, height, mean R/G/B (0-1), std (0-1), aspect w/h
     """
 
     def __init__(self, fake_decoder: bool = False):
         self.fake = fake_decoder
+        self._codecs = {"wav": self._audio_features, "ppm": self._image_features}
 
-    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-        if not self.fake:
-            raise NotImplementedError(
-                "media decode requires image/audio libraries not present in "
-                "this environment; construct DecodeStage(fake_decoder=True) "
-                "for the deterministic test double"
-            )
-        feats = np.stack(
+    @staticmethod
+    def _audio_features(payload: bytes) -> np.ndarray:
+        x, rate = decode_wav(payload)
+        mono = x.mean(axis=1)
+        zc = np.count_nonzero(np.signbit(mono[1:]) != np.signbit(mono[:-1]))
+        return np.array(
             [
-                np.frombuffer(
-                    hashlib.blake2b(p, digest_size=64).digest(), dtype=np.uint8
-                )[:8].astype(np.float64)
-                / 255.0
-                for p in df["payload"]
+                len(mono) / rate,
+                float(np.sqrt(np.mean(mono**2))),
+                float(np.abs(mono).max(initial=0.0)),
+                zc / max(len(mono) - 1, 1),
+                float(mono.mean()) if len(mono) else 0.0,
+                float(mono.std()),
+                float(x.shape[1]),
+                rate / 48000.0,
             ]
         )
+
+    @staticmethod
+    def _image_features(payload: bytes) -> np.ndarray:
+        img = decode_ppm(payload)
+        h, w = img.shape[:2]
+        chan = img.reshape(-1, 3).mean(axis=0) / 255.0
+        return np.array(
+            [float(w), float(h), chan[0], chan[1], chan[2],
+             float(img.std()) / 255.0, w / h],
+        )
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        feats = np.zeros((len(df), 8), dtype=np.float64)
+        if self.fake:
+            for i, p in enumerate(df["payload"]):
+                feats[i] = (
+                    np.frombuffer(
+                        hashlib.blake2b(p, digest_size=64).digest(), dtype=np.uint8
+                    )[:8].astype(np.float64)
+                    / 255.0
+                )
+        else:
+            for i, (p, codec) in enumerate(zip(df["payload"], df["codec"])):
+                fn = self._codecs.get(codec)
+                if fn is None:
+                    raise NotImplementedError(
+                        f"no decoder for codec {codec!r}: only uncompressed "
+                        "wav/ppm are decodable without media libraries"
+                    )
+                f = fn(p)
+                feats[i, : len(f)] = f
         out = df.drop(columns=["payload"]).copy()
         out["feature"] = list(feats)
         out["payload_bytes"] = df["payload"].map(len).astype("int64")

@@ -140,9 +140,59 @@ def test_media_decode_plumbing():
     f1 = np.stack(out.sort_values("media_id")["feature"].to_numpy())
     f2 = np.stack(out2.sort_values("media_id")["feature"].to_numpy())
     np.testing.assert_array_equal(f1, f2)
-    # the real decoder is stubbed
+    # compressed codecs (png/raw here) have no decoder without media libs
     with _pytest.raises(NotImplementedError):
         DecodeStage(fake_decoder=False)(out.head(1).assign(payload=b"x"))
+
+
+def test_media_codecs_golden():
+    from ecov003_l2t_stars_ray.functions.media import (
+        decode_ppm,
+        decode_wav,
+        encode_ppm,
+        encode_wav,
+    )
+    from ecov003_l2t_stars_ray.pipelines.multimodal import DecodeStage
+
+    rng = np.random.default_rng(0)
+    # WAV roundtrip is bit-exact for int16 stereo
+    pcm = rng.integers(-32768, 32768, size=(100, 2)).astype(np.int16)
+    x, rate = decode_wav(encode_wav(pcm, 8000))
+    assert rate == 8000 and x.shape == (100, 2)
+    np.testing.assert_array_equal(np.round(x * 32768.0).astype(np.int16), pcm)
+    # golden: 440 Hz sine at amp 0.5 -> rms = 0.5/sqrt(2), zcr = 2f/sr, dur 1 s
+    t = np.arange(8000) / 8000.0
+    wav = encode_wav(0.5 * np.sin(2 * np.pi * 440.0 * t), 8000)
+    f = DecodeStage._audio_features(wav)
+    assert abs(f[0] - 1.0) < 1e-12
+    assert abs(f[1] - 0.5 / np.sqrt(2)) < 1e-3
+    assert abs(f[3] - 2 * 440 / 8000) < 2e-3
+    assert f[6] == 1.0 and f[7] == 8000 / 48000
+    # PPM roundtrip exact; header comments tolerated per netpbm spec
+    img = rng.integers(0, 256, (5, 7, 3), dtype=np.uint8)
+    np.testing.assert_array_equal(decode_ppm(encode_ppm(img)), img)
+    with_comment = b"P6\n# a comment\n7 5\n255\n" + img.tobytes()
+    np.testing.assert_array_equal(decode_ppm(with_comment), img)
+
+
+def test_media_decode_real():
+    from ecov003_l2t_stars_ray.pipelines.multimodal import (
+        decode_features,
+        synthesize_real_media,
+    )
+
+    media = ray.data.from_arrow(synthesize_real_media(n=16, seed=3))
+    out = decode_features(media, fake_decoder=False).to_pandas()
+    assert len(out) == 16
+    img = out[out["modality"] == "image"]
+    fi = np.stack(img["feature"].to_numpy())
+    # decoded image dims echo the metadata columns
+    assert fi[:, 0].astype(int).tolist() == img["width"].tolist()
+    assert fi[:, 1].astype(int).tolist() == img["height"].tolist()
+    aud = out[out["modality"] == "audio"]
+    fa = np.stack(aud["feature"].to_numpy())
+    assert (fa[:, 1] > 0).all()
+    assert np.round(fa[:, 7] * 48000).astype(int).tolist() == aud["sample_rate"].tolist()
 
 
 def test_text_invariant(small_transcripts):

@@ -67,7 +67,7 @@ def partition_of(conv: pd.Series, num_partitions: int) -> np.ndarray:
 
 
 def partial_rollup(
-    batch: pa.Table, num_partitions: int = 64, emit_raw: bool = False
+    batch: pa.Table, num_partitions: int = 64, emit_raw: bool = False, plan=None
 ) -> pa.Table:
     """map_batches(fn, batch_format="pyarrow") combiner.
 
@@ -189,5 +189,12 @@ def partial_rollup(
             )
 
     result = pd.concat(out, ignore_index=True)
-    result.insert(0, "part_id", partition_of(result["conv_id"], num_partitions))
+    # ``plan`` (state.skew.PartitionPlan) sub-splits manifest-detected hot
+    # partitions; a None/trivial plan is bit-identical to partition_of.
+    pid = (
+        plan.assign(result["conv_id"])
+        if plan is not None
+        else partition_of(result["conv_id"], num_partitions)
+    )
+    result.insert(0, "part_id", pid)
     return pa.Table.from_pandas(result, schema=PARTIAL_SCHEMA, preserve_index=False)

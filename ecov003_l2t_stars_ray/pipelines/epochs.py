@@ -43,6 +43,7 @@ from ..state.checkpoint import (
     state_path,
 )
 from ..state.manifest import Manifest
+from ..state.skew import PartitionPlan, plan_from_manifest
 from .rollup_pipeline import read_transcripts, rollup_tiers
 
 
@@ -92,8 +93,18 @@ def run_epoch(
     num_partitions: int = 8,
     giveup_buckets: int = GIVEUP_BUCKETS,
     smooth: bool = True,
+    auto_skew: bool = False,
+    skew_factor: float = 4.0,
 ) -> dict:
-    """Process one epoch; returns a summary dict (watermark, rows, cells)."""
+    """Process one epoch; returns a summary dict (watermark, rows, cells).
+
+    ``auto_skew``: derive this epoch's partition plan from the PREVIOUS
+    epoch's committed manifest row counts (``state.skew``): a base
+    partition whose rows exceed ``skew_factor`` x the median is sub-split
+    across extra partitions for this epoch, so per-group memory and
+    straggler wall stay bounded under hot-tenant skew. The plan is
+    recorded in the epoch meta so the next detection can reverse-map
+    extended partition ids."""
     manifest = Manifest(os.path.join(root, "manifest"))
     state_root = os.path.join(root, "state")
     out_root = os.path.join(root, "tiers", f"epoch={epoch:05d}")
@@ -109,8 +120,19 @@ def run_epoch(
         prev_close_us = _pm.get("close_us")
         prev_wm_us = _pm.get("watermark_us")
         prev_crcs = _pm.get("fragment_crc32", {})
+        prev_plan = PartitionPlan.from_json(_pm.get("partition_plan"))
     else:
         prev_crcs = {}
+        prev_plan = None
+
+    if auto_skew:
+        plan = plan_from_manifest(
+            manifest.load(), epoch - 1, num_partitions, prev_plan,
+            skew_factor=skew_factor,
+        )
+    else:
+        plan = PartitionPlan(num_partitions)
+    n_parts = plan.total
 
     fragments = sorted(set(input_fragments) | set(carried))
     if not fragments:  # nothing new and nothing pending: trivially complete
@@ -185,7 +207,7 @@ def run_epoch(
             if t.num_rows == 0:
                 return pd.DataFrame({"pid": pd.Series(dtype="int32"),
                                      "n": pd.Series(dtype="int64")})
-            pid = partition_of(t["conv_id"].to_pandas(), num_partitions)
+            pid = plan.assign(t["conv_id"].to_pandas())
             vc = pd.Series(pid).value_counts()
             return pd.DataFrame({"pid": vc.index.to_numpy(dtype=np.int32),
                                  "n": vc.to_numpy(dtype=np.int64)})
@@ -203,7 +225,7 @@ def run_epoch(
     committed = manifest.committed(epoch)
     done_parts = {p for (p, tier, _e) in committed if tier == "all"}
 
-    if len(done_parts) == num_partitions and os.path.exists(
+    if len(done_parts) == n_parts and os.path.exists(
         state_path(state_root, epoch)
     ):
         return {"epoch": epoch, "skipped": True, "watermark_us": watermark_us,
@@ -224,20 +246,20 @@ def run_epoch(
         skip = np.array(sorted(done_parts))
 
         def _skip_done(t: pa.Table) -> pa.Table:
-            part = partition_of(t["conv_id"].to_pandas(), num_partitions)
+            part = plan.assign(t["conv_id"].to_pandas())
             return t.filter(pa.array(~np.isin(part, skip)))
 
         ds = ds.map_batches(_skip_done, batch_format="pyarrow")
 
     tiers = rollup_tiers(
         ds, prior_state_ref=prior_ref, smooth=smooth, close_us=close_us,
-        num_partitions=num_partitions,
+        num_partitions=num_partitions, plan=plan,
     )
 
     # stay in Arrow: Ray's partitioned write re-infers schema from pandas
     # blocks and turns all-NaN float columns into null-typed parquet
     def _add_partition(t: pa.Table) -> pa.Table:
-        pid = partition_of(t["conv_id"].to_pandas(), num_partitions)
+        pid = plan.assign(t["conv_id"].to_pandas())
         return t.append_column("partition_id", pa.array(pid))
 
     tiers = tiers.map_batches(_add_partition, batch_format="pyarrow")
@@ -255,7 +277,7 @@ def run_epoch(
             n_cells += 1
             total_rows += rows
         # also mark partition-complete cells for resume bookkeeping
-    for pid in range(num_partitions):
+    for pid in range(n_parts):
         # the per-partition late-drop metric rides the partition-complete
         # cell: it commits even when every late row of the partition was
         # dropped and no tier output dir exists
@@ -303,7 +325,8 @@ def run_epoch(
         json.dump(
             {"epoch": epoch, "watermark_us": watermark_us, "close_us": close_us,
              "pending_fragments": pending_fragments, "rows": total_rows,
-             "late_turns": late_turns, "fragment_crc32": fragment_crcs},
+             "late_turns": late_turns, "fragment_crc32": fragment_crcs,
+             "partition_plan": plan.to_json()},
             f,
         )
     return {

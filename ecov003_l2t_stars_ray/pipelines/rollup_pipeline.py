@@ -87,6 +87,7 @@ def rollup_tiers(
     shuffle_blocks: int | None = None,
     include_raw: bool = False,
     adaptive_noise: bool = True,
+    plan=None,
 ) -> ray.data.Dataset:
     """transcripts Dataset -> tier rows (1m/1h/1d, FIXTURES.md F2 schema).
 
@@ -106,11 +107,13 @@ def rollup_tiers(
 
     parts = ds.map_batches(
         functools.partial(
-            partial_rollup, num_partitions=num_partitions, emit_raw=include_raw
+            partial_rollup, num_partitions=num_partitions, emit_raw=include_raw,
+            plan=plan,
         ),
         batch_format="pyarrow",
     )
-    parts = parts.repartition(shuffle_blocks or min(num_partitions, 32))
+    n_parts = plan.total if plan is not None else num_partitions
+    parts = parts.repartition(shuffle_blocks or min(n_parts, 32))
 
     # Stateful-stage note: the smoother state IS loaded once per worker —
     # `_resolve_state` memoizes the broadcast checkpoint per process, the

@@ -68,6 +68,151 @@ def test_partition_hash_spreads_conversations():
     assert counts.max() < 3 * counts.mean()
 
 
+def _convs_hashing_to(prefix: str, n: int, base: int, pid: int) -> list[str]:
+    """First n conv ids with the given prefix whose base-hash pid matches."""
+    cand = pd.Series([f"{prefix}-{i:06d}" for i in range(80 * n * base)])
+    hit = cand[partition_of(cand, base) == pid]
+    assert len(hit) >= n, "candidate pool too small"
+    return hit.head(n).tolist()
+
+
+def test_partition_plan_trivial_matches_partition_of():
+    from ecov003_l2t_stars_ray.state.skew import PartitionPlan
+
+    conv = pd.Series([f"c{i}" for i in range(500)])
+    plan = PartitionPlan(8)
+    np.testing.assert_array_equal(plan.assign(conv), partition_of(conv, 8))
+    assert plan.total == 8 and plan.fanout == {}
+
+
+def test_partition_plan_fanout_splits_only_hot():
+    from ecov003_l2t_stars_ray.state.skew import PartitionPlan
+
+    base = 8
+    plan = PartitionPlan(base, {3: 4})
+    assert plan.total == base + 3
+    conv = pd.Series([f"c{i}" for i in range(4000)])
+    trivial = partition_of(conv, base)
+    got = plan.assign(conv)
+    # cold partitions keep their ids
+    cold = trivial != 3
+    np.testing.assert_array_equal(got[cold], trivial[cold])
+    # hot partition spreads over {3, 8, 9, 10}, using more than one slot
+    hot_ids = set(got[~cold].tolist())
+    assert hot_ids <= {3, 8, 9, 10} and len(hot_ids) > 1
+    # reverse map round-trips every extended id
+    for e in range(plan.total):
+        assert 0 <= plan.base_of(e) < base
+    for e in (8, 9, 10):
+        assert plan.base_of(e) == 3
+    # a conversation is never split across partitions (deterministic hash)
+    np.testing.assert_array_equal(got, plan.assign(conv))
+    # json round trip
+    rt = PartitionPlan.from_json(plan.to_json())
+    assert rt.base == plan.base and rt.fanout == plan.fanout
+
+
+def test_plan_from_counts_detects_hot():
+    from ecov003_l2t_stars_ray.state.skew import plan_from_counts
+
+    uniform = {p: 100 for p in range(8)}
+    assert plan_from_counts(uniform, 8).fanout == {}
+    skewed = {**uniform, 2: 1000}
+    plan = plan_from_counts(skewed, 8, skew_factor=4.0)
+    assert set(plan.fanout) == {2} and plan.fanout[2] == 10
+    # cap respected
+    plan = plan_from_counts({**uniform, 2: 100_000}, 8, max_fanout=16)
+    assert plan.fanout[2] == 16
+
+
+def test_plan_from_manifest_reverse_maps_extended_ids():
+    from ecov003_l2t_stars_ray.state.skew import PartitionPlan, plan_from_manifest
+
+    prev = PartitionPlan(4, {0: 3})  # extended ids 4,5 belong to base pid 0
+    rows = []
+    for pid, n in [(0, 500), (4, 450), (5, 480), (1, 140), (2, 150), (3, 160)]:
+        rows.append({"partition_id": pid, "tier": "1m", "epoch": 7, "row_count": n})
+    rows.append({"partition_id": 0, "tier": "all", "epoch": 7, "row_count": 0})
+    rows.append({"partition_id": 1, "tier": "1m", "epoch": 6, "row_count": 9_999})
+    mdf = pd.DataFrame(rows)
+    plan = plan_from_manifest(mdf, 7, 4, prev_plan=prev, skew_factor=4.0)
+    # 500+450+480 lands on base pid 0 -> ~9.5x the median -> hot
+    assert set(plan.fanout) == {0} and plan.fanout[0] >= 2
+    # no history -> trivial
+    assert plan_from_manifest(mdf, 3, 4).fanout == {}
+
+
+def test_auto_skew_epochs_exact_and_bounded(tmp_path):
+    """10x hot base-partition corpus: auto_skew must (a) reproduce the
+    no-skew run exactly and (b) cap the max per-partition committed rows
+    by sub-splitting the hot partition detected from epoch-1 manifest."""
+    import json
+
+    import pyarrow.parquet as pq
+
+    from ecov003_l2t_stars_ray.pipelines.epochs import read_tiers, run_epoch
+    from ecov003_l2t_stars_ray.state.manifest import Manifest
+
+    base = 4
+    hot = _convs_hashing_to("hot", 40, base, pid=0)
+    cold = [c for p in (1, 2, 3) for c in _convs_hashing_to(f"cold{p}", 4, base, p)]
+    rows = []
+    t0 = pd.Timestamp("2025-03-01").value // 1000
+    for j, conv in enumerate(hot + cold):
+        n = 300
+        ts = t0 + np.int64(j) * 7_000_000 + np.arange(n, dtype=np.int64) * 61_000_000
+        rows.append(pd.DataFrame({
+            "conv_id": conv, "turn_idx": np.arange(n, dtype=np.int32),
+            "role": "user", "text": "t", "tool": "",
+            "ts": ts.view("datetime64[us]"),
+        }))
+    pdf = pd.concat(rows, ignore_index=True)
+    ts_us = pdf["ts"].astype("datetime64[us]").astype(np.int64)
+    mid = int(np.quantile(ts_us, 0.5))
+    frags = []
+    for i, part in enumerate([pdf[ts_us <= mid], pdf[ts_us > mid]]):
+        f = str(tmp_path / f"f{i}.parquet")
+        pq.write_table(pa.Table.from_pandas(part, preserve_index=False), f)
+        frags.append(f)
+
+    roots = {"auto": str(tmp_path / "auto"), "ctl": str(tmp_path / "ctl")}
+    for name, root in roots.items():
+        auto = name == "auto"
+        run_epoch([frags[0]], root, epoch=1, num_partitions=base, auto_skew=auto)
+        run_epoch([frags[1]], root, epoch=2, num_partitions=base, auto_skew=auto)
+        run_epoch([], root, epoch=3, num_partitions=base, giveup_buckets=0,
+                  auto_skew=auto)
+
+    # epoch 2 derived a fanout on the hot base pid from epoch-1 manifest rows
+    with open(tmp_path / "auto" / "manifest" / "epoch-e00002.json") as f:
+        plan2 = json.load(f)["partition_plan"]
+    assert "0" in plan2["fanout"] and plan2["fanout"]["0"] >= 2
+
+    # bounded per-partition rows: auto's largest committed epoch-2 cell is
+    # materially smaller than the control's (the unsplit hot partition)
+    def max_cell(root):
+        m = Manifest(os.path.join(root, "manifest")).load()
+        m = m[(m["epoch"] == 2) & (m["tier"] != "all")]
+        return int(m.groupby("partition_id")["row_count"].sum().max())
+
+    import os
+    assert max_cell(roots["auto"]) < 0.6 * max_cell(roots["ctl"])
+
+    # exactness: both roots produce identical tier rows
+    key = ["tier", "conv_id", "metric", "bucket_start"]
+    frames = {}
+    for name, root in roots.items():
+        df = read_tiers(root, [1, 2, 3])
+        df = df[~df["metric"].str.startswith("_")].copy()
+        df["bucket_start"] = df["bucket_start"].astype("datetime64[us]")
+        frames[name] = df.sort_values(key, ignore_index=True)
+    a, c = frames["auto"], frames["ctl"]
+    assert len(a) == len(c)
+    pd.testing.assert_frame_equal(
+        a[key + ["count", "sum", "value"]], c[key + ["count", "sum", "value"]]
+    )
+
+
 def test_hot_series_time_sliced_epochs(tmp_path):
     """A single very hot conversation (50k turns over ~9 days) processed as
     three time-sliced epochs + flush matches the full-batch oracle — the

@@ -402,6 +402,7 @@ def _ngram_jaccard_pairs(sf_dir: str) -> pd.DataFrame:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from ecov003_l2t_stars_ray.pipelines import analytics as A
+    from ecov003_l2t_stars_ray.pipelines import sketches as SK
     from ecov003_l2t_stars_ray.pipelines import text_analysis as T
 
     return {
@@ -481,6 +482,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gorilla_chunks": _gorilla_chunks,
         "media_decode": _media_decode,
         "media_decode_real": _media_decode_real,
+        # round-3 stream operators: counter rate w/ reset detection,
+        # trailing range-window count, fixed-bin histogram, rolling
+        # z-score anomaly, distributed argmax, JSON props extraction
+        "counter_rate_1h": A.counter_rate_1h,
+        "band_count_5m": A.band_count_5m,
+        "value_histogram_1h": A.value_histogram_1h,
+        "zscore_anomaly_24h": A.zscore_anomaly_24h,
+        "argmax_per_user": A.argmax_per_user,
+        "props_json_stats": A.props_json_stats,
+        # sketches / sampling (bounded-memory family)
+        "heavy_hitters": SK.heavy_hitters,
+        "bottomk_sample": SK.bottomk_sample,
+        "tdigest_latency_quantiles": SK.tdigest_latency_quantiles,
+        "hll_distinct": SK.hll_distinct,
+        # within-doc repetition quality signals
+        "doc_repetition": T.doc_repetition,
     }
 
 
@@ -886,5 +903,125 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(MAX(gap_s), 6) AS max_gap,
                    ROUND(SUM(gap_s), 6) AS sum_gap
             FROM g WHERE gap_s IS NOT NULL GROUP BY 1, 2
+        """,
+        # exact-cents deltas accumulated in BIGINT (order-independent),
+        # one double division mirrored op-for-op on the Ray side
+        "counter_rate_1h": """
+            WITH c AS (
+                SELECT user_id, ts,
+                       CAST(ROUND(value * 100) AS BIGINT) AS vc,
+                       LAG(CAST(ROUND(value * 100) AS BIGINT)) OVER
+                           (PARTITION BY user_id ORDER BY ts, event_id) AS pv
+                FROM events
+            )
+            SELECT user_id, date_trunc('hour', ts) AS bucket_start,
+                   COUNT(*) AS n_deltas,
+                   ROUND(CAST(SUM(CASE WHEN vc >= pv THEN vc - pv ELSE vc END)
+                              AS DOUBLE) / 100.0, 6) AS rate_sum
+            FROM c WHERE pv IS NOT NULL
+            GROUP BY 1, 2
+        """,
+        "band_count_5m": """
+            SELECT event_id, user_id, ts,
+                   COUNT(*) OVER (PARTITION BY user_id ORDER BY ts
+                                  RANGE BETWEEN INTERVAL 5 MINUTE PRECEDING
+                                  AND CURRENT ROW) AS n_trailing_5m
+            FROM events
+        """,
+        "value_histogram_1h": """
+            SELECT event_type, date_trunc('hour', ts) AS bucket_start,
+                   LEAST(CAST(FLOOR(value / 50.0) AS INTEGER), 9) AS bin,
+                   COUNT(*) AS n
+            FROM events GROUP BY 1, 2, 3
+        """,
+        # exact int64 cents / cents^2 window sums; the m / sd / z float
+        # chain reuses the SAME intermediate expressions as the Ray side
+        "zscore_anomaly_24h": """
+            WITH b AS (
+                SELECT user_id, date_trunc('hour', ts) AS bucket_start,
+                       COUNT(*) AS n,
+                       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS s,
+                       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)
+                                * CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS ss
+                FROM events GROUP BY 1, 2
+            ), w AS (
+                SELECT user_id, bucket_start, n, s,
+                       CAST(SUM(n) OVER win AS BIGINT) AS wn,
+                       CAST(SUM(s) OVER win AS BIGINT) AS ws,
+                       CAST(SUM(ss) OVER win AS BIGINT) AS wss
+                FROM b
+                WINDOW win AS (PARTITION BY user_id ORDER BY bucket_start
+                               ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
+            ), f AS (
+                SELECT user_id, bucket_start, n, wn,
+                       CAST(ws AS DOUBLE) / wn / 100.0 AS m,
+                       SQRT(GREATEST(
+                           CAST(wss AS DOUBLE) / wn / 10000.0
+                           - (CAST(ws AS DOUBLE) / wn / 100.0)
+                             * (CAST(ws AS DOUBLE) / wn / 100.0), 0.0)) AS sd,
+                       CAST(s AS DOUBLE) / n / 100.0 AS bavg
+                FROM w
+            )
+            SELECT user_id, bucket_start, n, wn AS win_n,
+                   ROUND(m, 6) AS win_mean, ROUND(sd, 6) AS win_sd,
+                   ROUND(CASE WHEN sd > 0 THEN (bavg - m) / sd ELSE 0.0 END, 6)
+                       AS zscore,
+                   (CASE WHEN sd > 0 THEN ABS((bavg - m) / sd) ELSE 0.0 END) > 2.0
+                       AS is_anomaly
+            FROM f
+        """,
+        "argmax_per_user": """
+            SELECT user_id, event_id, ts, value
+            FROM events
+            QUALIFY ROW_NUMBER() OVER (
+                PARTITION BY user_id ORDER BY value DESC, event_id) = 1
+        """,
+        "props_json_stats": """
+            WITH k AS (
+                SELECT event_type,
+                       CAST(NULLIF(regexp_extract(props, '"k":\\s*(-?\\d+)', 1),
+                                   '') AS BIGINT) AS kv
+                FROM events
+            )
+            SELECT event_type,
+                   COUNT(*) AS n,
+                   CAST(SUM(CASE WHEN kv IS NOT NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_with_k,
+                   CAST(SUM(COALESCE(kv, 0)) AS BIGINT) AS sum_k,
+                   MAX(COALESCE(kv, 0)) AS max_k,
+                   ROUND(CAST(SUM(COALESCE(kv, 0)) AS DOUBLE)
+                         / SUM(CASE WHEN kv IS NOT NULL THEN 1 ELSE 0 END), 6)
+                       AS avg_k
+            FROM k GROUP BY event_type
+        """,
+        "heavy_hitters": """
+            WITH k AS (
+                SELECT CAST(NULLIF(regexp_extract(props, '"k":\\s*(-?\\d+)', 1),
+                                   '') AS BIGINT) AS key
+                FROM events
+            )
+            SELECT key, COUNT(*) AS cnt FROM k WHERE key IS NOT NULL
+            GROUP BY key ORDER BY cnt DESC, key LIMIT 10
+        """,
+        "bottomk_sample": """
+            SELECT event_id, user_id, ts, value,
+                   md5(CAST(event_id AS VARCHAR)) AS h
+            FROM events ORDER BY h, event_id LIMIT 100
+        """,
+        "doc_repetition": """
+            WITH w AS (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                FROM documents
+            ), c AS (
+                SELECT doc_id, w, COUNT(*) AS c FROM w GROUP BY 1, 2
+            )
+            SELECT doc_id,
+                   CAST(SUM(c) AS BIGINT) AS n_words,
+                   COUNT(*) AS n_distinct,
+                   ROUND(1.0 - CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS BIGINT),
+                         6) AS dup_word_frac,
+                   ROUND(CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS BIGINT), 6)
+                       AS top_word_frac
+            FROM c GROUP BY doc_id
         """,
     }

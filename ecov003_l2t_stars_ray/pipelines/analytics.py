@@ -1055,3 +1055,255 @@ def ewma_1h(sf_dir: str, alpha: float = 0.3) -> pd.DataFrame:
         .to_pandas()
         .sort_values(["user_id", "bucket_start"], ignore_index=True)
     )
+
+
+# ------------------------------------------------- round-3 stream operators
+def counter_rate_1h(sf_dir: str) -> pd.DataFrame:
+    """PromQL-style counter rate with reset detection: per user in
+    (ts, event_id) order, delta = v - prev when the counter advanced, v
+    when it reset (prev > v), summed per hour bucket of the *current*
+    event.
+
+    Determinism contract: values are exact cents (scaled BIGINT), deltas
+    and bucket sums accumulate in int64 (order-independent), one final
+    double division mirrored in the oracle.
+
+    Scale note: the deltas need per-user event ORDER, so the map side
+    cannot pre-combine — raw (user, ts, cents) rows ride one hash
+    shuffle keyed by user (same partitioning key as every other per-user
+    op), then the whole derivation is vectorized per partition."""
+    ds = _events(sf_dir, ["user_id", "event_id", "ts", "value"])
+    width = WIDTHS["1h"]
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        u = g["user_id"].to_numpy()
+        t = g["ts"].astype("datetime64[us]").astype(np.int64).to_numpy()
+        vc = np.round(g["value"].to_numpy() * 100.0).astype(np.int64)
+        same = np.zeros(len(g), dtype=bool)
+        same[1:] = u[1:] == u[:-1]
+        prev = np.roll(vc, 1)
+        delta = np.where(vc >= prev, vc - prev, vc)[same]
+        d = pd.DataFrame(
+            {"user_id": u[same], "bucket_us": t[same] // width * width,
+             "delta_c": delta}
+        ).groupby(["user_id", "bucket_us"], as_index=False)["delta_c"].agg(
+            n_deltas="count", sum_c="sum"
+        )
+        return pd.DataFrame(
+            {"user_id": d["user_id"], "bucket_us": d["bucket_us"],
+             "n_deltas": d["n_deltas"],
+             "rate_sum": np.round(
+                 d["sum_c"].to_numpy(dtype=np.float64) / 100.0, 6)}
+        )
+
+    out = hash_combine(ds, ["user_id"], combine).to_pandas()
+    out["bucket_start"] = out.pop("bucket_us").to_numpy().view("datetime64[us]")
+    return out[["user_id", "bucket_start", "n_deltas", "rate_sum"]].sort_values(
+        ["user_id", "bucket_start"], ignore_index=True
+    )
+
+
+def band_count_5m(sf_dir: str) -> pd.DataFrame:
+    """Trailing range-window count: for every event, how many same-user
+    events fall in [ts - 5min, ts] (peers at the exact same ts included,
+    matching SQL RANGE ... CURRENT ROW semantics). The engine's banded
+    self-join / interval-join primitive (J1 family, range variant).
+
+    Per partition (all of a user's rows co-located): one mergesort by
+    (user, ts), then two vectorized searchsorteds on a composite
+    (user-index << shift | ts-offset) key — no per-user loop."""
+    ds = _events(sf_dir, ["user_id", "event_id", "ts"])
+    band_us = 5 * 60 * US
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts"], kind="mergesort")
+        u = g["user_id"].to_numpy()
+        t = g["ts"].astype("datetime64[us]").astype(np.int64).to_numpy()
+        # composite monotone key: dense user index in the high bits,
+        # ts offset in the low bits
+        uidx = np.cumsum(np.r_[0, u[1:] != u[:-1]]).astype(np.int64)
+        toff = t - t.min() if len(t) else t
+        shift = int(toff.max() + band_us + 2).bit_length() if len(t) else 1
+        assert (int(uidx.max()) if len(t) else 0) < (1 << (62 - shift)), \
+            "composite key overflow: too many distinct users per partition"
+        key = (uidx << shift) | toff
+        lo = np.searchsorted(key, (uidx << shift) | np.maximum(toff - band_us, 0), "left")
+        hi = np.searchsorted(key, key, "right")
+        return pd.DataFrame(
+            {"event_id": g["event_id"].to_numpy(), "user_id": u,
+             "ts": g["ts"].to_numpy(),
+             "n_trailing_5m": (hi - lo).astype(np.int64)}
+        )
+
+    return (
+        hash_combine(ds, ["user_id"], combine)
+        .to_pandas()
+        .sort_values("event_id", ignore_index=True)
+    )
+
+
+def value_histogram_1h(sf_dir: str) -> pd.DataFrame:
+    """Fixed-bin value histogram per (event_type, hour bucket): bin =
+    min(floor(value / 50), 9) — the heatmap/distribution aggregate a
+    rollup engine serves dashboards from. Pure int counts; map-side
+    partial then one hash combine."""
+    ds = _events(sf_dir, ["event_type", "ts", "value"])
+    width = WIDTHS["1h"]
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        b = df["ts"].astype("datetime64[us]").astype(np.int64) // width * width
+        bin_ = np.minimum(
+            np.floor(df["value"].to_numpy() / 50.0), 9.0
+        ).astype(np.int32)
+        return (
+            pd.DataFrame({"event_type": df["event_type"].astype(str),
+                          "bucket_us": b, "bin": bin_})
+            .groupby(["event_type", "bucket_us", "bin"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(["event_type", "bucket_us", "bin"], as_index=False)["n"].sum()
+
+    out = hash_combine(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["event_type", "bucket_us"], combine,
+    ).to_pandas()
+    out["bucket_start"] = out.pop("bucket_us").to_numpy().view("datetime64[us]")
+    return out[["event_type", "bucket_start", "bin", "n"]].sort_values(
+        ["event_type", "bucket_start", "bin"], ignore_index=True
+    )
+
+
+def zscore_anomaly_24h(sf_dir: str) -> pd.DataFrame:
+    """Rolling z-score anomaly flags: per (user, hour bucket), the
+    bucket's mean value vs the trailing 24 *observed* buckets' population
+    mean/sd (ROWS window, current bucket included). |z| > 2 flags the
+    bucket.
+
+    Determinism contract: per-bucket n / sum(cents) / sum(cents^2)
+    accumulate exactly in int64; rolling sums are int64 cumsum
+    differences; ONE double conversion chain at the end, op-for-op
+    mirrored in the oracle SQL."""
+    ds = _events(sf_dir, ["user_id", "ts", "value"])
+    width = WIDTHS["1h"]
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        b = df["ts"].astype("datetime64[us]").astype(np.int64) // width * width
+        vc = np.round(df["value"].to_numpy() * 100.0).astype(np.int64)
+        return (
+            pd.DataFrame({"user_id": df["user_id"], "bucket_us": b,
+                          "vc": vc, "vc2": vc * vc})
+            .groupby(["user_id", "bucket_us"], sort=False)
+            .agg(n=("vc", "count"), s=("vc", "sum"), ss=("vc2", "sum"))
+            .reset_index()
+        )
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.groupby(["user_id", "bucket_us"], as_index=False).agg(
+            n=("n", "sum"), s=("s", "sum"), ss=("ss", "sum")
+        )
+        g = g.sort_values(["user_id", "bucket_us"], kind="mergesort")
+        u = g["user_id"].to_numpy()
+        n = g["n"].to_numpy(dtype=np.int64)
+        s = g["s"].to_numpy(dtype=np.int64)
+        ss = g["ss"].to_numpy(dtype=np.int64)
+        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]]) if len(g) else np.array([], int)
+        seg = np.cumsum(np.r_[0, u[1:] != u[:-1]]).astype(np.int64) if len(g) else np.array([], int)
+        # trailing-24 ROWS window via exact int64 cumsum differences,
+        # clamped at each series start
+        idx = np.arange(len(g), dtype=np.int64)
+        lo = np.maximum(idx - 23, starts[seg] if len(g) else idx)
+
+        def win(x):
+            cs = np.cumsum(x)
+            return cs[idx] - np.where(lo > 0, cs[lo - 1], 0)
+
+        wn, ws, wss = win(n), win(s), win(ss)
+        m = ws.astype(np.float64) / wn / 100.0
+        var = wss.astype(np.float64) / wn / 10000.0 - m * m
+        sd = np.sqrt(np.maximum(var, 0.0))
+        bavg = s.astype(np.float64) / n / 100.0
+        z = np.where(sd > 0, (bavg - m) / np.where(sd > 0, sd, 1.0), 0.0)
+        return pd.DataFrame(
+            {"user_id": u, "bucket_us": g["bucket_us"].to_numpy(),
+             "n": n, "win_n": wn,
+             "win_mean": np.round(m, 6), "win_sd": np.round(sd, 6),
+             "zscore": np.round(z, 6), "is_anomaly": np.abs(z) > 2.0}
+        )
+
+    out = hash_combine(
+        ds.map_batches(partial, batch_format="pandas"), ["user_id"], combine
+    ).to_pandas()
+    out["bucket_start"] = out.pop("bucket_us").to_numpy().view("datetime64[us]")
+    return out[
+        ["user_id", "bucket_start", "n", "win_n", "win_mean", "win_sd",
+         "zscore", "is_anomaly"]
+    ].sort_values(["user_id", "bucket_start"], ignore_index=True)
+
+
+def argmax_per_user(sf_dir: str) -> pd.DataFrame:
+    """Per-user argmax row (highest value, ties broken by smallest
+    event_id) — the take-first / O4 primitive as a distributed
+    partial-argmax: each batch keeps one candidate row per user, the
+    combine reduces candidates. Raw row values, no float accumulation."""
+    ds = _events(sf_dir, ["user_id", "event_id", "ts", "value"])
+
+    def best(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["user_id", "value", "event_id"],
+            ascending=[True, False, True], kind="mergesort",
+        )
+        return df.drop_duplicates("user_id", keep="first")
+
+    return (
+        hash_combine(ds.map_batches(best, batch_format="pandas"),
+                     ["user_id"], best)
+        .to_pandas()
+        .sort_values("user_id", ignore_index=True)
+        [["user_id", "event_id", "ts", "value"]]
+    )
+
+
+def props_json_stats(sf_dir: str) -> pd.DataFrame:
+    """Semi-structured extraction: pull the integer ``k`` out of the JSON
+    ``props`` column with ONE vectorized regex across the batch (no
+    per-row json.loads), aggregate per event_type. Int-exact sums."""
+    ds = _events(sf_dir, ["event_type", "props"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        k = (
+            df["props"].str.extract(r'"k":\s*(-?\d+)', expand=False)
+            .astype("float64")
+        )
+        d = pd.DataFrame(
+            {"event_type": df["event_type"].astype(str),
+             "k": k.fillna(0).astype(np.int64),
+             "has_k": k.notna().astype(np.int64)}
+        )
+        return d.groupby("event_type", sort=False, as_index=False).agg(
+            n=("k", "count"), n_with_k=("has_k", "sum"), sum_k=("k", "sum"),
+            max_k=("k", "max"),
+        )
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.groupby("event_type", as_index=False).agg(
+            n=("n", "sum"), n_with_k=("n_with_k", "sum"),
+            sum_k=("sum_k", "sum"), max_k=("max_k", "max"),
+        )
+        g["avg_k"] = np.round(
+            g["sum_k"].to_numpy(dtype=np.float64)
+            / g["n_with_k"].to_numpy(), 6
+        )
+        return g
+
+    return (
+        hash_combine(
+            ds.map_batches(partial, batch_format="pandas"), ["event_type"],
+            combine,
+        )
+        .to_pandas()
+        .sort_values("event_type", ignore_index=True)
+    )

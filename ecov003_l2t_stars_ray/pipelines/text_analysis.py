@@ -7,6 +7,7 @@ language-ID heuristic (rows-only — not SQL-expressible).
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import ray.data
 
@@ -164,6 +165,42 @@ def doc_winnow(sf_dir: str, k: int = 5, window: int = 4) -> pd.DataFrame:
     return (
         _docs(sf_dir, ["doc_id", "text"])
         .map_batches(stats, batch_format="pandas")
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+
+
+def doc_repetition(sf_dir: str) -> pd.DataFrame:
+    """Word-repetition quality signals (Gopher/C4-style dedup-within-doc
+    features): per doc, word count, distinct-word count, duplicate-word
+    fraction (1 - distinct/words) and the most-frequent word's share.
+
+    Fully vectorized ACROSS docs: one str.split + explode + two groupbys
+    per batch — no per-doc Python."""
+
+    def rep(df: pd.DataFrame) -> pd.DataFrame:
+        w = df.set_index("doc_id")["text"].str.split(" ").explode()
+        per = w.groupby([w.index, w]).size()
+        by_doc = per.groupby(level=0)
+        n_words = by_doc.sum()
+        n_distinct = by_doc.size()
+        top = by_doc.max()
+        nw = n_words.to_numpy(dtype=np.float64)
+        return pd.DataFrame(
+            {
+                "doc_id": n_words.index.to_numpy(),
+                "n_words": n_words.to_numpy(dtype=np.int64),
+                "n_distinct": n_distinct.to_numpy(dtype=np.int64),
+                "dup_word_frac": np.round(
+                    1.0 - n_distinct.to_numpy(dtype=np.float64) / nw, 6),
+                "top_word_frac": np.round(
+                    top.to_numpy(dtype=np.float64) / nw, 6),
+            }
+        )
+
+    return (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(rep, batch_format="pandas")
         .to_pandas()
         .sort_values("doc_id", ignore_index=True)
     )

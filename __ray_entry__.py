@@ -402,6 +402,7 @@ def _ngram_jaccard_pairs(sf_dir: str) -> pd.DataFrame:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from ecov003_l2t_stars_ray.pipelines import analytics as A
+    from ecov003_l2t_stars_ray.pipelines import joins as J
     from ecov003_l2t_stars_ray.pipelines import sketches as SK
     from ecov003_l2t_stars_ray.pipelines import text_analysis as T
 
@@ -498,6 +499,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_distinct": SK.hll_distinct,
         # within-doc repetition quality signals
         "doc_repetition": T.doc_repetition,
+        # distributed joins: big-big shuffle hash join (TPC-H Q3 shape),
+        # Bloom-pruned exact semi-join
+        "join_topk_revenue": J.join_topk_revenue,
+        "bloom_semijoin": J.bloom_semijoin,
+        # SQL window-function family + SQL-oracled OLS trend
+        "window_rank": A.window_rank,
+        "trend_ols_1h": A.trend_ols_1h,
     }
 
 
@@ -1023,5 +1031,76 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS BIGINT), 6)
                        AS top_word_frac
             FROM c GROUP BY doc_id
+        """,
+        # big-big shuffle join: revenue units = cents * (100 - disc%) in
+        # BIGINT, one double division chain mirrored on the Ray side
+        "join_topk_revenue": """
+            SELECT l_orderkey AS orderkey, o_orderdate, o_orderpriority,
+                   COUNT(*) AS n_lines,
+                   ROUND(CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                                  * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)))
+                              AS DOUBLE) / 10000.0, 6) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON c_custkey = o_custkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '2000-01-01'
+              AND l_shipdate > TIMESTAMP '2000-01-01'
+            GROUP BY 1, 2, 3
+            ORDER BY revenue DESC, orderkey
+            LIMIT 10
+        """,
+        "bloom_semijoin": """
+            SELECT event_type, COUNT(*) AS n_events,
+                   COUNT(DISTINCT user_id) AS n_users
+            FROM events
+            WHERE user_id IN (SELECT DISTINCT user_id FROM events
+                              WHERE event_type = 'purchase')
+            GROUP BY event_type
+        """,
+        # running_sum accumulates exact int64 cents in frame order, one
+        # double division at the end (a prefix sum is order-dependent by
+        # definition -> the integer domain is the exactness contract)
+        "window_rank": """
+            SELECT event_id, user_id,
+                   ROW_NUMBER() OVER w AS rn,
+                   RANK() OVER (PARTITION BY user_id ORDER BY value DESC)
+                       AS value_rank,
+                   ROUND(LAG(value) OVER w, 6) AS prev_value,
+                   ROUND(LEAD(value) OVER w, 6) AS next_value,
+                   ROUND(CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER
+                              (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS DOUBLE) / 100.0, 6)
+                       AS running_sum
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """,
+        # exact int64 regression sums per trailing-24 ROWS window; the
+        # slope is ONE double expression over identical integers
+        "trend_ols_1h": """
+            WITH b0 AS (
+                SELECT user_id, date_trunc('hour', ts) AS bucket_start,
+                       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                           AS y
+                FROM events GROUP BY 1, 2
+            ), b AS (
+                SELECT *, epoch_us(bucket_start) // 3600000000 AS x FROM b0
+            ), w AS (
+                SELECT user_id, bucket_start,
+                       CAST(COUNT(*) OVER win AS BIGINT) AS n,
+                       CAST(SUM(x) OVER win AS BIGINT) AS sx,
+                       CAST(SUM(y) OVER win AS BIGINT) AS sy,
+                       CAST(SUM(x * y) OVER win AS BIGINT) AS sxy,
+                       CAST(SUM(x * x) OVER win AS BIGINT) AS sxx
+                FROM b
+                WINDOW win AS (PARTITION BY user_id ORDER BY bucket_start
+                               ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
+            )
+            SELECT user_id, bucket_start, n AS win_n,
+                   CASE WHEN n > 1 THEN
+                       CAST(n * sxy - sx * sy AS DOUBLE)
+                       / CAST(n * sxx - sx * sx AS DOUBLE) / 100.0
+                   ELSE NULL END AS slope_per_hour
+            FROM w
         """,
     }

@@ -50,3 +50,91 @@ def hash_combine(
         .groupby("__pid")
         .map_groups(_combine, batch_format="pandas")
     )
+
+
+def _restore_dtypes(df: pd.DataFrame, dtypes: dict[str, str]) -> pd.DataFrame:
+    """Cast columns back to their pre-union dtypes (the None-padding the
+    union adds upcasts other-side columns to object within each block)."""
+    for c, dt in dtypes.items():
+        if str(df[c].dtype) != dt:
+            df[c] = df[c].astype(dt)
+    return df
+
+
+def hash_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    on: list[str],
+    how: str = "inner",
+    num_partitions: int = 32,
+    suffixes: tuple[str, str] = ("_l", "_r"),
+) -> ray.data.Dataset:
+    """Big-big shuffle hash join: BOTH sides are tagged with a side marker,
+    aligned to one common schema (other-side columns None-padded so every
+    block shares a shape), and moved in ONE hash exchange keyed by
+    ``hash(on) % num_partitions``; each of the P partition groups then runs
+    one vectorized ``pandas.merge`` over all of its keys.
+
+    Chosen over Ray 2.49's native ``Dataset.join`` after measurement (see
+    pipelines/joins.py docstring); same skew/memory contract as
+    :func:`hash_combine` — a partition's rows from both sides must fit one
+    worker's heap, ``num_partitions`` is the knob.
+
+    ``how``: "inner" or "left". Shared non-key column names take
+    ``suffixes``.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"unsupported join type: {how}")
+    ls, rs = left.schema(), right.schema()
+    for k in on:
+        if k not in ls.names or k not in rs.names:
+            raise KeyError(f"join key {k!r} missing from a side")
+    shared = [c for c in ls.names if c in rs.names and c not in on]
+    lren = {c: c + suffixes[0] for c in shared}
+    rren = {c: c + suffixes[1] for c in shared}
+
+    def _pd_dtype(t) -> str:
+        import pyarrow as pa
+
+        try:  # pandas-block schema: numpy dtypes / python type objects
+            return np.dtype(t).name
+        except TypeError:
+            pass
+        if pa.types.is_timestamp(t):
+            return f"datetime64[{t.unit}]"
+        if pa.types.is_string(t) or pa.types.is_large_string(t):
+            return "object"
+        return np.dtype(t.to_pandas_dtype()).name
+
+    ltypes = {lren.get(n, n): _pd_dtype(t) for n, t in zip(ls.names, ls.types)}
+    rtypes = {rren.get(n, n): _pd_dtype(t) for n, t in zip(rs.names, rs.types)}
+    lcols = [lren.get(n, n) for n in ls.names]
+    rcols = [rren.get(n, n) for n in rs.names if rren.get(n, n) not in on]
+    ordered = lcols + rcols  # identical column order on both sides
+
+    def _tag(side: int, ren: dict[str, str]):
+        def f(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.rename(columns=ren).copy()
+            for c in ordered:
+                if c not in df.columns:
+                    df[c] = None
+            df["__side"] = np.int8(side)
+            df["__pid"] = (
+                hash_keys(df, on) % np.uint64(num_partitions)
+            ).astype(np.int32)
+            return df[ordered + ["__side", "__pid"]]
+
+        return f
+
+    unioned = left.map_batches(_tag(0, lren), batch_format="pandas").union(
+        right.map_batches(_tag(1, rren), batch_format="pandas")
+    )
+
+    def _join(g: pd.DataFrame) -> pd.DataFrame:
+        side = g.pop("__side").to_numpy()
+        g = g.drop(columns="__pid")
+        lg = _restore_dtypes(g.loc[side == 0, lcols].copy(), ltypes)
+        rg = _restore_dtypes(g.loc[side == 1, on + rcols].copy(), rtypes)
+        return lg.merge(rg, on=on, how=how)
+
+    return unioned.groupby("__pid").map_groups(_join, batch_format="pandas")

@@ -1307,3 +1307,141 @@ def props_json_stats(sf_dir: str) -> pd.DataFrame:
         .to_pandas()
         .sort_values("event_type", ignore_index=True)
     )
+
+
+def window_rank(sf_dir: str) -> pd.DataFrame:
+    """The SQL window-function family as one distributed operator: per
+    user (in (ts, event_id) order) row_number, RANK() by value desc (ties
+    share the min rank), lag/lead of value, and a running sum.
+
+    All five functions are computed vectorized ACROSS users inside each
+    hash partition: one mergesort, segmented boundaries, a cumsum
+    difference for the running sum, and the run-id gather trick for tied
+    ranks — no per-user Python.
+
+    Determinism contract: running sum accumulates int64 cents in sorted
+    (user, ts, event_id) order — a PREFIX sum is order-DEPENDENT by
+    definition, so exactness (not just order-independence) requires the
+    integer domain; one double division at the end, mirrored in SQL."""
+    ds = _events(sf_dir, ["user_id", "event_id", "ts", "value"])
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        u = g["user_id"].to_numpy()
+        v = g["value"].to_numpy()
+        vc = np.round(v * 100.0).astype(np.int64)
+        n = len(g)
+        new_u = np.r_[True, u[1:] != u[:-1]]
+        seg_start = np.flatnonzero(new_u)
+        seg = np.cumsum(new_u) - 1
+        idx = np.arange(n, dtype=np.int64)
+        rn = idx - seg_start[seg] + 1
+        # running sum: segmented int64 cumsum
+        cs = np.cumsum(vc)
+        base = np.where(seg_start[seg] > 0, cs[seg_start[seg] - 1], 0)
+        running = cs - base
+        # lag / lead within segment
+        prev_v = np.r_[np.nan, v[:-1]]
+        prev_v[seg_start] = np.nan
+        next_v = np.r_[v[1:], np.nan]
+        next_v[seg_start[1:] - 1 if len(seg_start) > 1 else []] = np.nan
+        if n:
+            next_v[-1] = np.nan
+        # RANK() by value desc with min-rank ties: sort (user, -value),
+        # rank = within-segment index of the RUN start, gathered by run id
+        order = np.lexsort((-v, u))
+        uo, vo = u[order], v[order]
+        new_uo = np.r_[True, uo[1:] != uo[:-1]]
+        so = np.flatnonzero(new_uo)
+        sego = np.cumsum(new_uo) - 1
+        idxo = idx - so[sego]
+        first = new_uo.copy()
+        first[1:] |= vo[1:] != vo[:-1]
+        run_id = np.cumsum(first) - 1
+        run_start_rank = (idxo + 1)[first]
+        rank_sorted = run_start_rank[run_id]
+        value_rank = np.empty(n, dtype=np.int64)
+        value_rank[order] = rank_sorted
+        return pd.DataFrame(
+            {"event_id": g["event_id"].to_numpy(), "user_id": u,
+             "rn": rn, "value_rank": value_rank,
+             "prev_value": np.round(prev_v, 6),
+             "next_value": np.round(next_v, 6),
+             "running_sum": np.round(running.astype(np.float64) / 100.0, 6)}
+        )
+
+    return (
+        hash_combine(ds, ["user_id"], combine)
+        .to_pandas()
+        .sort_values("event_id", ignore_index=True)
+    )
+
+
+def trend_ols_1h(sf_dir: str, window: int = 24) -> pd.DataFrame:
+    """SQL-oracled unweighted variant of the K3 trend stage: per (user,
+    hour bucket), the OLS slope of bucket cents-sums over the trailing
+    ``window`` OBSERVED buckets (x = absolute hour index, one point per
+    bucket). Complements ``stages.trend`` (recency-weighted WLS, pytest
+    oracle) with a driver-gateable exactness contract.
+
+    Determinism: n / sum(x) / sum(y) / sum(xy) / sum(xx) are EXACT int64
+    window sums (cumsum differences); the slope is one double expression
+    ``(n*sxy - sx*sy) / (n*sxx - sx*sx) / 100`` computed from identical
+    integers on both sides -> bit-identical, NULL when n < 2."""
+    ds = _events(sf_dir, ["user_id", "ts", "value"])
+    width = WIDTHS["1h"]
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        b = df["ts"].astype("datetime64[us]").astype(np.int64) // width * width
+        vc = np.round(df["value"].to_numpy() * 100.0).astype(np.int64)
+        return (
+            pd.DataFrame({"user_id": df["user_id"], "bucket_us": b, "vc": vc})
+            .groupby(["user_id", "bucket_us"], sort=False, as_index=False)["vc"]
+            .sum()
+        )
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.groupby(["user_id", "bucket_us"], as_index=False)["vc"].sum()
+        g = g.sort_values(["user_id", "bucket_us"], kind="mergesort")
+        u = g["user_id"].to_numpy()
+        x = g["bucket_us"].to_numpy() // (3600 * US)  # absolute hour index
+        y = g["vc"].to_numpy()
+        m = len(g)
+        new_u = np.r_[True, u[1:] != u[:-1]] if m else np.array([], bool)
+        starts = np.flatnonzero(new_u)
+        seg = np.cumsum(new_u) - 1 if m else np.array([], int)
+        idx = np.arange(m, dtype=np.int64)
+        lo = np.maximum(idx - (window - 1), starts[seg] if m else idx)
+
+        def win(arr):
+            cs = np.cumsum(arr)
+            return cs[idx] - np.where(lo > 0, cs[lo - 1], 0)
+
+        ones = np.ones(m, dtype=np.int64)
+        n = win(ones)
+        sx, sy = win(x), win(y)
+        sxy, sxx = win(x * y), win(x * x)
+        num = n * sxy - sx * sy
+        den = n * sxx - sx * sx
+        slope = np.where(
+            n > 1,
+            num.astype(np.float64) / np.where(den != 0, den, 1).astype(np.float64) / 100.0,
+            np.nan,
+        )
+        # NO round(6): both sides compute the slope from identical int64
+        # sums through an identical double op chain, so the raw doubles
+        # are bit-identical — rounding would ADD risk (numpy half-even vs
+        # DuckDB half-away differs on the exact-.5 boundaries these
+        # small-denominator rationals hit)
+        return pd.DataFrame(
+            {"user_id": u, "bucket_us": g["bucket_us"].to_numpy(),
+             "win_n": n, "slope_per_hour": slope}
+        )
+
+    out = hash_combine(
+        ds.map_batches(partial, batch_format="pandas"), ["user_id"], combine
+    ).to_pandas()
+    out["bucket_start"] = out.pop("bucket_us").to_numpy().view("datetime64[us]")
+    return out[["user_id", "bucket_start", "win_n", "slope_per_hour"]].sort_values(
+        ["user_id", "bucket_start"], ignore_index=True
+    )

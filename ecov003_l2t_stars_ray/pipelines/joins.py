@@ -1,0 +1,212 @@
+"""Distributed join operators: big-big shuffle hash join and the
+Bloom-filter semi-join scale path.
+
+The reference joins rasters by date axis (`ECOv003_L2T_STARS/L2T_STARS.py:
+generate_STARS_inputs` date-keyed composites) — always one-small-side, so
+its engine never needs a big-big exchange. A 100 TB tabular engine does;
+these operators supply it:
+
+- ``hash_join`` (functions/shuffle.py): both sides large -> one hash
+  exchange on the key, per-partition vectorized pandas merge. Chosen over
+  Ray 2.49's native ``Dataset.join`` by measurement: at sf0.1
+  (600 K x 150 K filtered) the native hash-shuffle join operator pays a
+  per-aggregator constant comparable to the sort-based Aggregate this
+  engine already avoids (see CLAUDE.md); the union-exchange form reuses
+  the proven one-shuffle shape and fuses the downstream partial aggregate
+  into the same stage.
+- ``bloom_semijoin``: the J5 anti/semi-join family at scale — a broadcast
+  Bloom filter (splitmix64 double-hashing, vectorized membership test)
+  prunes the big side BEFORE any exchange; survivors are verified against
+  the exact member set so the operator stays EXACT (false positives are
+  re-checked, false negatives are impossible by construction). At 100 TB
+  the bloom (m bits ~ 10 bits/member) rides `ray.put` once per node while
+  the exact set stays sharded; here the member set is small enough to
+  broadcast whole.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow.compute as pc
+import ray
+import ray.data
+
+from ..functions.shuffle import hash_combine, hash_join
+
+CUTOFF = pd.Timestamp("2000-01-01")
+
+
+def join_topk_revenue(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """TPC-H Q3-shaped pipeline: lineitem JOIN orders (big-big ->
+    ``hash_join``) with the customer segment filter broadcast into the
+    orders read (small side never shuffles), integer-cents revenue
+    aggregate per order, global top-k.
+
+    Determinism contract: revenue accumulates as int64
+    cents x (100 - discount%) units; ONE double division + round(6) at the
+    end, mirrored op-for-op in the oracle SQL. Ties at rank k break on
+    orderkey.
+
+    Scale shape: both reads are column-pruned AND row-filtered at the
+    parquet scan (predicate pushdown); the orders side is pre-filtered by
+    a broadcast membership test before the exchange; the revenue partial
+    aggregate runs inside the join's partition groups (same task), so the
+    only all-to-all is the one join exchange; per-partition top-k keeps the
+    driver merge at O(P * k) rows.
+    """
+    cust = pd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    building = np.sort(
+        cust.loc[cust["c_mktsegment"] == "BUILDING", "c_custkey"].to_numpy()
+    )
+    building_ref = ray.put(building)
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+        filter=pc.field("l_shipdate") > pc.scalar(CUTOFF),
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
+        filter=pc.field("o_orderdate") < pc.scalar(CUTOFF),
+    )
+
+    def li_prep(df: pd.DataFrame) -> pd.DataFrame:
+        # pre-aggregate to integer revenue units BEFORE the exchange:
+        # cents * (100 - discount%) is exact in int64
+        ep_c = np.round(df["l_extendedprice"].to_numpy() * 100.0).astype(np.int64)
+        disc = np.round(df["l_discount"].to_numpy() * 100.0).astype(np.int64)
+        return (
+            pd.DataFrame({"orderkey": df["l_orderkey"],
+                          "rev_u": ep_c * (100 - disc)})
+            .groupby("orderkey", sort=False, as_index=False)["rev_u"]
+            .agg(rev_u="sum", n_lines="count")
+        )
+
+    def orders_prep(df: pd.DataFrame) -> pd.DataFrame:
+        members = ray.get(building_ref)
+        keep = df[
+            np.isin(df["o_custkey"].to_numpy(), members, assume_unique=False)
+        ]
+        return pd.DataFrame(
+            {"orderkey": keep["o_orderkey"],
+             "o_orderdate": keep["o_orderdate"],
+             "o_orderpriority": keep["o_orderpriority"]}
+        )
+
+    joined = hash_join(
+        li.map_batches(li_prep, batch_format="pandas"),
+        orders.map_batches(orders_prep, batch_format="pandas"),
+        on=["orderkey"],
+        how="inner",
+    )
+
+    def topk_part(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(
+            ["orderkey", "o_orderdate", "o_orderpriority"], as_index=False
+        ).agg(rev_u=("rev_u", "sum"), n_lines=("n_lines", "sum"))
+        g["revenue"] = np.round(
+            g["rev_u"].to_numpy(dtype=np.float64) / 10000.0, 6
+        )
+        return g.sort_values(
+            ["revenue", "orderkey"], ascending=[False, True], kind="mergesort"
+        ).head(k)
+
+    out = joined.map_batches(topk_part, batch_format="pandas").to_pandas()
+    return (
+        out.sort_values(["revenue", "orderkey"], ascending=[False, True],
+                        kind="mergesort")
+        .head(k)
+        .reset_index(drop=True)
+        [["orderkey", "o_orderdate", "o_orderpriority", "n_lines", "revenue"]]
+    )
+
+
+# ------------------------------------------------------------ Bloom filter
+def _bloom_hashes(vals: np.ndarray, m_bits: int, n_hashes: int,
+                  ) -> np.ndarray:
+    """(n_hashes, len(vals)) bit indices via splitmix64 double hashing
+    (h1 + i*h2 mod m — classic Kirsch-Mitzenmacher construction)."""
+    from .sketches import _splitmix64
+
+    v = vals.astype(np.int64).view(np.uint64)
+    h1 = _splitmix64(v)
+    h2 = _splitmix64(v ^ np.uint64(0xA5A5A5A5A5A5A5A5)) | np.uint64(1)
+    i = np.arange(n_hashes, dtype=np.uint64)[:, None]
+    return ((h1[None, :] + i * h2[None, :]) % np.uint64(m_bits)).astype(
+        np.int64
+    )
+
+
+def bloom_build(members: np.ndarray, bits_per_member: int = 10,
+                n_hashes: int = 4) -> np.ndarray:
+    m_bits = max(64, 1 << int(np.ceil(np.log2(
+        max(1, len(members)) * bits_per_member))))
+    bits = np.zeros(m_bits, dtype=bool)
+    idx = _bloom_hashes(members, m_bits, n_hashes)
+    bits[idx.ravel()] = True
+    return bits
+
+
+def bloom_test(bits: np.ndarray, vals: np.ndarray,
+               n_hashes: int = 4) -> np.ndarray:
+    """Vectorized membership test: True = maybe-member (never a false
+    negative), False = definitely absent."""
+    idx = _bloom_hashes(vals, len(bits), n_hashes)
+    return bits[idx].all(axis=0)
+
+
+def bloom_semijoin(sf_dir: str) -> pd.DataFrame:
+    """Event counts per type, restricted to users who ever purchased —
+    the semi-join pruned by a broadcast Bloom filter, verified exactly.
+
+    Output: (event_type, n_events, n_users) for bloom-surviving,
+    set-verified rows; int-exact counts.
+    """
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    )
+    purch = (
+        ds.map_batches(
+            lambda df: pd.DataFrame(
+                {"user_id": df.loc[df["event_type"] == "purchase", "user_id"]
+                 .unique()}
+            ),
+            batch_format="pandas",
+        )
+        .to_pandas()["user_id"]
+        .unique()
+    )
+    members = np.sort(purch)
+    bits_ref = ray.put(bloom_build(members))
+    members_ref = ray.put(members)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        u = df["user_id"].to_numpy()
+        maybe = bloom_test(ray.get(bits_ref), u)
+        # exactness: bloom false positives are culled by the real set
+        sub = df[maybe]
+        truly = np.isin(sub["user_id"].to_numpy(), ray.get(members_ref),
+                        assume_unique=False)
+        sub = sub[truly]
+        return (
+            sub.groupby(["event_type", "user_id"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        per_user = g.groupby(["event_type", "user_id"], as_index=False)["n"].sum()
+        return per_user.groupby("event_type", as_index=False).agg(
+            n_events=("n", "sum"), n_users=("user_id", "count")
+        )
+
+    return (
+        hash_combine(ds.map_batches(partial, batch_format="pandas"),
+                     ["event_type"], combine)
+        .to_pandas()
+        .sort_values("event_type", ignore_index=True)
+    )

@@ -431,7 +431,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # exact discrete quantiles, hopping windows, categorical pivot
         "latency_quantiles": A.latency_quantiles,
         "hopping_count_1h_15m": A.hopping_count_1h_15m,
-        "ewma_1h": A.ewma_1h,  # decayed aggregate — rows-only, pytest oracle
+        "ewma_1h": A.ewma_1h,  # decayed aggregate — recursive-CTE SQL oracle
         "event_mix_1h": A.event_mix_1h,
         "moving_avg_1h": A.moving_avg_1h,
         "distinct_event_types": A.distinct_event_types,
@@ -744,6 +744,29 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
                    COUNT(*) AS n_total
             FROM events GROUP BY 1, 2
+        """,
+        # decayed aggregate (EWMA): hourly sums in integer cents (order-
+        # independent), one double division, then the recurrence
+        # e = a*x + (1-a)*e_prev carried UNROUNDED by a recursive CTE —
+        # op-for-op the engine's segmented scan (analytics.ewma_1h)
+        "ewma_1h": """
+            WITH RECURSIVE h AS (
+                SELECT user_id, date_trunc('hour', ts) AS bucket_start,
+                       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE)
+                           / 100 AS x,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY user_id
+                           ORDER BY date_trunc('hour', ts)
+                       ) AS rn
+                FROM events GROUP BY user_id, date_trunc('hour', ts)
+            ), r AS (
+                SELECT user_id, bucket_start, rn, x AS e FROM h WHERE rn = 1
+                UNION ALL
+                SELECT h.user_id, h.bucket_start, h.rn,
+                       0.3 * h.x + (1.0 - 0.3) * r.e
+                FROM h JOIN r ON h.user_id = r.user_id AND h.rn = r.rn + 1
+            )
+            SELECT user_id, bucket_start, ROUND(e, 6) AS ewma FROM r
         """,
         "moving_avg_1h": """
             WITH h AS (

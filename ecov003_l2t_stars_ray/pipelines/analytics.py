@@ -1010,15 +1010,19 @@ def ewma_1h(sf_dir: str, alpha: float = 0.3) -> pd.DataFrame:
     """Exponentially-weighted moving average over hourly per-user sums —
     the decayed-aggregate streaming operator (§2.9 family). The recursive
     scan runs inside the distributed partition combine over the (small)
-    hourly bucket stream; rows-only (recursion is not cleanly
-    SQL-expressible), pytest-verified against a numpy oracle."""
+    hourly bucket stream; SQL-oracled via a DuckDB recursive CTE that
+    mirrors the recurrence op-for-op (hourly sums accumulate as integer
+    cents so the bucket inputs are order-independent, ONE double division
+    per bucket, then ``e = a*x + (1-a)*e_prev`` unrounded until the final
+    ROUND(6))."""
     width = WIDTHS["1h"]
     ds = _events(sf_dir, ["user_id", "ts", "value"])
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         b = df["ts"].astype("datetime64[us]").astype(np.int64) // width * width
+        c = np.round(df["value"].to_numpy() * 100).astype(np.int64)
         return (
-            pd.DataFrame({"user_id": df["user_id"], "bucket_us": b, "v": df["value"]})
+            pd.DataFrame({"user_id": df["user_id"], "bucket_us": b, "v": c})
             .groupby(["user_id", "bucket_us"], sort=False, as_index=False)["v"]
             .sum()
         )
@@ -1027,7 +1031,7 @@ def ewma_1h(sf_dir: str, alpha: float = 0.3) -> pd.DataFrame:
         g = g.groupby(["user_id", "bucket_us"], as_index=False)["v"].sum()
         g = g.sort_values(["user_id", "bucket_us"], kind="mergesort")
         u = g["user_id"].to_numpy()
-        x = g["v"].to_numpy(dtype=np.float64)
+        x = g["v"].to_numpy(dtype=np.float64) / 100.0
         n = len(g)
         out = np.empty(n)
         starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]]) if n else np.array([], dtype=np.int64)

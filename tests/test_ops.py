@@ -356,7 +356,9 @@ def test_ewma_matches_numpy_oracle():
         ev["ts"].astype("datetime64[us]").astype(np.int64) // (3600 * 10**6)
         * (3600 * 10**6)
     )
+    ev["value"] = np.round(ev["value"].to_numpy() * 100).astype(np.int64)
     hourly = ev.groupby(["user_id", "b"], as_index=False)["value"].sum()
+    hourly["value"] = hourly["value"].to_numpy(dtype=np.float64) / 100.0
     hourly = hourly.sort_values(["user_id", "b"], ignore_index=True)
     want = []
     for _u, grp in hourly.groupby("user_id"):

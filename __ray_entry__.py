@@ -389,6 +389,12 @@ def _ivf_near_dups(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+def _kmeans_embed(sf_dir: str) -> pd.DataFrame:
+    from ecov003_l2t_stars_ray.pipelines.similarity import kmeans_embed
+
+    return kmeans_embed(sf_dir, k=8, iters=8)
+
+
 def _ngram_jaccard_pairs(sf_dir: str) -> pd.DataFrame:
     import ray.data
 
@@ -506,6 +512,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # SQL window-function family + SQL-oracled OLS trend
         "window_rank": A.window_rank,
         "trend_ols_1h": A.trend_ols_1h,
+        # corpus curation: exact word-span (substring) dedup, global
+        # bigram top-k, RE2 redaction scrub, stratified bottom-k sample
+        "span_dedup": T.span_dedup,
+        "top_bigrams": T.top_bigrams,
+        "scrub_props": T.scrub_props,
+        "stratified_sample": SK.stratified_sample,
+        # distributed Lloyd's k-means over embeddings — rows-only,
+        # bitwise pytest oracle (scaled-int partial sums)
+        "kmeans_embed": _kmeans_embed,
     }
 
 
@@ -1125,5 +1140,58 @@ def oracle_sql() -> dict[str, str]:
                        / CAST(n * sxx - sx * sx AS DOUBLE) / 100.0
                    ELSE NULL END AS slope_per_hour
             FROM w
+        """,
+        # exact word-span substring dedup (Lee et al. 2022 signal): every
+        # 8-word window, kept when it recurs in >= 2 distinct docs
+        "span_dedup": """
+            WITH w AS (
+                SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+            ), s0 AS (
+                SELECT doc_id, ws,
+                       unnest(generate_series(1, len(ws) - 7)) AS i
+                FROM w
+            ), s AS (
+                SELECT doc_id, array_to_string(ws[i:i+7], ' ') AS span
+                FROM s0
+            )
+            SELECT span,
+                   CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+                   COUNT(*) AS n_occ
+            FROM s GROUP BY span
+            HAVING COUNT(DISTINCT doc_id) >= 2
+        """,
+        "top_bigrams": """
+            WITH w AS (
+                SELECT string_split(text, ' ') AS ws FROM documents
+            ), b0 AS (
+                SELECT ws, unnest(generate_series(1, len(ws) - 1)) AS i
+                FROM w
+            ), b AS (
+                SELECT ws[i] || ' ' || ws[i+1] AS bigram FROM b0
+            )
+            SELECT bigram, COUNT(*) AS cnt FROM b
+            GROUP BY bigram ORDER BY cnt DESC, bigram LIMIT 20
+        """,
+        # RE2 on both sides: pyarrow replace_substring_regex == DuckDB
+        # regexp_replace semantics by construction
+        "scrub_props": """
+            SELECT event_id,
+                   regexp_replace(props, '\\d+', '#', 'g') AS scrubbed,
+                   CAST(len(regexp_extract_all(props, '\\d+')) AS BIGINT)
+                       AS n_redacted
+            FROM events
+        """,
+        "stratified_sample": """
+            WITH h AS (
+                SELECT event_id, user_id, event_type, ts, value,
+                       md5(CAST(event_id AS VARCHAR)) AS h
+                FROM events
+            ), r AS (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY event_type ORDER BY h, event_id
+                ) AS rn FROM h
+            )
+            SELECT event_id, user_id, event_type, ts, value, h
+            FROM r WHERE rn <= 20
         """,
     }

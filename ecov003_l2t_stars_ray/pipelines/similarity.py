@@ -316,3 +316,97 @@ def ivf_near_dups(
     return out.drop_duplicates(["vec_a", "vec_b"]).sort_values(
         ["vec_a", "vec_b"], ignore_index=True
     )
+
+
+# ------------------------------------------------ distributed k-means (Lloyd)
+def kmeans_embed(sf_dir: str, k: int = 8, iters: int = 8) -> pd.DataFrame:
+    """Distributed Lloyd's k-means over the embedding corpus — the
+    clustering step of embedding-based corpus curation (topic balancing,
+    near-dup blocking). Every iteration is one streaming pass: centroids
+    ride `ray.put` once per round, each batch computes assignments with one
+    matmul and emits k partial rows (scaled-int sum vector + count), the
+    driver reduces k * n_batches tiny partials.
+
+    Determinism contract (bitwise, any batch order / cluster count):
+    vectors are L2-normalized float64; partial sums accumulate as
+    np.round(m * 2^20) int64 (order-independent); centroid = int_sum /
+    (2^20 * count), re-normalized; assignment = argmax cosine, first-index
+    tie-break; empty cluster keeps its previous centroid. Init = the k
+    vectors with smallest md5(vec_id) (bottom-k partials, no full
+    materialization). The pytest oracle replays the identical recurrence
+    single-process.
+    """
+    import hashlib
+
+    SCALE = float(1 << 20)
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+
+    def md5_bottomk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["h"] = df["vec_id"].astype(str).map(
+            lambda s: hashlib.md5(s.encode()).hexdigest()
+        )
+        return df.sort_values(["h", "vec_id"], kind="mergesort").head(k)
+
+    seed_df = (
+        emb.map_batches(md5_bottomk, batch_format="pandas")
+        .to_pandas()
+        .sort_values(["h", "vec_id"], kind="mergesort")
+        .head(k)
+    )
+    c = _to_matrix(seed_df["embedding"])
+
+    def partial_update(ref):
+        def f(df: pd.DataFrame) -> pd.DataFrame:
+            cc = ray.get(ref)
+            m = _to_matrix(df["embedding"])
+            a = np.argmax(m @ cc.T, axis=1)
+            s = np.round(m * SCALE).astype(np.int64)
+            sums = np.zeros((len(cc), m.shape[1]), dtype=np.int64)
+            np.add.at(sums, a, s)
+            cnt = np.bincount(a, minlength=len(cc)).astype(np.int64)
+            return pd.DataFrame(
+                {
+                    "cluster": np.arange(len(cc), dtype=np.int64),
+                    "sum_vec": list(sums),
+                    "count": cnt,
+                }
+            )
+        return f
+
+    for _ in range(iters):
+        ref = ray.put(c)
+        parts = emb.map_batches(partial_update(ref), batch_format="pandas").to_pandas()
+        sums = np.zeros_like(c, dtype=np.int64)
+        cnts = np.zeros(len(c), dtype=np.int64)
+        for cl, sv, n in zip(parts["cluster"], parts["sum_vec"], parts["count"]):
+            sums[cl] += np.asarray(sv, dtype=np.int64)
+            cnts[cl] += n
+        nz = cnts > 0
+        upd = sums[nz].astype(np.float64) / (SCALE * cnts[nz, None])
+        upd /= np.maximum(np.linalg.norm(upd, axis=1, keepdims=True), 1e-12)
+        c = c.copy()
+        c[nz] = upd
+
+    ref = ray.put(c)
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        cc = ray.get(ref)
+        m = _to_matrix(df["embedding"])
+        sims = m @ cc.T
+        a = np.argmax(sims, axis=1)
+        return pd.DataFrame(
+            {
+                "vec_id": df["vec_id"].to_numpy(),
+                "cluster": a.astype(np.int64),
+                "cosine": np.round(sims[np.arange(len(a)), a], 6),
+            }
+        )
+
+    return (
+        emb.map_batches(assign, batch_format="pandas")
+        .to_pandas()
+        .sort_values("vec_id", ignore_index=True)
+    )

@@ -311,3 +311,36 @@ def hll_distinct(sf_dir: str, p: int = 12) -> pd.DataFrame:
         .to_pandas()
         .sort_values("event_type", ignore_index=True)
     )
+
+
+# --------------------------------------------- stratified deterministic sample
+def stratified_sample(sf_dir: str, k: int = 20) -> pd.DataFrame:
+    """Deterministic stratified sample: per event_type stratum, the k
+    events with the smallest md5(event_id) rank — the per-class balanced
+    variant of :func:`bottomk_sample` (training-data curation's
+    class-balancing step).
+
+    Scale shape: each batch keeps only its local bottom-k PER STRATUM
+    (<= k * n_strata rows leave a batch), those tiny partials ride one
+    hash shuffle keyed by stratum, each partition combine re-takes bottom-k
+    per stratum. No full sort, no global shuffle of the input."""
+    ds = _events(sf_dir, ["event_id", "user_id", "event_type", "ts", "value"])
+
+    def local(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["h"] = _md5_rank(df["event_id"])
+        df = df.sort_values(["h", "event_id"], kind="mergesort")
+        return df.groupby("event_type", sort=False).head(k)
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["h", "event_id"], kind="mergesort")
+        return g.groupby("event_type", sort=False).head(k)
+
+    out = hash_combine(
+        ds.map_batches(local, batch_format="pandas"), ["event_type"], combine
+    ).to_pandas()
+    return (
+        out.sort_values(["event_type", "h", "event_id"], kind="mergesort")
+        .reset_index(drop=True)
+        [["event_id", "user_id", "event_type", "ts", "value", "h"]]
+    )

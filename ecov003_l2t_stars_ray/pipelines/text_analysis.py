@@ -204,3 +204,138 @@ def doc_repetition(sf_dir: str) -> pd.DataFrame:
         .to_pandas()
         .sort_values("doc_id", ignore_index=True)
     )
+
+
+# ------------------------------------------------- round-3 corpus operators
+def span_dedup(sf_dir: str, width: int = 8, min_docs: int = 2) -> pd.DataFrame:
+    """Exact substring (word-span) dedup across the corpus, the
+    training-data signal of Lee et al. 2022 ("Deduplicating Training Data
+    Makes Language Models Better") at fixed span width: every ``width``-word
+    window of every document, reported when it recurs in >= ``min_docs``
+    distinct documents.
+
+    Scale shape: map-side the spans of each doc are built VECTORIZED (one
+    split + a stride-trick window join per batch) and pre-deduplicated to
+    (span, doc) pairs with an occurrence count — the only thing that rides
+    the one hash shuffle; the distinct-doc count and total-occurrence sum
+    are a per-partition vectorized combine. At 100 TB the span STRING is
+    the shuffle payload; hashing spans to uint64 keys (collision-checked at
+    combine) halves the exchange — noted, not needed at oracle scale.
+    """
+
+    def spans(df: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        words = df["text"].str.split(" ")
+        for doc_id, ws in zip(df["doc_id"].to_numpy(), words):
+            n = len(ws) - width + 1
+            if n <= 0:
+                continue
+            arr = np.array(ws, dtype=object)
+            cols = [arr[i : i + n] for i in range(width)]
+            sp = cols[0]
+            for c in cols[1:]:
+                sp = np.char.add(np.char.add(sp.astype(str), " "), c.astype(str))
+            frames.append(pd.DataFrame({"span": sp, "doc_id": doc_id}))
+        if not frames:
+            return pd.DataFrame({"span": pd.Series(dtype="object"),
+                                 "doc_id": pd.Series(dtype="int64"),
+                                 "n_occ": pd.Series(dtype="int64")})
+        out = pd.concat(frames, ignore_index=True)
+        return out.groupby(["span", "doc_id"], sort=False, as_index=False).agg(
+            n_occ=("doc_id", "size")
+        )
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        # partial rows are already (span, doc) unique per input batch; a
+        # doc's spans can still arrive from two batches of the same doc —
+        # re-reduce, then count distinct docs + sum occurrences
+        g = g.groupby(["span", "doc_id"], as_index=False)["n_occ"].sum()
+        agg = g.groupby("span").agg(
+            n_docs=("doc_id", "nunique"), n_occ=("n_occ", "sum")
+        )
+        agg = agg[agg["n_docs"] >= min_docs].reset_index()
+        agg["n_docs"] = agg["n_docs"].astype("int64")
+        agg["n_occ"] = agg["n_occ"].astype("int64")
+        return agg
+
+    from ..functions.shuffle import hash_combine
+
+    ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        spans, batch_format="pandas"
+    )
+    return (
+        hash_combine(ds, ["span"], combine)
+        .to_pandas()
+        .sort_values("span", ignore_index=True)
+    )
+
+
+def top_bigrams(sf_dir: str, k: int = 20) -> pd.DataFrame:
+    """Global top-k word bigrams across the corpus: map-side vectorized
+    bigram counts per batch (one split + one shifted join, no per-row
+    Python), partial counts ride one hash shuffle, per-partition combine,
+    driver merges P tiny top-k lists. Ties at rank k break on the bigram
+    string (mirrored ORDER BY in the oracle)."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        ex = df["text"].str.split(" ").explode()
+        nxt = ex.groupby(level=0).shift(-1)
+        mask = nxt.notna()
+        big = ex[mask] + " " + nxt[mask]
+        c = big.value_counts()
+        return pd.DataFrame({"bigram": c.index.to_numpy(),
+                             "cnt": c.to_numpy(dtype=np.int64)})
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("bigram", as_index=False)["cnt"].sum()
+        # per-partition top-k is safe: the global top-k is a subset of the
+        # union of per-partition top-k (each bigram lives in ONE partition)
+        return agg.sort_values(["cnt", "bigram"], ascending=[False, True],
+                               kind="mergesort").head(k)
+
+    from ..functions.shuffle import hash_combine
+
+    ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        partial, batch_format="pandas"
+    )
+    out = hash_combine(ds, ["bigram"], combine).to_pandas()
+    return (
+        out.sort_values(["cnt", "bigram"], ascending=[False, True],
+                        kind="mergesort")
+        .head(k)
+        .reset_index(drop=True)
+    )
+
+
+def scrub_props(sf_dir: str) -> pd.DataFrame:
+    """Redaction operator (PII-scrub family): replace digit runs in the
+    semi-structured ``props`` payload with '#' and count redactions —
+    pyarrow RE2 kernels (`replace_substring_regex`/`count_substring_regex`),
+    the same regex engine DuckDB's regexp_replace uses, so oracle parity is
+    by construction. Pure map — no shuffle; at 100 TB this runs at read
+    bandwidth."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def scrub(batch: pa.Table) -> pa.Table:
+        props = batch.column("props")
+        return pa.table(
+            {
+                "event_id": batch.column("event_id"),
+                "scrubbed": pc.replace_substring_regex(
+                    props, pattern=r"\d+", replacement="#"
+                ),
+                "n_redacted": pc.cast(
+                    pc.count_substring_regex(props, pattern=r"\d+"), pa.int64()
+                ),
+            }
+        )
+
+    return (
+        ray.data.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["event_id", "props"]
+        )
+        .map_batches(scrub, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("event_id", ignore_index=True)
+    )

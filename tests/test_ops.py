@@ -406,3 +406,89 @@ def test_blend_two_source_fallbacks():
     )
     # the corpus must actually exercise the fallback branch
     assert (li["l_extendedprice"].to_numpy() / 1000.0 > 60.0).any()
+
+
+def test_kmeans_embed_bitwise_matches_local_replay():
+    """Distributed Lloyd's == single-process replay of the identical
+    recurrence (scaled-int partial sums make the reduction order-free)."""
+    import hashlib
+
+    from ecov003_l2t_stars_ray.pipelines.similarity import kmeans_embed
+
+    k, iters, SCALE = 4, 5, float(1 << 20)
+    got = kmeans_embed(SF, k=k, iters=iters)
+
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    m = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+    h = emb["vec_id"].astype(str).map(
+        lambda s: hashlib.md5(s.encode()).hexdigest())
+    order = np.lexsort((emb["vec_id"].to_numpy(), h.to_numpy()))
+    c = m[order[:k]]
+    for _ in range(iters):
+        a = np.argmax(m @ c.T, axis=1)
+        s = np.round(m * SCALE).astype(np.int64)
+        sums = np.zeros((k, m.shape[1]), dtype=np.int64)
+        np.add.at(sums, a, s)
+        cnts = np.bincount(a, minlength=k).astype(np.int64)
+        nz = cnts > 0
+        upd = sums[nz].astype(np.float64) / (SCALE * cnts[nz, None])
+        upd /= np.maximum(np.linalg.norm(upd, axis=1, keepdims=True), 1e-12)
+        c = c.copy()
+        c[nz] = upd
+    sims = m @ c.T
+    a = np.argmax(sims, axis=1)
+    want = pd.DataFrame({
+        "vec_id": emb["vec_id"].to_numpy(),
+        "cluster": a.astype(np.int64),
+        "cosine": np.round(sims[np.arange(len(a)), a], 6),
+    }).sort_values("vec_id", ignore_index=True)
+    pd.testing.assert_frame_equal(got, want)
+    assert got["cluster"].nunique() >= 2  # non-degenerate clustering
+
+
+def test_span_dedup_short_docs_and_planted_span():
+    """Docs shorter than the span width contribute nothing; a planted
+    8-word span shared by two synthetic docs is found with n_docs=2."""
+    from ecov003_l2t_stars_ray.pipelines.text_analysis import span_dedup
+    import tempfile, os
+
+    span = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": [
+            f"x y {span} q r",
+            f"{span} s t u v",
+            "too short",
+            f"u n r e l a t e d words only here {span}",
+        ],
+    })
+    d = tempfile.mkdtemp(dir="/tmp")
+    docs.to_parquet(os.path.join(d, "documents.parquet"))
+    out = span_dedup(d, width=8, min_docs=2)
+    assert span in set(out["span"])
+    row = out[out["span"] == span].iloc[0]
+    assert row["n_docs"] == 3 and row["n_occ"] == 3
+
+
+def test_stratified_sample_invariants():
+    """Exactly k per stratum, and the sample == brute-force bottom-k."""
+    import hashlib
+
+    from ecov003_l2t_stars_ray.pipelines.sketches import stratified_sample
+
+    k = 7
+    got = stratified_sample(SF, k=k)
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    ev["h"] = ev["event_id"].astype(str).map(
+        lambda s: hashlib.md5(s.encode()).hexdigest())
+    want = (
+        ev.sort_values(["h", "event_id"], kind="mergesort")
+        .groupby("event_type", sort=False).head(k)
+        .sort_values(["event_type", "h", "event_id"], kind="mergesort")
+        .reset_index(drop=True)
+        [["event_id", "user_id", "event_type", "ts", "value", "h"]]
+    )
+    assert (got.groupby("event_type").size() == k).all()
+    pd.testing.assert_frame_equal(got, want)

@@ -608,10 +608,13 @@ def dup_groups(pairs: pd.DataFrame, max_rounds: int = 20) -> pd.DataFrame:
             vectorized merge inside the partition, emit (other, label);
         shuffle 2 (key = node): min-combine proposals with current labels.
 
-    The driver holds ONLY the label table between rounds (O(nodes in the
-    pruned pair set), never the edges); labels converge in O(component
-    diameter) rounds. At 100 TB the label table itself would stay a
-    Dataset — the round shape is unchanged.
+    The label table itself is a DATASET between rounds — it lives in the
+    object store, is re-keyed by the same node hash each round, and the
+    driver sees only one scalar per round: the count of labels that
+    changed (a tiny ``sum`` over the materialized round output). Labels
+    converge in O(component diameter) rounds; nothing driver-side scales
+    with nodes or edges, so the same loop runs at a 10^12-edge pair set
+    (the r2 ~10^8-node driver-label ceiling is gone).
     """
     empty = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
                           "group_id": pd.Series(dtype="int64")})
@@ -625,7 +628,10 @@ def dup_groups(pairs: pd.DataFrame, max_rounds: int = 20) -> pd.DataFrame:
     )
     edges_ds = ray.data.from_pandas(both).materialize()
     nodes = np.unique(np.concatenate([a, b]))
-    labels = pd.DataFrame({"node": nodes, "lab": nodes})
+    # seed label table: distributed from the edge endpoints; node = lab
+    labels_ds = ray.data.from_pandas(
+        pd.DataFrame({"node": nodes, "lab": nodes})
+    ).materialize()
 
     from ..functions.shuffle import hash_combine
 
@@ -637,25 +643,51 @@ def dup_groups(pairs: pd.DataFrame, max_rounds: int = 20) -> pd.DataFrame:
                              "lab": m["lab"].to_numpy()})
 
     def min_combine(g: pd.DataFrame) -> pd.DataFrame:
-        return g.groupby("node", as_index=False)["lab"].min()
-
-    for _ in range(max_rounds):
-        lab_rows = labels.rename(columns={"node": "key"}).copy()
-        lab_rows["other"] = np.int64(-1)
-        lab_rows = lab_rows[["key", "other", "lab"]]
-        union = ray.data.from_pandas(lab_rows).union(edges_ds)
-        props = hash_combine(union, ["key"], join_emit, num_partitions=16)
-        cur = ray.data.from_pandas(labels)
-        new_labels = (
-            hash_combine(props.union(cur), ["node"], min_combine, num_partitions=16)
-            .to_pandas()
-            .sort_values("node", ignore_index=True)
+        # proposal rows carry cur = +inf sentinel, the node's current
+        # label row carries cur = its label (every node has one) — so
+        # min(cur) recovers the current label; changed iff the new min
+        # label beats it
+        agg = g.groupby("node").agg(lab=("lab", "min"), cur=("cur", "min"))
+        return pd.DataFrame(
+            {
+                "node": agg.index.to_numpy(),
+                "lab": agg["lab"].to_numpy(),
+                "changed": (agg["lab"].to_numpy()
+                            < agg["cur"].to_numpy()).astype(np.int64),
+            }
         )
-        if np.array_equal(new_labels["lab"].to_numpy(),
-                          labels.sort_values("node")["lab"].to_numpy()):
-            labels = new_labels
+
+    def as_label_rows(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"key": df["node"].to_numpy(dtype=np.int64),
+             "other": np.int64(-1),
+             "lab": df["lab"].to_numpy(dtype=np.int64)}
+        )
+
+    def as_current(df: pd.DataFrame) -> pd.DataFrame:
+        # cur = the node's present label; proposals get cur = +inf sentinel
+        return pd.DataFrame(
+            {"node": df["node"].to_numpy(dtype=np.int64),
+             "lab": df["lab"].to_numpy(dtype=np.int64),
+             "cur": df["lab"].to_numpy(dtype=np.int64)}
+        )
+
+    sentinel = np.int64(np.iinfo(np.int64).max)
+    for _ in range(max_rounds):
+        lab_rows = labels_ds.map_batches(as_label_rows, batch_format="pandas")
+        props = hash_combine(lab_rows.union(edges_ds), ["key"], join_emit,
+                             num_partitions=16).map_batches(
+            lambda df: df.assign(cur=sentinel), batch_format="pandas"
+        )
+        cur_rows = labels_ds.map_batches(as_current, batch_format="pandas")
+        new_labels = hash_combine(
+            props.union(cur_rows), ["node"], min_combine, num_partitions=16
+        ).materialize()
+        n_changed = new_labels.sum("changed")
+        labels_ds = new_labels.drop_columns(["changed"]).materialize()
+        if not n_changed:
             break
-        labels = new_labels
+    labels = labels_ds.to_pandas()
     return pd.DataFrame(
         {"doc_id": labels["node"].to_numpy(), "group_id": labels["lab"].to_numpy()}
     ).sort_values("doc_id", ignore_index=True)

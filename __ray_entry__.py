@@ -11,9 +11,15 @@ the driver's value hash.
 from __future__ import annotations
 
 import os
+
+# before numpy lands anywhere else (workers inherit): THP-madvise numpy
+# faults are ~100x slow on this host — see ecov003_l2t_stars_ray/__init__
+os.environ.setdefault("NUMPY_MADVISE_HUGEPAGE", "0")
+
 from collections.abc import Callable
 from typing import Any
 
+import ecov003_l2t_stars_ray  # noqa: F401  (flips the numpy THP switch)
 import numpy as np
 import pandas as pd
 
@@ -521,6 +527,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # distributed Lloyd's k-means over embeddings — rows-only,
         # bitwise pytest oracle (scaled-int partial sums)
         "kmeans_embed": _kmeans_embed,
+        # token-budget sequence packing (per-partition FFD) — rows-only,
+        # pytest invariants (exactly-once, fill <= budget, contiguous)
+        "pack_sequences": lambda sf: T.pack_sequences(sf, budget=256),
     }
 
 

@@ -17,6 +17,10 @@ from __future__ import annotations
 
 import json
 import os
+
+# before any numpy import, incl. in Ray workers (which inherit this env):
+# THP-madvise faults are ~100x slow on this host — see package __init__
+os.environ.setdefault("NUMPY_MADVISE_HUGEPAGE", "0")
 import shutil
 import subprocess
 import sys

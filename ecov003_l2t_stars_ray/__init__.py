@@ -21,4 +21,23 @@ Nothing here calls ``ray.init()`` — the caller owns the Ray session.
 
 __version__ = "0.1.0"
 
-from . import schema  # noqa: F401
+import os as _os
+
+_os.environ.setdefault("NUMPY_MADVISE_HUGEPAGE", "0")
+
+import numpy as _np  # noqa: E402
+
+try:
+    # On hosts with transparent_hugepage=madvise whose 2 MB fault path is
+    # slow (measured here: ~0.4 s per 2 MB fault under the sandbox
+    # hypervisor — np.cumsum over a fresh 160 MB buffer took 16-26 s vs
+    # 0.16 s without THP madvise, a ~100x swing on every large fresh
+    # allocation), numpy's MADV_HUGEPAGE on >=4 MB buffers is a severe
+    # pessimization. Flip the runtime switch so EVERY process that imports
+    # this package (driver, Ray workers, pytest, bench) takes 4 KB faults;
+    # the env var above covers child processes that import numpy first.
+    _np.core.multiarray._set_madvise_hugepage(False)
+except Exception:  # pragma: no cover - numpy-version dependent
+    pass
+
+from . import schema  # noqa: F401,E402

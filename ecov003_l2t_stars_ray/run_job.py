@@ -12,6 +12,10 @@ class (``L2T_STARS.py:477-503``). This script OWNS the Ray session
 
 from __future__ import annotations
 
+import os
+
+os.environ.setdefault("NUMPY_MADVISE_HUGEPAGE", "0")  # see package __init__
+
 import argparse
 import glob
 import json

@@ -2,6 +2,12 @@
 
 from __future__ import annotations
 
+import os
+
+# before Ray starts workers: THP-madvise numpy faults are ~100x slow on
+# this host (see package __init__); workers inherit this env
+os.environ.setdefault("NUMPY_MADVISE_HUGEPAGE", "0")
+
 import pytest
 import ray
 

@@ -492,3 +492,26 @@ def test_stratified_sample_invariants():
     )
     assert (got.groupby("event_type").size() == k).all()
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_pack_sequences_invariants():
+    """Every doc packed exactly once; no bin over budget; offsets tile
+    each bin contiguously; oversized docs isolated + flagged."""
+    from ecov003_l2t_stars_ray.pipelines.text_analysis import pack_sequences
+
+    budget = 40
+    out = pack_sequences(SF, budget=budget)
+    docs = pd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id"])
+    assert sorted(out["doc_id"]) == sorted(docs["doc_id"])  # exactly once
+    eff = np.minimum(out["n_tokens"].to_numpy(), budget)
+    by_bin = out.assign(eff=eff).groupby("bin_id")
+    assert (by_bin["eff"].sum() <= budget).all()
+    for _b, g in by_bin:
+        g = g.sort_values("offset")
+        want_off = np.concatenate([[0], np.cumsum(g["eff"].to_numpy())[:-1]])
+        np.testing.assert_array_equal(g["offset"].to_numpy(), want_off)
+    tr = out[out["truncated"]]
+    assert (tr["n_tokens"] > budget).all()
+    # determinism: a second run packs identically
+    out2 = pack_sequences(SF, budget=budget)
+    pd.testing.assert_frame_equal(out, out2)

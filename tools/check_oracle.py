@@ -11,7 +11,10 @@ Usage: python tools/check_oracle.py [sf_dir] [query_name ...]
 
 from __future__ import annotations
 
+import os
 import sys
+
+os.environ.setdefault("NUMPY_MADVISE_HUGEPAGE", "0")  # see package __init__
 
 import duckdb
 import numpy as np

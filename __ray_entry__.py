@@ -15,6 +15,7 @@ import os
 # before numpy lands anywhere else (workers inherit): THP-madvise numpy
 # faults are ~100x slow on this host — see ecov003_l2t_stars_ray/__init__
 os.environ.setdefault("NUMPY_MADVISE_HUGEPAGE", "0")
+os.environ.setdefault("ARROW_DEFAULT_MEMORY_POOL", "mimalloc")
 
 from collections.abc import Callable
 from typing import Any

@@ -21,6 +21,7 @@ import os
 # before any numpy import, incl. in Ray workers (which inherit this env):
 # THP-madvise faults are ~100x slow on this host — see package __init__
 os.environ.setdefault("NUMPY_MADVISE_HUGEPAGE", "0")
+os.environ.setdefault("ARROW_DEFAULT_MEMORY_POOL", "mimalloc")
 import shutil
 import subprocess
 import sys

@@ -24,8 +24,10 @@ __version__ = "0.1.0"
 import os as _os
 
 _os.environ.setdefault("NUMPY_MADVISE_HUGEPAGE", "0")
+_os.environ.setdefault("ARROW_DEFAULT_MEMORY_POOL", "mimalloc")
 
 import numpy as _np  # noqa: E402
+import pyarrow as _pa  # noqa: E402
 
 try:
     # On hosts with transparent_hugepage=madvise whose 2 MB fault path is
@@ -38,6 +40,16 @@ try:
     # the env var above covers child processes that import numpy first.
     _np.core.multiarray._set_madvise_hugepage(False)
 except Exception:  # pragma: no cover - numpy-version dependent
+    pass
+
+try:
+    # Arrow's default jemalloc pool madvises THP too (measured 36 s to
+    # first-touch 200 MB vs 0.23 s under mimalloc on this host); the env
+    # var above fixes processes that import pyarrow later, this fixes the
+    # current one
+    if _pa.default_memory_pool().backend_name == "jemalloc":
+        _pa.set_memory_pool(_pa.mimalloc_memory_pool())
+except Exception:  # pragma: no cover - build-dependent pools
     pass
 
 from . import schema  # noqa: F401,E402

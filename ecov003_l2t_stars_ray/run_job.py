@@ -14,7 +14,8 @@ from __future__ import annotations
 
 import os
 
-os.environ.setdefault("NUMPY_MADVISE_HUGEPAGE", "0")  # see package __init__
+os.environ.setdefault("NUMPY_MADVISE_HUGEPAGE", "0")
+os.environ.setdefault("ARROW_DEFAULT_MEMORY_POOL", "mimalloc")  # see package __init__
 
 import argparse
 import glob

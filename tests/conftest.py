@@ -7,6 +7,7 @@ import os
 # before Ray starts workers: THP-madvise numpy faults are ~100x slow on
 # this host (see package __init__); workers inherit this env
 os.environ.setdefault("NUMPY_MADVISE_HUGEPAGE", "0")
+os.environ.setdefault("ARROW_DEFAULT_MEMORY_POOL", "mimalloc")
 
 import pytest
 import ray

@@ -445,6 +445,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "latency_quantiles": A.latency_quantiles,
         "hopping_count_1h_15m": A.hopping_count_1h_15m,
         "ewma_1h": A.ewma_1h,  # decayed aggregate — recursive-CTE SQL oracle
+        # time-decayed sum over IRREGULAR gaps (0.5**gap exact in float64)
+        "decayed_sum_1h": A.decayed_sum_1h,
         "event_mix_1h": A.event_mix_1h,
         "moving_avg_1h": A.moving_avg_1h,
         "distinct_event_types": A.distinct_event_types,
@@ -792,6 +794,29 @@ def oracle_sql() -> dict[str, str]:
                 FROM h JOIN r ON h.user_id = r.user_id AND h.rn = r.rn + 1
             )
             SELECT user_id, bucket_start, ROUND(e, 6) AS ewma FROM r
+        """,
+        # irregular-gap decayed sum: weight power(0.5, hour_gap) is an
+        # exact power of two, mirrored by np.ldexp in the engine
+        "decayed_sum_1h": """
+            WITH RECURSIVE h AS (
+                SELECT user_id, date_trunc('hour', ts) AS bucket_start,
+                       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE)
+                           / 100 AS x,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY user_id
+                           ORDER BY date_trunc('hour', ts)
+                       ) AS rn
+                FROM events GROUP BY user_id, date_trunc('hour', ts)
+            ), r AS (
+                SELECT user_id, bucket_start, rn, x AS s FROM h WHERE rn = 1
+                UNION ALL
+                SELECT h.user_id, h.bucket_start, h.rn,
+                       h.x + power(0.5, CAST(date_diff(
+                           'hour', r.bucket_start, h.bucket_start
+                       ) AS DOUBLE)) * r.s
+                FROM h JOIN r ON h.user_id = r.user_id AND h.rn = r.rn + 1
+            )
+            SELECT user_id, bucket_start, ROUND(s, 6) AS decayed_sum FROM r
         """,
         "moving_avg_1h": """
             WITH h AS (

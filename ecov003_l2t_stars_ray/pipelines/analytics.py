@@ -1061,6 +1061,81 @@ def ewma_1h(sf_dir: str, alpha: float = 0.3) -> pd.DataFrame:
     )
 
 
+def decayed_sum_1h(sf_dir: str) -> pd.DataFrame:
+    """Time-decayed sum over IRREGULAR hourly buckets: per user,
+    ``s_i = x_i + 0.5**gap_i * s_{i-1}`` where ``gap_i`` is the integer
+    number of hours since the user's previous observed bucket (>= 1; gap
+    buckets decay without contributing). The half-life-per-bucket weight
+    ``0.5**gap`` is an exact power of two in float64 (``np.ldexp``), so
+    the engine recurrence and the DuckDB recursive CTE (``power(0.5,
+    gap)``) are bit-comparable — same exactness contract as ``ewma_1h``
+    but over a sparse, gappy axis (reference decay behavior:
+    ``ECOv003-L2T-STARS/VNP43NRT_jl`` temporal weighting of stale
+    observations).
+
+    Scale shape: identical to ``ewma_1h`` — exact-cents map partials,
+    one user-keyed hash shuffle, segmented scan vectorized ACROSS series
+    in the partition combine (max(series_len) numpy steps, zero per-row
+    Python)."""
+    width = WIDTHS["1h"]
+    ds = _events(sf_dir, ["user_id", "ts", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        b = df["ts"].astype("datetime64[us]").astype(np.int64) // width * width
+        c = np.round(df["value"].to_numpy() * 100).astype(np.int64)
+        return (
+            pd.DataFrame({"user_id": df["user_id"], "bucket_us": b, "v": c})
+            .groupby(["user_id", "bucket_us"], sort=False, as_index=False)["v"]
+            .sum()
+        )
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.groupby(["user_id", "bucket_us"], as_index=False)["v"].sum()
+        g = g.sort_values(["user_id", "bucket_us"], kind="mergesort")
+        u = g["user_id"].to_numpy()
+        b = g["bucket_us"].to_numpy()
+        x = g["v"].to_numpy(dtype=np.float64) / 100.0
+        n = len(g)
+        out = np.empty(n)
+        starts = (
+            np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+            if n else np.array([], dtype=np.int64)
+        )
+        lens = np.diff(np.append(starts, n))
+        out[starts] = x[starts]
+        # per-row decay weight: exact 2**-gap (ldexp), gap in whole hours
+        # since the previous bucket of the SAME user (first rows unused)
+        gap = np.empty(n, dtype=np.int64)
+        if n:
+            gap[0] = 0
+            gap[1:] = (b[1:] - b[:-1]) // width
+        w = np.ldexp(1.0, -np.minimum(gap, 1100).astype(np.int32))
+        for i in range(1, int(lens.max()) if n else 0):
+            idx = starts[lens > i] + i
+            out[idx] = x[idx] + w[idx] * out[idx - 1]
+        return pd.DataFrame(
+            {
+                "user_id": u,
+                "bucket_start": b.view("datetime64[us]"),
+                # DuckDB ROUND is half-AWAY-from-zero (floor(x*1e6+.5)),
+                # numpy round is half-even; decayed sums land exactly on
+                # x.xxxxxx5 ties (cents x 2**-gap), so mirror DuckDB's op
+                # chain bit-for-bit
+                "decayed_sum": np.copysign(
+                    np.floor(np.abs(out) * 1e6 + 0.5), out
+                ) / 1e6,
+            }
+        )
+
+    return (
+        hash_combine(
+            ds.map_batches(partial, batch_format="pandas"), ["user_id"], combine
+        )
+        .to_pandas()
+        .sort_values(["user_id", "bucket_start"], ignore_index=True)
+    )
+
+
 # ------------------------------------------------- round-3 stream operators
 def counter_rate_1h(sf_dir: str) -> pd.DataFrame:
     """PromQL-style counter rate with reset detection: per user in

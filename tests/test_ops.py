@@ -370,6 +370,36 @@ def test_ewma_matches_numpy_oracle():
     np.testing.assert_allclose(got["ewma"].to_numpy(), np.array(want), rtol=1e-9)
 
 
+def test_decayed_sum_matches_scalar_oracle():
+    """Irregular-gap decayed sum: distributed segmented scan == per-user
+    scalar recurrence s = x + 0.5**gap * prev (exact 2**-gap weights)."""
+    import numpy as np
+
+    from ecov003_l2t_stars_ray.pipelines.analytics import decayed_sum_1h
+
+    got = decayed_sum_1h(SF)
+    ev = ray.data.read_parquet(f"{SF}/events.parquet").to_pandas()
+    w_us = 3600 * 10**6
+    ev["b"] = ev["ts"].astype("datetime64[us]").astype(np.int64) // w_us * w_us
+    ev["value"] = np.round(ev["value"].to_numpy() * 100).astype(np.int64)
+    hourly = ev.groupby(["user_id", "b"], as_index=False)["value"].sum()
+    hourly["value"] = hourly["value"].to_numpy(dtype=np.float64) / 100.0
+    hourly = hourly.sort_values(["user_id", "b"], ignore_index=True)
+    want = []
+    for _u, grp in hourly.groupby("user_id"):
+        s = None
+        prev_b = None
+        for b, x in zip(grp["b"], grp["value"]):
+            if s is None:
+                s = x
+            else:
+                s = x + np.ldexp(1.0, -int((b - prev_b) // w_us)) * s
+            prev_b = b
+            want.append(np.floor(abs(s) * 1e6 + 0.5) / 1e6 * (1 if s >= 0 else -1))
+    assert len(got) == len(want)
+    np.testing.assert_array_equal(got["decayed_sum"].to_numpy(), np.array(want))
+
+
 def test_qa_bitfield_decode():
     """M4 bit-decode: Arrow kernel fields == python bit arithmetic."""
     from ecov003_l2t_stars_ray.pipelines.analytics import qa_bitfield

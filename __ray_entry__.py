@@ -524,6 +524,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # corpus curation: exact word-span (substring) dedup, global
         # bigram top-k, RE2 redaction scrub, stratified bottom-k sample
         "span_dedup": T.span_dedup,
+        # 100 TB shuffle shape: spans ride as dual uint64 hashes; the
+        # SQL-comparable output is the duplicate-span histogram
+        "span_dedup_hashed": T.span_dedup_hashed,
         "top_bigrams": T.top_bigrams,
         "scrub_props": T.scrub_props,
         "stratified_sample": SK.stratified_sample,
@@ -1194,6 +1197,29 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_occ
             FROM s GROUP BY span
             HAVING COUNT(DISTINCT doc_id) >= 2
+        """,
+        # duplicate-span histogram over the same span CTE: the hashed
+        # variant's group identities are opaque uint64s, but the
+        # (n_docs, n_occ) -> n_spans histogram is hash-free and exact
+        "span_dedup_hashed": """
+            WITH w AS (
+                SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+            ), s0 AS (
+                SELECT doc_id, ws,
+                       unnest(generate_series(1, len(ws) - 7)) AS i
+                FROM w
+            ), s AS (
+                SELECT doc_id, array_to_string(ws[i:i+7], ' ') AS span
+                FROM s0
+            ), g AS (
+                SELECT span,
+                       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+                       COUNT(*) AS n_occ
+                FROM s GROUP BY span
+                HAVING COUNT(DISTINCT doc_id) >= 2
+            )
+            SELECT n_docs, n_occ, CAST(COUNT(*) AS BIGINT) AS n_spans
+            FROM g GROUP BY n_docs, n_occ
         """,
         "top_bigrams": """
             WITH w AS (

@@ -141,6 +141,7 @@ def run_bench() -> dict:
         "calibration", "spinup_variance", "minhash_near_dups",
         "range_clamp", "event_mix_1h", "latency_quantiles",
         "hopping_count_1h_15m", "embedding_near_dups", "simhash_near_dups",
+        "ngram_jaccard_pairs", "ewma_1h", "decayed_sum_1h",
     ]
     for name in q_list:
         t0 = time.perf_counter()

@@ -207,6 +207,37 @@ def doc_repetition(sf_dir: str) -> pd.DataFrame:
 
 
 # ------------------------------------------------- round-3 corpus operators
+def _window_starts(df: pd.DataFrame, width: int):
+    """Flatten a batch of docs into one word stream and enumerate every
+    in-doc window start, fully vectorized (no per-doc Python loop).
+
+    Returns ``(flat, starts, span_doc)``: ``flat`` is a pyarrow string
+    array of every word of every doc in batch order, ``starts`` the flat
+    indices where a ``width``-word window fits inside one doc, and
+    ``span_doc`` the owning doc_id per window. ``None`` if no window fits.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    lists = pc.split_pattern(pa.array(df["text"], type=pa.string()), " ")
+    flat = pc.list_flatten(lists)
+    counts = pc.list_value_length(lists).to_numpy(zero_copy_only=False).astype(np.int64)
+    n_spans = np.maximum(counts - width + 1, 0)
+    total = int(n_spans.sum())
+    if total == 0:
+        return None
+    doc_off = np.concatenate(([0], np.cumsum(counts)))[:-1]
+    # window starts: for each doc d, doc_off[d] + [0, n_spans[d])
+    span_doc_pos = np.repeat(np.arange(len(counts)), n_spans)
+    first = np.concatenate(([0], np.cumsum(n_spans)))[:-1]
+    starts = (
+        np.arange(total) - np.repeat(first, n_spans)
+        + doc_off[span_doc_pos]
+    )
+    span_doc = df["doc_id"].to_numpy()[span_doc_pos]
+    return flat, starts, span_doc
+
+
 def span_dedup(sf_dir: str, width: int = 8, min_docs: int = 2) -> pd.DataFrame:
     """Exact substring (word-span) dedup across the corpus, the
     training-data signal of Lee et al. 2022 ("Deduplicating Training Data
@@ -215,32 +246,27 @@ def span_dedup(sf_dir: str, width: int = 8, min_docs: int = 2) -> pd.DataFrame:
     distinct documents.
 
     Scale shape: map-side the spans of each doc are built VECTORIZED (one
-    split + a stride-trick window join per batch) and pre-deduplicated to
-    (span, doc) pairs with an occurrence count — the only thing that rides
-    the one hash shuffle; the distinct-doc count and total-occurrence sum
-    are a per-partition vectorized combine. At 100 TB the span STRING is
-    the shuffle payload; hashing spans to uint64 keys (collision-checked at
-    combine) halves the exchange — noted, not needed at oracle scale.
+    Arrow split + flat-index window joins per batch — NEVER ``np.char``,
+    which is ~66 us/row on this host) and pre-deduplicated to (span, doc)
+    pairs with an occurrence count — the only thing that rides the one
+    hash shuffle; the distinct-doc count and total-occurrence sum are a
+    per-partition vectorized combine. At 100 TB the span STRING is the
+    shuffle payload; :func:`span_dedup_hashed` ships dual uint64 hashes
+    instead (collision-checked at combine) for that shape.
     """
+    import pyarrow.compute as pc
 
     def spans(df: pd.DataFrame) -> pd.DataFrame:
-        frames = []
-        words = df["text"].str.split(" ")
-        for doc_id, ws in zip(df["doc_id"].to_numpy(), words):
-            n = len(ws) - width + 1
-            if n <= 0:
-                continue
-            arr = np.array(ws, dtype=object)
-            cols = [arr[i : i + n] for i in range(width)]
-            sp = cols[0]
-            for c in cols[1:]:
-                sp = np.char.add(np.char.add(sp.astype(str), " "), c.astype(str))
-            frames.append(pd.DataFrame({"span": sp, "doc_id": doc_id}))
-        if not frames:
+        w = _window_starts(df, width)
+        if w is None:
             return pd.DataFrame({"span": pd.Series(dtype="object"),
                                  "doc_id": pd.Series(dtype="int64"),
                                  "n_occ": pd.Series(dtype="int64")})
-        out = pd.concat(frames, ignore_index=True)
+        flat, starts, span_doc = w
+        sp = pc.binary_join_element_wise(
+            *(flat.take(starts + j) for j in range(width)), " "
+        )
+        out = pd.DataFrame({"span": sp.to_pandas(), "doc_id": span_doc})
         return out.groupby(["span", "doc_id"], sort=False, as_index=False).agg(
             n_occ=("doc_id", "size")
         )
@@ -267,6 +293,88 @@ def span_dedup(sf_dir: str, width: int = 8, min_docs: int = 2) -> pd.DataFrame:
         hash_combine(ds, ["span"], combine)
         .to_pandas()
         .sort_values("span", ignore_index=True)
+    )
+
+
+#: FNV-64 prime: the polynomial base for rolling span hashes (odd, so the
+#: map x -> x*B is a bijection mod 2**64 — no systematic bit loss).
+_SPAN_HASH_BASE = np.uint64(0x100000001B3)
+_HASH_KEYS = ("0123456789123456", "6543210987654321")
+
+
+def span_dedup_hashed(
+    sf_dir: str, width: int = 8, min_docs: int = 2
+) -> pd.DataFrame:
+    """:func:`span_dedup` at the 100 TB shuffle shape: each span rides the
+    exchange as TWO independent uint64 hashes (16 bytes) instead of its
+    ~50-byte string. h1 is the partition/group key; h2 (independent word
+    hash key) is the collision CHECK — a group whose members disagree on
+    h2 means two distinct spans collided on h1, and the combine raises
+    rather than silently merging their doc counts (probability ~2**-64
+    per pair under either hash alone, ~2**-128 jointly).
+
+    Returns the duplicate-span histogram ``(n_docs, n_occ, n_spans)`` —
+    hash-keyed group identities are meaningless to a reader, but the
+    histogram is exactly comparable to the string variant AND
+    SQL-expressible, so this entry stays on the strong oracle gate.
+    Each h1 lives in exactly ONE hash partition, so per-partition
+    histograms are disjoint-by-span and the driver merge is a trivial
+    sum over P x distinct(n_docs, n_occ) tiny rows.
+    """
+
+    def spans(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"h1": pd.Series(dtype="uint64"),
+                              "h2": pd.Series(dtype="uint64"),
+                              "doc_id": pd.Series(dtype="int64"),
+                              "n_occ": pd.Series(dtype="int64")})
+        w = _window_starts(df, width)
+        if w is None:
+            return empty
+        flat, starts, span_doc = w
+        words = flat.to_numpy(zero_copy_only=False)
+        hs = []
+        for key in _HASH_KEYS:
+            hw = pd.util.hash_array(words, hash_key=key)
+            h = np.zeros(len(starts), dtype=np.uint64)
+            for j in range(width):  # width vector ops, not per-row Python
+                h = h * _SPAN_HASH_BASE + hw[starts + j]
+            hs.append(h)
+        out = pd.DataFrame({"h1": hs[0], "h2": hs[1], "doc_id": span_doc})
+        return out.groupby(["h1", "doc_id"], sort=False, as_index=False).agg(
+            h2=("h2", "first"), n_occ=("doc_id", "size")
+        )
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.groupby(["h1", "doc_id"], as_index=False).agg(
+            h2=("h2", "first"), n_occ=("n_occ", "sum")
+        )
+        agg = g.groupby("h1").agg(
+            n_docs=("doc_id", "nunique"), n_occ=("n_occ", "sum"),
+            n_h2=("h2", "nunique"),
+        )
+        if int(agg["n_h2"].max() or 1) > 1:
+            raise ValueError(
+                "span-hash collision detected (h1 group with >1 h2); "
+                "rerun span_dedup (string keys) for this corpus"
+            )
+        agg = agg[agg["n_docs"] >= min_docs]
+        hist = agg.groupby(["n_docs", "n_occ"], as_index=False).size()
+        return pd.DataFrame({
+            "n_docs": hist["n_docs"].astype("int64"),
+            "n_occ": hist["n_occ"].astype("int64"),
+            "n_spans": hist["size"].astype("int64"),
+        })
+
+    from ..functions.shuffle import hash_combine
+
+    ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        spans, batch_format="pandas"
+    )
+    return (
+        hash_combine(ds, ["h1"], combine)
+        .to_pandas()
+        .groupby(["n_docs", "n_occ"], as_index=False)["n_spans"].sum()
+        .sort_values(["n_docs", "n_occ"], ignore_index=True)
     )
 
 

@@ -502,6 +502,34 @@ def test_span_dedup_short_docs_and_planted_span():
     assert row["n_docs"] == 3 and row["n_occ"] == 3
 
 
+def test_span_dedup_hashed_matches_string_histogram():
+    """The uint64-payload variant's (n_docs, n_occ) histogram equals the
+    histogram derived from the string-keyed span groups, on real testdata
+    AND on a planted corpus with repeated spans inside one doc."""
+    from ecov003_l2t_stars_ray.pipelines.text_analysis import (
+        span_dedup,
+        span_dedup_hashed,
+    )
+    import tempfile, os
+
+    span = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": [f"x {span} y {span}", f"{span} tail words", "too short"],
+    })
+    d = tempfile.mkdtemp(dir="/tmp")
+    docs.to_parquet(os.path.join(d, "documents.parquet"))
+    for sf in (d, SF):
+        want = (
+            span_dedup(sf, width=8, min_docs=2)
+            .groupby(["n_docs", "n_occ"], as_index=False)
+            .agg(n_spans=("span", "size"))
+            .sort_values(["n_docs", "n_occ"], ignore_index=True)
+        )
+        got = span_dedup_hashed(sf, width=8, min_docs=2)
+        pd.testing.assert_frame_equal(got, want)
+
+
 def test_stratified_sample_invariants():
     """Exactly k per stratum, and the sample == brute-force bottom-k."""
     import hashlib

@@ -353,6 +353,25 @@ def _dedup_exact(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def _corpus_prune(sf_dir: str, near_dup: bool = False) -> pd.DataFrame:
+    """Materialized dedup keep-list: doc_ids surviving exact (and, with
+    ``near_dup``, MinHash-verified near-dup) pruning. The corpus streams
+    through one broadcast-filter map — the 100 TB curation shape."""
+    import ray.data
+
+    from ecov003_l2t_stars_ray.pipelines.dedup import prune_corpus
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    kept = prune_corpus(docs, near_dup=near_dup)
+    return (
+        kept.map_batches(lambda df: df[["doc_id"]], batch_format="pandas")
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+
+
 def _trend_1h(sf_dir: str) -> pd.DataFrame:
     """K3 analog: trailing-window WLS trend over the 1h tier of the
     events-derived transcript rollup (rows-only; pytest-verified vs a
@@ -471,6 +490,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_invariant": _text_invariant,
         # dedup family
         "dedup_exact": _dedup_exact,
+        # materialized keep-list after broadcast-filter pruning
+        "corpus_prune_exact": _corpus_prune,
+        # + MinHash-verified near-dup non-survivors (rows-only; pytest
+        # pins it against near_dup_groups survivor flags)
+        "corpus_prune_near": lambda sf: _corpus_prune(sf, near_dup=True),
         "minhash_near_dups": _minhash_near_dups,
         "simhash_near_dups": _simhash_near_dups,
         "embedding_near_dups": _embedding_near_dups,
@@ -891,6 +915,13 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": """
             SELECT md5(text) AS h, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
             FROM documents GROUP BY 1
+        """,
+        "corpus_prune_exact": """
+            SELECT doc_id FROM (
+                SELECT doc_id, ROW_NUMBER() OVER (
+                    PARTITION BY md5(text) ORDER BY doc_id
+                ) AS rn FROM documents
+            ) WHERE rn = 1
         """,
         "doc_token_stats": """
             SELECT doc_id,

@@ -709,6 +709,77 @@ def near_dup_groups(docs: ray.data.Dataset, k: int = 5,
     return groups
 
 
+def prune_corpus(
+    docs: ray.data.Dataset,
+    out_dir: str | None = None,
+    near_dup: bool = False,
+    k: int = 5,
+    threshold: float = 0.5,
+) -> ray.data.Dataset:
+    """End-to-end corpus curation: MATERIALIZE the deduplicated corpus.
+
+    Drops every exact-duplicate copy (keeping min doc_id per identical
+    text) and, with ``near_dup=True``, every MinHash-verified near-dup
+    non-survivor (:func:`near_dup_groups` survivor choice). Returns the
+    kept rows as a (lazy, streaming) Dataset; with ``out_dir`` the kept
+    corpus is also written as partitioned Parquet (one file per block —
+    the resumable layout every sink in this repo uses).
+
+    Scale shape: both drop lists are DUP-ONLY — empty-to-tiny next to the
+    corpus — so they ride ONE ``ray.put`` broadcast and the wide rows
+    stream through a single vectorized filter ``map_batches`` with no
+    shuffle and no whole-corpus materialization. Exact drops are keyed by
+    content hash (recomputed per batch at memory bandwidth — cheaper than
+    shipping a doc_id list when duplicates cluster by content), near-dup
+    drops by a sorted doc_id array + ``searchsorted`` membership test.
+    Reference survivor semantics: ``VNP09GA.py:1138`` drop-duplicates,
+    at corpus scale.
+    """
+    import ray as _ray
+
+    dup_hashes = (
+        exact_dedup(docs)
+        .map_batches(
+            lambda df: df[df["n_copies"] > 1][["h", "keep_id"]],
+            batch_format="pandas",
+        )
+        .to_pandas()
+    )
+    if "h" not in dup_hashes.columns:  # all-empty blocks drop the schema
+        dup_hashes = pd.DataFrame({"h": pd.Series(dtype=object),
+                                   "keep_id": pd.Series(dtype="int64")})
+    drop_ids = np.empty(0, dtype=np.int64)
+    if near_dup:
+        groups = near_dup_groups(docs, k=k, threshold=threshold)
+        drop_ids = np.sort(
+            groups.loc[~groups["is_survivor"], "doc_id"].to_numpy(np.int64)
+        )
+    keep_of_hash = dup_hashes.set_index("h")["keep_id"]
+    bcast = _ray.put((keep_of_hash, drop_ids))
+
+    def keep_rows(df: pd.DataFrame) -> pd.DataFrame:
+        keep_map, drops = _ray.get(bcast)
+        ids = df["doc_id"].to_numpy(np.int64)
+        keep = np.ones(len(df), dtype=bool)
+        if len(keep_map):
+            keeper = (
+                keep_map.reindex(fingerprint_md5(df["text"]))
+                .to_numpy(dtype=np.float64)
+            )
+            keep &= np.isnan(keeper) | (keeper == ids)
+        if len(drops):
+            pos = np.searchsorted(drops, ids)
+            pos[pos == len(drops)] = 0
+            keep &= drops[pos] != ids
+        return df[keep]
+
+    kept = docs.map_batches(keep_rows, batch_format="pandas")
+    if out_dir is not None:
+        kept.write_parquet(out_dir)
+        kept = ray.data.read_parquet(out_dir)
+    return kept
+
+
 class _SetJaccardScan:
     """Actor-pool stage for the exact block-pair word-set Jaccard scan
     (same block-nested-loop shape as :class:`_BlockPairScan`): each task

@@ -502,6 +502,48 @@ def test_span_dedup_short_docs_and_planted_span():
     assert row["n_docs"] == 3 and row["n_occ"] == 3
 
 
+def test_prune_corpus_exact_near_and_sink():
+    """prune_corpus keeps exactly the exact-dedup survivors minus
+    near-dup non-survivors, streams (no shuffle of wide rows), and its
+    parquet sink round-trips."""
+    import os
+    import tempfile
+
+    from ecov003_l2t_stars_ray.pipelines.dedup import (
+        exact_dedup,
+        near_dup_groups,
+        prune_corpus,
+    )
+
+    docs = ray.data.read_parquet(f"{SF}/documents.parquet",
+                                 columns=["doc_id", "text"])
+    all_ids = set(docs.to_pandas()["doc_id"])
+
+    # exact-only: survivors = min doc_id per content hash
+    ex = exact_dedup(docs).to_pandas()
+    n_dropped_exact = int((ex["n_copies"] - 1).sum())
+    kept_exact = set(
+        prune_corpus(docs).to_pandas()["doc_id"]
+    )
+    assert len(kept_exact) == len(all_ids) - n_dropped_exact
+    assert set(ex["keep_id"]) <= kept_exact
+
+    # + near-dups: additionally drop non-survivors
+    groups = near_dup_groups(docs, k=5, threshold=0.5)
+    near_drops = set(groups.loc[~groups["is_survivor"], "doc_id"])
+    kept_full = set(
+        prune_corpus(docs, near_dup=True, k=5, threshold=0.5)
+        .to_pandas()["doc_id"]
+    )
+    assert kept_full == kept_exact - near_drops
+
+    # sink round-trip
+    out = tempfile.mkdtemp(dir="/tmp")
+    rt = prune_corpus(docs, out_dir=out).to_pandas()
+    assert set(rt["doc_id"]) == kept_exact
+    assert any(f.endswith(".parquet") for f in os.listdir(out))
+
+
 def test_span_dedup_hashed_matches_string_histogram():
     """The uint64-payload variant's (n_docs, n_occ) histogram equals the
     histogram derived from the string-keyed span groups, on real testdata

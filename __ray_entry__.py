@@ -15,6 +15,13 @@ import os
 # before numpy lands anywhere else (workers inherit): THP-madvise numpy
 # faults are ~100x slow on this host — see ecov003_l2t_stars_ray/__init__
 os.environ.setdefault("NUMPY_MADVISE_HUGEPAGE", "0")
+# allocator retention: see package __init__ (slow-fault host; keep freed
+# memory resident so first-touch faults are paid once, not per batch)
+os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "-1")
+os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", "1073741824")
+os.environ.setdefault("MIMALLOC_PURGE_DELAY", "-1")
+os.environ.setdefault("MIMALLOC_RESET_DELAY", "-1")
+os.environ.setdefault("MIMALLOC_PAGE_RESET", "0")
 os.environ.setdefault("ARROW_DEFAULT_MEMORY_POOL", "mimalloc")
 
 from collections.abc import Callable

@@ -21,7 +21,22 @@ import os
 # before any numpy import, incl. in Ray workers (which inherit this env):
 # THP-madvise faults are ~100x slow on this host — see package __init__
 os.environ.setdefault("NUMPY_MADVISE_HUGEPAGE", "0")
+# allocator retention: see package __init__ (slow-fault host; keep freed
+# memory resident so first-touch faults are paid once, not per batch)
+os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "-1")
+os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", "1073741824")
+os.environ.setdefault("MIMALLOC_PURGE_DELAY", "-1")
+os.environ.setdefault("MIMALLOC_RESET_DELAY", "-1")
+os.environ.setdefault("MIMALLOC_PAGE_RESET", "0")
 os.environ.setdefault("ARROW_DEFAULT_MEMORY_POOL", "mimalloc")
+# Cap the plasma store at 4 GiB (default would be ~37 GiB on this box):
+# on the slow-fault host a large arena never reuses addresses, so every
+# new object first-touch-faults fresh pages forever (~2.8 GB/s VM-wide
+# ceiling, measured); a tight arena recycles already-faulted pages.
+# Measured on the sf0.1 headline: 37 GiB -> 21.9 s, 8 GiB -> 15.7 s,
+# 4 GiB -> 7.9 s, 2 GiB -> 9.5 s (backpressure). No spilling at 4 GiB.
+os.environ.setdefault("RAY_DEFAULT_OBJECT_STORE_MAX_MEMORY_BYTES",
+                      str(4 * 1024**3))
 import shutil
 import subprocess
 import sys

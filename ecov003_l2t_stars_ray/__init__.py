@@ -25,6 +25,28 @@ import os as _os
 
 _os.environ.setdefault("NUMPY_MADVISE_HUGEPAGE", "0")
 _os.environ.setdefault("ARROW_DEFAULT_MEMORY_POOL", "mimalloc")
+# Allocator RETENTION (second host pathology, found r3 after a sandbox
+# reboot): with the slow hypervisor fault path, 4 KB first-touch faults cap
+# at ~2.8 GB/s VM-WIDE, so any allocator that returns freed memory to the
+# OS (glibc trim/munmap, mimalloc purge) re-pays faults every batch.
+# Keep freed memory resident: faults are then paid once per high-water
+# mark per process (measured 2.3x on repeated 400 MB numpy allocs).
+# Env vars cover child processes (Ray workers inherit); mallopt below
+# covers the current process, whose glibc already read its env.
+_os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "-1")
+_os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", "1073741824")
+_os.environ.setdefault("MIMALLOC_PURGE_DELAY", "-1")
+_os.environ.setdefault("MIMALLOC_RESET_DELAY", "-1")
+_os.environ.setdefault("MIMALLOC_PAGE_RESET", "0")
+
+try:
+    import ctypes as _ctypes
+
+    _libc = _ctypes.CDLL(None, use_errno=True)
+    _libc.mallopt(_ctypes.c_int(-1), _ctypes.c_int(0x7FFFFFFF))  # M_TRIM_THRESHOLD
+    _libc.mallopt(_ctypes.c_int(-3), _ctypes.c_int(0x40000000))  # M_MMAP_THRESHOLD
+except Exception:  # pragma: no cover - non-glibc platforms
+    pass
 
 import numpy as _np  # noqa: E402
 import pyarrow as _pa  # noqa: E402

@@ -1109,7 +1109,11 @@ def decayed_sum_1h(sf_dir: str) -> pd.DataFrame:
         if n:
             gap[0] = 0
             gap[1:] = (b[1:] - b[:-1]) // width
-        w = np.ldexp(1.0, -np.minimum(gap, 1100).astype(np.int32))
+        # clamp BOTH sides: at cross-user segment starts the raw diff is
+        # large-negative and 2**(+huge) overflows to inf with a warning
+        # on every combine call (the lanes are unused, but warn-flooded
+        # worker logs and warnings-as-errors are not)
+        w = np.ldexp(1.0, -np.clip(gap, 0, 1100).astype(np.int32))
         for i in range(1, int(lens.max()) if n else 0):
             idx = starts[lens > i] + i
             out[idx] = x[idx] + w[idx] * out[idx - 1]

@@ -762,11 +762,14 @@ def prune_corpus(
         ids = df["doc_id"].to_numpy(np.int64)
         keep = np.ones(len(df), dtype=bool)
         if len(keep_map):
+            # stay in int64 end-to-end: a float64 round-trip loses doc_id
+            # precision at >= 2**53 (the 100 TB id space); -1 marks
+            # "hash not in the dup map" exactly
             keeper = (
-                keep_map.reindex(fingerprint_md5(df["text"]))
-                .to_numpy(dtype=np.float64)
+                keep_map.reindex(fingerprint_md5(df["text"]), fill_value=-1)
+                .to_numpy(dtype=np.int64)
             )
-            keep &= np.isnan(keeper) | (keeper == ids)
+            keep &= (keeper == -1) | (keeper == ids)
         if len(drops):
             pos = np.searchsorted(drops, ids)
             pos[pos == len(drops)] = 0

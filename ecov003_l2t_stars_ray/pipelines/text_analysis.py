@@ -340,19 +340,28 @@ def span_dedup_hashed(
                 h = h * _SPAN_HASH_BASE + hw[starts + j]
             hs.append(h)
         out = pd.DataFrame({"h1": hs[0], "h2": hs[1], "doc_id": span_doc})
+        # nh2 tracks same-doc same-batch h1 collisions that a bare
+        # ``first`` would silently merge; it rides the shuffle so the
+        # combine's collision check covers within-doc cases too
         return out.groupby(["h1", "doc_id"], sort=False, as_index=False).agg(
-            h2=("h2", "first"), n_occ=("doc_id", "size")
+            h2=("h2", "first"), n_occ=("doc_id", "size"), nh2=("h2", "nunique")
         )
 
     def combine(g: pd.DataFrame) -> pd.DataFrame:
         g = g.groupby(["h1", "doc_id"], as_index=False).agg(
-            h2=("h2", "first"), n_occ=("n_occ", "sum")
+            h2=("h2", "nunique"), h2_rep=("h2", "first"),
+            n_occ=("n_occ", "sum"), nh2=("nh2", "max"),
+        )
+        # detection is exact: a within-batch collision shows as nh2 > 1,
+        # a cross-batch or cross-doc one as >1 distinct h2 per group
+        collided = bool(len(g)) and (
+            int(g["h2"].max()) > 1 or int(g["nh2"].max()) > 1
         )
         agg = g.groupby("h1").agg(
             n_docs=("doc_id", "nunique"), n_occ=("n_occ", "sum"),
-            n_h2=("h2", "nunique"),
+            n_h2=("h2_rep", "nunique"),
         )
-        if int(agg["n_h2"].max() or 1) > 1:
+        if collided or (len(agg) and int(agg["n_h2"].max()) > 1):
             raise ValueError(
                 "span-hash collision detected (h1 group with >1 h2); "
                 "rerun span_dedup (string keys) for this corpus"

@@ -425,14 +425,26 @@ def test_blend_two_source_fallbacks():
 
     got = blend_two_source(SF)
     li = ray.data.read_parquet(f"{SF}/lineitem.parquet").to_pandas()
-    li = li.sort_values(["l_orderkey", "l_linenumber"], ignore_index=True)
     a = li["l_extendedprice"].to_numpy() / 1000.0
     b = li["l_quantity"].to_numpy()
     w = np.clip(li["l_discount"].to_numpy() * 10.0, 0.0, 1.0)
     a = np.where((a >= 0.0) & (a <= 60.0), a, 30.0)
     b = np.where((b >= 1.0) & (b <= 50.0), b, 25.0)
+    want = li[["l_orderkey", "l_linenumber"]].copy()
+    want["blend_value"] = np.round(w * a + (1.0 - w) * b, 6)
+    # (l_orderkey, l_linenumber) is NOT unique in the synthetic lineitem
+    # (~14k duplicate keys), so positional compare after a key sort is
+    # order-dependent across Ray block arrivals — compare as multisets by
+    # sorting BOTH sides on all columns including the value
+    cols = ["l_orderkey", "l_linenumber", "blend_value"]
+    got_s = got[cols].sort_values(cols, ignore_index=True)
+    want_s = want[cols].sort_values(cols, ignore_index=True)
+    np.testing.assert_array_equal(
+        got_s[["l_orderkey", "l_linenumber"]].to_numpy(),
+        want_s[["l_orderkey", "l_linenumber"]].to_numpy(),
+    )
     np.testing.assert_allclose(
-        got["blend_value"].to_numpy(), np.round(w * a + (1.0 - w) * b, 6)
+        got_s["blend_value"].to_numpy(), want_s["blend_value"].to_numpy()
     )
     # the corpus must actually exercise the fallback branch
     assert (li["l_extendedprice"].to_numpy() / 1000.0 > 60.0).any()

@@ -55,6 +55,45 @@ CORPUS = {"sf0.001": (200, 40), "sf0.01": (600, 45), "sf0.1": (130000, 60),
           "scaling": (260000, 60)}
 
 
+#: hypervisor-steal guard (r3 verdict: identical configs measured 7.9 s and
+#: 13.8 s minutes apart; 10-40% steal windows last 10+ minutes on this VM —
+#: a bench that takes whatever window it lands in reports the host, not the
+#: engine). Trials are bracketed by steal samples; contaminated trials are
+#: retried (bounded) and every reading lands in the output JSON.
+GUARD_THRESH = float(os.environ.get("BENCH_GUARD_THRESH", "2.0"))
+
+
+def steal_pct() -> float:
+    """Mean hypervisor steal%% over two 1-second vmstat intervals (the
+    first sample line is the since-boot average and is discarded).
+    Returns -1.0 when vmstat is unavailable (guard then never blocks)."""
+    try:
+        out = subprocess.run(
+            ["vmstat", "1", "3"], capture_output=True, text=True, timeout=30
+        ).stdout
+        rows = [ln.split() for ln in out.strip().splitlines()]
+        st_idx = rows[1].index("st")
+        vals = [float(r[st_idx]) for r in rows[3:]]
+        return sum(vals) / max(len(vals), 1)
+    except Exception:
+        return -1.0
+
+
+def wait_for_quiet(max_wait_s: int = 240) -> list[float]:
+    """Block until a steal sample is at/below threshold (or the wait budget
+    runs out); returns every reading taken so the JSON shows what the
+    guard saw. BENCH_NO_GUARD=1 disables (single reading, no wait)."""
+    readings = [steal_pct()]
+    if os.environ.get("BENCH_NO_GUARD"):
+        return readings
+    waited = 0.0
+    while readings[-1] > GUARD_THRESH and waited < max_wait_s:
+        time.sleep(15)
+        waited += 15 + 2
+        readings.append(steal_pct())
+    return readings
+
+
 def corpus_dir() -> tuple[str, int]:
     """Generate (once) and cache the deterministic bench corpus."""
     sf = os.path.basename(SF_DIR.rstrip("/"))
@@ -124,8 +163,14 @@ def run_bench() -> dict:
     out_base = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
     repeats = int(os.environ.get("BENCH_REPEATS", "1"))
     n_trials = 3 if repeats == 1 else 1
+    guard_pre = wait_for_quiet()
     headline_sec = float("inf")
-    for trial in range(n_trials):
+    clean_sec = float("inf")  # best trial with quiet steal on BOTH sides
+    trial_log: list[dict] = []
+    extra_budget = 0 if os.environ.get("BENCH_NO_GUARD") else 2
+    trial = 0
+    while trial < n_trials + extra_budget:
+        st_pre = steal_pct()
         t0 = time.perf_counter()
         for rep in range(repeats):
             out_dir = f"{out_base}/rollup_bench_out_{NUM_CPUS}_{trial}_{rep}"
@@ -139,7 +184,29 @@ def run_bench() -> dict:
             # Ray's object store — letting repeat outputs accumulate forces
             # object spilling and poisons the measurement
             shutil.rmtree(out_dir, ignore_errors=True)
-        headline_sec = min(headline_sec, (time.perf_counter() - t0) / repeats)
+        sec = (time.perf_counter() - t0) / repeats
+        st_post = steal_pct()
+        # unknown readings (-1, vmstat unavailable) count as clean — the
+        # guard can only act on evidence it has
+        clean = max(st_pre, st_post) <= GUARD_THRESH
+        trial_log.append(
+            {"sec": round(sec, 3), "steal_pre": st_pre, "steal_post": st_post,
+             "clean": clean}
+        )
+        headline_sec = min(headline_sec, sec)
+        if clean:
+            clean_sec = min(clean_sec, sec)
+        trial += 1
+        # stop burning retry budget once enough clean trials exist
+        if trial >= n_trials and sum(t["clean"] for t in trial_log) >= min(
+            n_trials, 2
+        ):
+            break
+    # a steal-bracketed clean trial is the reportable number; fall back to
+    # best-of-all only when every trial was contaminated (and say so)
+    contaminated = clean_sec == float("inf")
+    if not contaminated:
+        headline_sec = clean_sec
     turns_per_sec = n_turns / headline_sec
 
     # representative operator queries over the driver's testdata
@@ -157,11 +224,30 @@ def run_bench() -> dict:
         "range_clamp", "event_mix_1h", "latency_quantiles",
         "hopping_count_1h_15m", "embedding_near_dups", "simhash_near_dups",
         "ngram_jaccard_pairs", "ewma_1h", "decayed_sum_1h",
+        # round-3 surface (r3 verdict missing #3: regressions here were
+        # invisible to BENCH)
+        "window_rank", "join_topk_revenue", "span_dedup_hashed",
+        "trend_ols_1h", "counter_rate_1h",
+        # round-4 operators
+        "grouping_sets_day", "attribution_window_30m", "funnel_conversion",
+        "q5_local_supplier",
     ]
+    q_steal: dict[str, float] = {}
     for name in q_list:
         t0 = time.perf_counter()
         qs[name](SF_DIR)
         q_times[name] = round(time.perf_counter() - t0, 3)
+        st = steal_pct()
+        q_steal[name] = st
+        if st > GUARD_THRESH and not os.environ.get("BENCH_NO_GUARD"):
+            # one guarded retry: a steal window landing mid-query inflates
+            # its wall 4-10x (measured r3); keep the better quiet sample
+            wait_for_quiet(max_wait_s=120)
+            t0 = time.perf_counter()
+            qs[name](SF_DIR)
+            q_times[name] = min(
+                q_times[name], round(time.perf_counter() - t0, 3)
+            )
 
     ray.shutdown()
     return {
@@ -173,6 +259,13 @@ def run_bench() -> dict:
         "queries": q_times,
         "sf": os.path.basename(SF_DIR.rstrip("/")),
         "num_cpus": NUM_CPUS,
+        "steal_guard": {
+            "threshold_pct": GUARD_THRESH,
+            "pre_wait_readings": guard_pre,
+            "headline_trials": trial_log,
+            "headline_contaminated": contaminated,
+            "per_query_steal": q_steal,
+        },
     }
 
 
@@ -218,11 +311,22 @@ def run_scaling() -> dict:
     # 0.82 across cycles on identical code
     run(cpu_lo), run(cpu_hi)
     per_cycle = []
+    cycle_guard = []
     lo = hi = None
     for _c in range(cycles):
         lo, hi = run(cpu_lo), run(cpu_hi)
         per_cycle.append(
             round((hi["turns_per_sec"] / lo["turns_per_sec"]) / 4.0, 3)
+        )
+        cycle_guard.append(
+            {
+                "lo_contaminated": lo.get("steal_guard", {}).get(
+                    "headline_contaminated"
+                ),
+                "hi_contaminated": hi.get("steal_guard", {}).get(
+                    "headline_contaminated"
+                ),
+            }
         )
     eff = sorted(per_cycle)[len(per_cycle) // 2]
     return {
@@ -231,6 +335,7 @@ def run_scaling() -> dict:
         "sec_lo": lo["value"], "sec_hi": hi["value"],
         "repeats_per_level": int(repeats), "cycles": cycles,
         "per_cycle_efficiency": per_cycle,
+        "per_cycle_steal_guard": cycle_guard,
         "turns_per_sec_lo": lo["turns_per_sec"],
         "turns_per_sec_hi": hi["turns_per_sec"],
         "scaling_efficiency": eff,

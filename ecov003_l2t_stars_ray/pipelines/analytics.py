@@ -75,18 +75,28 @@ def events_rollup(sf_dir: str, tier: str) -> pd.DataFrame:
     ].sort_values(["user_id", "bucket_start"], ignore_index=True)
 
 
-_DENSE_1M_CACHE: dict[str, pd.DataFrame] = {}
+_DENSE_1M_CACHE: dict[str, "ray.data.Dataset"] = {}
 
 
-def _dense_1m(sf_dir: str) -> pd.DataFrame:
+def _dense_1m(sf_dir: str, columns: list[str]) -> pd.DataFrame:
     """Dense per-user minute axis: n, gap_filled, trailing-7 observation
     flag, and Kalman gap-fill — ALL computed inside the distributed
     partition combine (each user's rows are co-located there), never on the
     driver. The S4/J1 dense-stack + A2 trailing flag + K1 smoother analogs
     over the generic events table; memoized per sf_dir because three
-    queries project different columns of the same result."""
+    queries project different columns of the same result.
+
+    The cache holds a MATERIALIZED DATASET (blocks stay in the object
+    store, which spills under pressure), not a driver frame — the bucket
+    axis grows linearly with the time span, so driver RSS must only pay
+    for the columns a single query projects out."""
     if sf_dir in _DENSE_1M_CACHE:
-        return _DENSE_1M_CACHE[sf_dir]
+        return (
+            _DENSE_1M_CACHE[sf_dir]
+            .select_columns(columns)
+            .to_pandas()
+            .sort_values(["user_id", "bucket_start"], ignore_index=True)
+        )
     ds = _events(sf_dir, ["user_id", "ts"])
     width = WIDTHS["1m"]
 
@@ -148,26 +158,29 @@ def _dense_1m(sf_dir: str) -> pd.DataFrame:
             }
         )
 
-    out = hash_combine(
+    dense = hash_combine(
         ds.map_batches(partial, batch_format="pandas"), ["user_id"], combine
-    ).to_pandas()
-    out = out.sort_values(["user_id", "bucket_start"], ignore_index=True)
+    ).materialize()
     _DENSE_1M_CACHE.clear()
-    _DENSE_1M_CACHE[sf_dir] = out
-    return out
+    _DENSE_1M_CACHE[sf_dir] = dense
+    return (
+        dense.select_columns(columns)
+        .to_pandas()
+        .sort_values(["user_id", "bucket_start"], ignore_index=True)
+    )
 
 
 def gap_fill_1m(sf_dir: str) -> pd.DataFrame:
     """Dense per-user minute axis with gap flags (S4/J1 dense-stack analog)."""
-    return _dense_1m(sf_dir)[["user_id", "bucket_start", "n", "gap_filled"]].copy()
+    return _dense_1m(sf_dir, ["user_id", "bucket_start", "n", "gap_filled"])
 
 
 def kalman_smooth_events(sf_dir: str) -> pd.DataFrame:
     """Kalman gap-fill over per-user 1m counts (non-SQL; rows-only check).
     Runs inside the partition combine — not on the driver."""
-    return _dense_1m(sf_dir)[
-        ["user_id", "bucket_start", "n", "gap_filled", "value", "value_sd"]
-    ].copy()
+    return _dense_1m(
+        sf_dir, ["user_id", "bucket_start", "n", "gap_filled", "value", "value_sd"]
+    )
 
 
 # ----------------------------------------------------------------- lag gaps
@@ -526,9 +539,7 @@ def spinup_variance(sf_dir: str) -> pd.DataFrame:
 def gap_flag_1m(sf_dir: str) -> pd.DataFrame:
     """A2 analog (trailing 7-bucket observation flag, ``jl:263-288``) —
     rolling max computed inside the distributed partition combine."""
-    return _dense_1m(sf_dir)[
-        ["user_id", "bucket_start", "n", "observed_recently"]
-    ].copy()
+    return _dense_1m(sf_dir, ["user_id", "bucket_start", "n", "observed_recently"])
 
 
 # ------------------------------------------------------ windows / sessions
@@ -1528,3 +1539,191 @@ def trend_ols_1h(sf_dir: str, window: int = 24) -> pd.DataFrame:
     return out[["user_id", "bucket_start", "win_n", "slope_per_hour"]].sort_values(
         ["user_id", "bucket_start"], ignore_index=True
     )
+
+
+# --------------------------------------------------- OLAP cube / range join
+def grouping_sets_day(sf_dir: str) -> pd.DataFrame:
+    """GROUPING SETS / cube aggregate over (event_type, day): every input
+    row contributes to 4 grouping sets — (type, day), (type), (day), () —
+    in ONE pass: the map side combines the FINEST level per batch and
+    derives the three coarser partials from it (partial-of-partial), then
+    one int-keyed hash exchange combines all sets at once. No per-set
+    rescan, no extra shuffle — the single-pass cube shape.
+
+    'ALL' / 1900-01-01 are the rollup markers (neither occurs naturally);
+    exact-cents accumulation with one mirrored double division."""
+    ds = _events(sf_dir, ["event_type", "ts", "value"])
+    day_w = WIDTHS["1d"]
+    sent_us = np.int64(pd.Timestamp("1900-01-01").value // 1000)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = df["ts"].astype("datetime64[us]").astype(np.int64) // day_w * day_w
+        vc = np.round(df["value"].to_numpy() * 100.0).astype(np.int64)
+        fine = (
+            pd.DataFrame({"event_type": df["event_type"], "day_us": d, "s": vc})
+            .groupby(["event_type", "day_us"], sort=False)["s"]
+            .agg(n="count", s="sum")
+            .reset_index()
+        )
+        by_type = fine.groupby("event_type", as_index=False)[["n", "s"]].sum()
+        by_type["day_us"] = sent_us
+        by_day = fine.groupby("day_us", as_index=False)[["n", "s"]].sum()
+        by_day["event_type"] = "ALL"
+        total = pd.DataFrame(
+            {"event_type": ["ALL"], "day_us": [sent_us],
+             "n": [fine["n"].sum()], "s": [fine["s"].sum()]}
+        )
+        return pd.concat([fine, by_type, by_day, total], ignore_index=True)[
+            ["event_type", "day_us", "n", "s"]
+        ]
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(["event_type", "day_us"], as_index=False)[["n", "s"]].sum()
+
+    out = hash_combine(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["event_type", "day_us"], combine, num_partitions=8,
+    ).to_pandas()
+    out["bucket_day"] = out.pop("day_us").to_numpy().view("datetime64[us]")
+    out["sum_value"] = np.round(out.pop("s").to_numpy(dtype=np.float64) / 100.0, 6)
+    return out[["event_type", "bucket_day", "n", "sum_value"]].sort_values(
+        ["event_type", "bucket_day"], ignore_index=True
+    )
+
+
+def attribution_window_30m(sf_dir: str) -> pd.DataFrame:
+    """RANGE (interval) JOIN: for every purchase, the count of the same
+    user's view events inside the trailing 30-minute window
+    (``view.ts in (purchase.ts - 30m, purchase.ts]``) — the ad-attribution
+    shape of an as-of join with a bounded window.
+
+    Distributed sort-merge, no pairwise expansion: views and TWO probe
+    rows per purchase (the window's hi and lo edges) ride one user-keyed
+    hash exchange; inside each partition ONE lexsort + a segmented
+    cumulative view count evaluates every probe, and the per-purchase
+    answer is hi - lo. Work is O((V+P) log(V+P)) per partition regardless
+    of window fan-in — a pairwise join would be O(matches)."""
+    ds = _events(sf_dir, ["event_id", "user_id", "event_type", "ts"])
+    win_us = 30 * 60 * US
+
+    def rows(df: pd.DataFrame) -> pd.DataFrame:
+        ts = df["ts"].astype("datetime64[us]").astype(np.int64)
+        v = df["event_type"].to_numpy() == "view"
+        p = df["event_type"].to_numpy() == "purchase"
+        uid = df["user_id"].to_numpy()
+        eid = df["event_id"].to_numpy()
+        return pd.DataFrame(
+            {
+                # views (tag 0, counted), hi probes (tag 1, at p.ts),
+                # lo probes (tag 1, at p.ts - 30m); probes sort AFTER
+                # views at equal ts so <= / exclusive-lo fall out of the
+                # tag order
+                "user_id": np.concatenate([uid[v], uid[p], uid[p]]),
+                "ts_us": np.concatenate([ts[v], ts[p], ts[p] - win_us]),
+                "tag": np.concatenate(
+                    [np.zeros(int(v.sum()), dtype=np.int8),
+                     np.ones(int(p.sum()) * 2, dtype=np.int8)]
+                ),
+                "edge": np.concatenate(
+                    [np.zeros(int(v.sum()), dtype=np.int8),
+                     np.ones(int(p.sum()), dtype=np.int8),
+                     np.full(int(p.sum()), 2, dtype=np.int8)]
+                ),
+                "event_id": np.concatenate([np.full(int(v.sum()), -1), eid[p], eid[p]]),
+            }
+        )
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        u = g["user_id"].to_numpy()
+        t = g["ts_us"].to_numpy()
+        tag = g["tag"].to_numpy()
+        order = np.lexsort((tag, t, u))
+        u, t, tag = u[order], t[order], tag[order]
+        edge = g["edge"].to_numpy()[order]
+        eid = g["event_id"].to_numpy()[order]
+        isview = (tag == 0).astype(np.int64)
+        cum = np.cumsum(isview)
+        # per-user running view count: subtract the cumsum at each user
+        # segment's entry (vectorized segment reset)
+        seg_start = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        base = np.repeat(
+            cum[seg_start] - isview[seg_start],
+            np.diff(np.append(seg_start, len(u))),
+        )
+        cnt = cum - base
+        hi = pd.DataFrame(
+            {"event_id": eid[edge == 1], "user_id": u[edge == 1],
+             "ts_us": t[edge == 1], "hi": cnt[edge == 1]}
+        )
+        lo = pd.DataFrame({"event_id": eid[edge == 2], "lo": cnt[edge == 2]})
+        m = hi.merge(lo, on="event_id")
+        return pd.DataFrame(
+            {"event_id": m["event_id"].astype("int64"),
+             "user_id": m["user_id"].astype("int64"),
+             "ts_us": m["ts_us"].astype("int64"),
+             "n_views_30m": (m["hi"] - m["lo"]).astype("int64")}
+        )
+
+    out = hash_combine(
+        ds.map_batches(rows, batch_format="pandas"), ["user_id"], combine,
+        num_partitions=16,
+    ).to_pandas()
+    out["ts"] = out.pop("ts_us").to_numpy().view("datetime64[us]")
+    return out[["event_id", "user_id", "ts", "n_views_30m"]].sort_values(
+        "event_id", ignore_index=True
+    )
+
+
+def funnel_conversion(sf_dir: str) -> pd.DataFrame:
+    """Ordered-sequence FUNNEL over per-user event streams: did the user
+    view, then click strictly after the first view, then purchase strictly
+    after that first qualifying click. The per-user recurrence needs every
+    stage's candidate timestamps together, so stage rows ride ONE
+    user-keyed hash exchange and each partition resolves all its users
+    with three vectorized merge+min passes (no per-user Python)."""
+    ds = _events(sf_dir, ["user_id", "event_type", "ts"])
+    kinds = {"view": 0, "click": 1, "purchase": 2}
+
+    def rows(df: pd.DataFrame) -> pd.DataFrame:
+        ts = df["ts"].astype("datetime64[us]").astype(np.int64)
+        k = df["event_type"].map(kinds)
+        out = pd.DataFrame({"user_id": df["user_id"], "kind": k, "ts_us": ts})
+        stage = out[out["kind"].notna()].copy()
+        stage["kind"] = stage["kind"].astype(np.int8)
+        # presence markers keep users with NO funnel events in the output
+        users = pd.DataFrame(
+            {"user_id": df["user_id"].unique(), "kind": np.int8(-1),
+             "ts_us": np.int64(0)}
+        )
+        # map-side reduction: only each (user, kind)'s candidate minima
+        # can ever win, but later stages need ts > a cross-batch
+        # threshold, so keep per-(user, kind) DISTINCT ts (cheap dedup)
+        stage = stage.drop_duplicates(["user_id", "kind", "ts_us"])
+        return pd.concat([stage, users], ignore_index=True)
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        users = np.unique(g["user_id"].to_numpy())
+        fv = (
+            g[g["kind"] == 0].groupby("user_id")["ts_us"].min().rename("fv")
+        )
+        clicks = g[g["kind"] == 1].merge(fv, on="user_id")
+        fc = (
+            clicks[clicks["ts_us"] > clicks["fv"]]
+            .groupby("user_id")["ts_us"].min().rename("fc")
+        )
+        purch = g[g["kind"] == 2].merge(fc, on="user_id")
+        fp = (
+            purch[purch["ts_us"] > purch["fc"]]
+            .groupby("user_id")["ts_us"].min().rename("fp")
+        )
+        out = pd.DataFrame({"user_id": users})
+        out["reached_view"] = out["user_id"].isin(fv.index)
+        out["reached_click"] = out["user_id"].isin(fc.index)
+        out["reached_purchase"] = out["user_id"].isin(fp.index)
+        return out
+
+    out = hash_combine(
+        ds.map_batches(rows, batch_format="pandas"), ["user_id"], combine,
+        num_partitions=8,
+    ).to_pandas()
+    return out.sort_values("user_id", ignore_index=True)

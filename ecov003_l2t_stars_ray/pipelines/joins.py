@@ -210,3 +210,97 @@ def bloom_semijoin(sf_dir: str) -> pd.DataFrame:
         .to_pandas()
         .sort_values("event_type", ignore_index=True)
     )
+
+
+def q5_local_supplier(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q5-shaped 6-table join: revenue per ASIA nation over 1996-97
+    orders whose CUSTOMER and line SUPPLIER sit in the same nation.
+
+    Scale shape: region -> nation -> (customer, supplier) maps are tiny
+    and ride ``ray.put`` broadcasts into the two fact scans (J2 pattern);
+    both fact reads are column-pruned and the orders read date-filtered at
+    the parquet scan. The ONE all-to-all is lineitem x filtered-orders on
+    orderkey (``hash_join``); the nation-equality filter and the
+    integer-cents revenue partial run inside the join's partition groups,
+    and only ~|nations| rows ever leave them.
+
+    Determinism: revenue accumulates as int64 cents x (100 - disc%); ONE
+    double division + round(6) mirrored in the oracle SQL."""
+    nation = pd.read_parquet(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name", "n_regionkey"]
+    )
+    region = pd.read_parquet(f"{sf_dir}/region.parquet")
+    asia_key = region.loc[region["r_name"] == "ASIA", "r_regionkey"].iloc[0]
+    asia = nation[nation["n_regionkey"] == asia_key]
+    name_of = asia.set_index("n_nationkey")["n_name"]
+
+    cust = pd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    cust = cust[cust["c_nationkey"].isin(name_of.index)]
+    cust_nat_ref = ray.put(cust.set_index("c_custkey")["c_nationkey"])
+    supp = pd.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    )
+    supp = supp[supp["s_nationkey"].isin(name_of.index)]
+    supp_nat_ref = ray.put(supp.set_index("s_suppkey")["s_nationkey"])
+
+    lo = pd.Timestamp("1996-01-01")
+    hi = pd.Timestamp("1998-01-01")
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        filter=(pc.field("o_orderdate") >= pc.scalar(lo))
+        & (pc.field("o_orderdate") < pc.scalar(hi)),
+    )
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+
+    def orders_prep(df: pd.DataFrame) -> pd.DataFrame:
+        cnat = df["o_custkey"].map(ray.get(cust_nat_ref))
+        keep = cnat.notna()
+        return pd.DataFrame(
+            {"orderkey": df.loc[keep, "o_orderkey"],
+             "cnat": cnat[keep].astype("int64")}
+        )
+
+    def li_prep(df: pd.DataFrame) -> pd.DataFrame:
+        snat = df["l_suppkey"].map(ray.get(supp_nat_ref))
+        keep = snat.notna().to_numpy()
+        ep_c = np.round(
+            df["l_extendedprice"].to_numpy()[keep] * 100.0
+        ).astype(np.int64)
+        disc = np.round(df["l_discount"].to_numpy()[keep] * 100.0).astype(np.int64)
+        # pre-aggregate per (orderkey, supplier nation) BEFORE the exchange
+        return (
+            pd.DataFrame(
+                {"orderkey": df["l_orderkey"].to_numpy()[keep],
+                 "snat": snat[keep].astype("int64").to_numpy(),
+                 "rev_u": ep_c * (100 - disc)}
+            )
+            .groupby(["orderkey", "snat"], sort=False, as_index=False)["rev_u"]
+            .sum()
+        )
+
+    joined = hash_join(
+        li.map_batches(li_prep, batch_format="pandas"),
+        orders.map_batches(orders_prep, batch_format="pandas"),
+        on=["orderkey"],
+        how="inner",
+    )
+
+    def nation_partial(df: pd.DataFrame) -> pd.DataFrame:
+        m = df[df["snat"] == df["cnat"]]
+        return m.groupby("snat", as_index=False)["rev_u"].sum()
+
+    out = hash_combine(
+        joined.map_batches(nation_partial, batch_format="pandas"),
+        ["snat"],
+        lambda g: g.groupby("snat", as_index=False)["rev_u"].sum(),
+        num_partitions=4,
+    ).to_pandas()
+    out["n_name"] = out["snat"].map(name_of)
+    out["revenue"] = np.round(out["rev_u"].to_numpy(dtype=np.float64) / 10000.0, 6)
+    return out[["n_name", "revenue"]].sort_values("n_name", ignore_index=True)

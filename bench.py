@@ -230,7 +230,8 @@ def run_bench() -> dict:
         "trend_ols_1h", "counter_rate_1h",
         # round-4 operators
         "grouping_sets_day", "attribution_window_30m", "funnel_conversion",
-        "q5_local_supplier",
+        "q5_local_supplier", "state_duration", "interval_coverage",
+        "decontaminate",
     ]
     q_steal: dict[str, float] = {}
     for name in q_list:

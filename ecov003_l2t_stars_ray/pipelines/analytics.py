@@ -1727,3 +1727,95 @@ def funnel_conversion(sf_dir: str) -> pd.DataFrame:
         num_partitions=8,
     ).to_pandas()
     return out.sort_values("user_id", ignore_index=True)
+
+
+def state_duration(sf_dir: str) -> pd.DataFrame:
+    """Time-in-state accounting over each user's event stream: every event
+    opens a "state" (its event_type) held until the user's NEXT event of
+    any type; the last event of a user holds for 0. Output per
+    (user, event_type): event count + total held seconds. The step-function
+    duration operator the tier timeseries engine uses for uptime/mode
+    accounting (reference keeps per-state dwell in its tier summaries).
+
+    Exactness: durations are int64 microsecond gaps summed as integers and
+    divided by 1e6 ONCE, mirrored op-for-op in the SQL oracle (lead() over
+    the same (ts, event_id) order), so the float hash cannot drift. Scale:
+    the lead() needs each user's full stream co-located — same one-key
+    hash shuffle every sequential operator here rides (user_id), partials
+    stay raw-width only for (ts, event_id, event_type)."""
+    ds = _events(sf_dir, ["user_id", "event_id", "ts", "event_type"])
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        u = g["user_id"].to_numpy()
+        t = g["ts"].astype("datetime64[us]").astype(np.int64).to_numpy()
+        dur = np.zeros(len(g), dtype=np.int64)
+        if len(g) > 1:
+            same = u[1:] == u[:-1]
+            dur[:-1] = np.where(same, t[1:] - t[:-1], 0)
+        d = pd.DataFrame(
+            {"user_id": u, "event_type": g["event_type"].astype(str).to_numpy(),
+             "dur_us": dur}
+        )
+        out = d.groupby(["user_id", "event_type"], as_index=False).agg(
+            n_events=("dur_us", "size"), dur_us=("dur_us", "sum")
+        )
+        out["state_s"] = np.round(
+            out.pop("dur_us").to_numpy(dtype=np.float64) / 1e6, 6
+        )
+        return out
+
+    return (
+        hash_combine(ds, ["user_id"], combine)
+        .to_pandas()
+        .sort_values(["user_id", "event_type"], ignore_index=True)
+    )
+
+
+def interval_coverage(sf_dir: str, hold_s: int = 300) -> pd.DataFrame:
+    """Interval union (gaps-and-islands): each event opens a
+    [ts, ts+hold_s) activity interval; overlapping intervals per user merge
+    into islands. Output per user: merged-interval count + total covered
+    seconds — the classic coverage/uptime operator (and the SQL-window
+    workout: MAX OVER preceding rows, running SUM of breaks).
+
+    Vectorized per partition: one sort, grouped cummax of interval ends,
+    break mask, cumsum island ids, one groupby over (user, island). All
+    arithmetic int64 microseconds; one /1e6 division mirrored in the
+    oracle. Ties on ts are break-invariant (equal starts never open a new
+    island), so block arrival order cannot flip the hash."""
+    hold_us = hold_s * US
+    ds = _events(sf_dir, ["user_id", "ts"])
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts"], kind="mergesort")
+        u = g["user_id"].to_numpy()
+        s = g["ts"].astype("datetime64[us]").astype(np.int64).to_numpy()
+        e = s + hold_us
+        cm = (
+            pd.Series(e).groupby(pd.Series(u), sort=False).cummax().to_numpy()
+        )
+        new_user = np.ones(len(g), dtype=bool)
+        new_user[1:] = u[1:] != u[:-1]
+        brk = new_user.copy()
+        if len(g) > 1:
+            brk[1:] |= s[1:] > cm[:-1]
+        island = np.cumsum(brk) - 1
+        d = pd.DataFrame({"user_id": u, "island": island, "s": s, "cm": cm})
+        per = d.groupby(["user_id", "island"], as_index=False).agg(
+            st=("s", "min"), en=("cm", "max")
+        )
+        per["cov_us"] = per["en"] - per["st"]
+        out = per.groupby("user_id", as_index=False).agg(
+            n_intervals=("island", "count"), cov_us=("cov_us", "sum")
+        )
+        out["covered_s"] = np.round(
+            out.pop("cov_us").to_numpy(dtype=np.float64) / 1e6, 6
+        )
+        return out
+
+    return (
+        hash_combine(ds, ["user_id"], combine)
+        .to_pandas()
+        .sort_values("user_id", ignore_index=True)
+    )

@@ -374,6 +374,13 @@ def _chunk_table_refs(ds: ray.data.Dataset, n_chunks: int) -> list:
             pa.Table.from_pandas(block, preserve_index=False)
             if isinstance(block, pd.DataFrame) else block
         )
+        if "chunk" not in tbl.column_names:
+            # zero-row passthrough block from an upstream shuffle
+            # (map_groups emits empty blocks with the PRE-combine schema)
+            if tbl.num_rows:
+                raise KeyError("non-empty block missing 'chunk' column")
+            stub = pa.table({"chunk": pa.array([], pa.int32())})
+            return tuple(stub for _ in range(n))
         return tuple(
             tbl.filter(pc.equal(tbl["chunk"], c)) for c in range(n)
         )
@@ -381,7 +388,11 @@ def _chunk_table_refs(ds: ray.data.Dataset, n_chunks: int) -> list:
     @_ray.remote
     def concat(*parts):
         live = [p for p in parts if p.num_rows]
-        return pa.concat_tables(live) if live else parts[0]
+        if live:
+            return pa.concat_tables(live)
+        # all-empty chunk: prefer a piece carrying the real (widest) schema
+        # over a chunk-only stub so downstream column reads still resolve
+        return max(parts, key=lambda p: p.num_columns)
 
     block_refs = ds.materialize().get_internal_block_refs()
     if not block_refs:

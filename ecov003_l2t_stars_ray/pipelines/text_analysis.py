@@ -531,3 +531,95 @@ def pack_sequences(sf_dir: str, budget: int = 256) -> pd.DataFrame:
         .to_pandas()
         .sort_values("doc_id", ignore_index=True)
     )
+
+
+class _EvalHits:
+    """Actor stage counting per-doc distinct shingle hashes that appear in
+    the broadcast eval-set array (``ray.put`` once, zero-copy numpy read in
+    every actor — never re-shipped per batch)."""
+
+    def __init__(self, ev_ref, k: int, eval_mod: int):
+        import ray as _ray
+
+        self.ev = _ray.get(ev_ref)  # sorted uint64 shingle hashes
+        self.k = k
+        self.eval_mod = eval_mod
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        from .dedup import _shingle_hash_flat
+
+        sub = df[df["doc_id"].to_numpy() % self.eval_mod != 0]
+        sub = sub[sub["text"].str.split(" ").str.len() >= self.k]
+        empty = pd.DataFrame(
+            {"doc_id": pd.array([], dtype="int64"),
+             "n_hit_shingles": pd.array([], dtype="int64")}
+        )
+        if not len(sub) or not len(self.ev):
+            return empty
+        pos, h = _shingle_hash_flat(sub["text"], self.k)
+        # distinct (doc, shingle): lexsort + consecutive-duplicate mask
+        order = np.lexsort((h, pos))
+        pos, h = pos[order], h[order]
+        keep = np.ones(len(h), dtype=bool)
+        keep[1:] = (pos[1:] != pos[:-1]) | (h[1:] != h[:-1])
+        pos, h = pos[keep], h[keep]
+        idx = np.minimum(np.searchsorted(self.ev, h), len(self.ev) - 1)
+        hit = self.ev[idx] == h
+        if not hit.any():
+            return empty
+        cnt = np.bincount(pos[hit], minlength=len(sub))
+        nz = cnt > 0
+        return pd.DataFrame(
+            {"doc_id": sub["doc_id"].to_numpy()[nz],
+             "n_hit_shingles": cnt[nz].astype(np.int64)}
+        )
+
+
+def decontaminate(sf_dir: str, k: int = 8, eval_mod: int = 97) -> pd.DataFrame:
+    """Eval-set n-gram decontamination (training-data hygiene, GPT-3
+    appendix C style): flag every corpus doc sharing a word-``k``-gram with
+    the held-out eval slice (here docs with ``doc_id % eval_mod == 0``
+    stand in for the eval suite), with the count of distinct overlapping
+    shingles.
+
+    Two streaming passes, the 100 TB shape: (1) the eval slice — small and
+    FIXED-size by construction (an eval suite doesn't grow with the
+    corpus) — streams to a deduped sorted uint64 hash array, broadcast once
+    via ``ray.put``; (2) one embarrassingly-parallel ``map_batches`` scan
+    counts per-doc distinct hits via ``searchsorted`` against the broadcast
+    array. Shingles ride as 8-byte rolling hashes (the ``span_dedup_hashed``
+    convention, collision odds ~2**-64/pair); the oracle compares distinct
+    STRING shingles — parity holds because the corpus is single-space
+    tokenized (repo-wide convention, verified) and docs shorter than ``k``
+    tokens are excluded on both sides."""
+    import ray
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def eval_part(df: pd.DataFrame) -> pd.DataFrame:
+        from .dedup import _shingle_hash_flat
+
+        sub = df[df["doc_id"].to_numpy() % eval_mod == 0]
+        sub = sub[sub["text"].str.split(" ").str.len() >= k]
+        if not len(sub):
+            return pd.DataFrame({"h": pd.array([], dtype="uint64")})
+        _, h = _shingle_hash_flat(sub["text"], k)
+        return pd.DataFrame({"h": np.unique(h)})
+
+    ev = (
+        docs.map_batches(eval_part, batch_format="pandas")
+        .to_pandas()["h"]
+        .to_numpy(dtype=np.uint64)
+    )
+    ev_ref = ray.put(np.unique(ev))
+
+    out = docs.map_batches(
+        _EvalHits,
+        fn_constructor_args=(ev_ref, k, eval_mod),
+        batch_format="pandas",
+        concurrency=(1, 8),
+    ).to_pandas()
+    if "doc_id" not in out.columns:  # all-empty Dataset drops the schema
+        return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                             "n_hit_shingles": pd.Series(dtype="int64")})
+    return out.sort_values("doc_id", ignore_index=True)

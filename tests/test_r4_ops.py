@@ -220,3 +220,128 @@ def test_levenshtein_pairs_matches_bruteforce():
     pd.testing.assert_frame_equal(
         got.astype({"dist": "int64"}), want.astype({"dist": "int64"})
     )
+
+
+def test_state_duration_matches_bruteforce():
+    """Per-user lead() replay in plain pandas must reproduce the op."""
+    from ecov003_l2t_stars_ray.pipelines.analytics import state_duration
+
+    got = state_duration(SF)
+    ev = _events_pdf().sort_values(["user_id", "ts", "event_id"])
+    t = ev["ts"].astype("datetime64[us]").astype(np.int64).to_numpy()
+    u = ev["user_id"].to_numpy()
+    dur = np.zeros(len(ev), dtype=np.int64)
+    dur[:-1] = np.where(u[1:] == u[:-1], t[1:] - t[:-1], 0)
+    want = (
+        pd.DataFrame(
+            {"user_id": u, "event_type": ev["event_type"].to_numpy(), "d": dur}
+        )
+        .groupby(["user_id", "event_type"], as_index=False)
+        .agg(n_events=("d", "size"), d=("d", "sum"))
+        .sort_values(["user_id", "event_type"], ignore_index=True)
+    )
+    want["state_s"] = np.round(want.pop("d").to_numpy(np.float64) / 1e6, 6)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # invariant: total held time per user == span first..last event
+    span = (
+        pd.DataFrame({"u": u, "t": t}).groupby("u")["t"].agg(["min", "max"])
+    )
+    per_user = got.groupby("user_id")["state_s"].sum()
+    np.testing.assert_allclose(
+        per_user.to_numpy(),
+        np.round((span["max"] - span["min"]).to_numpy(np.float64) / 1e6, 6),
+        atol=1e-5,  # per-group 6-dp rounding accumulates across event types
+    )
+
+
+def test_interval_coverage_matches_bruteforce():
+    """Scalar sweep-line replay per user must reproduce the op."""
+    from ecov003_l2t_stars_ray.pipelines.analytics import interval_coverage
+
+    hold = 300 * 1_000_000
+    got = interval_coverage(SF)
+    ev = _events_pdf()
+    t = ev["ts"].astype("datetime64[us]").astype(np.int64)
+    rows = []
+    for uid, g in pd.DataFrame({"u": ev["user_id"], "t": t}).groupby("u"):
+        ts = np.sort(g["t"].to_numpy())
+        n_iv, cov, cur_s, cur_e = 0, 0, ts[0], ts[0] + hold
+        for x in ts[1:]:
+            if x > cur_e:
+                n_iv += 1
+                cov += cur_e - cur_s
+                cur_s, cur_e = x, x + hold
+            else:
+                cur_e = max(cur_e, x + hold)
+        n_iv += 1
+        cov += cur_e - cur_s
+        rows.append((uid, n_iv, round(cov / 1e6, 6)))
+    want = pd.DataFrame(rows, columns=["user_id", "n_intervals", "covered_s"])
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_decontaminate_matches_bruteforce():
+    """Python set replay of the 8-gram eval-overlap must reproduce the op
+    (exercises hash-vs-string parity end to end)."""
+    from ecov003_l2t_stars_ray.pipelines.text_analysis import decontaminate
+
+    k, mod = 8, 97
+    got = decontaminate(SF)
+    docs = ray.data.read_parquet(f"{SF}/documents.parquet").to_pandas()
+
+    def shingles(text: str) -> set[str]:
+        toks = text.split(" ")
+        return {
+            " ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)
+        } if len(toks) >= k else set()
+
+    ev: set[str] = set()
+    for _, r in docs[docs["doc_id"] % mod == 0].iterrows():
+        ev |= shingles(r["text"])
+    rows = []
+    for _, r in docs[docs["doc_id"] % mod != 0].iterrows():
+        n = len(shingles(r["text"]) & ev)
+        if n:
+            rows.append((r["doc_id"], n))
+    want = pd.DataFrame(rows, columns=["doc_id", "n_hit_shingles"]).sort_values(
+        "doc_id", ignore_index=True
+    )
+    assert len(got) == len(want)
+    if len(want):
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # the planted eval slice must never flag itself
+    assert not (got["doc_id"] % mod == 0).any()
+
+
+def test_decontaminate_planted_overlap(tmp_path):
+    """Synthetic corpus with KNOWN contamination: doc 97*2 is an eval doc;
+    doc 5 copies one of its 8-gram windows, doc 6 copies two distinct
+    windows, doc 7 shares nothing."""
+    from ecov003_l2t_stars_ray.pipelines.text_analysis import decontaminate
+
+    w = [f"w{i:03d}" for i in range(40)]
+    eval_text = " ".join(w)  # 40 tokens -> 33 shingles
+    clean = " ".join(f"z{i:03d}" for i in range(30))
+    doc5 = " ".join(w[0:8]) + " " + clean  # one shared shingle
+    # two disjoint windows, separated so no bridging shingle matches
+    doc6 = " ".join(w[10:18]) + " qq1 qq2 qq3 qq4 qq5 qq6 qq7 qq8 " + " ".join(
+        w[20:28]
+    )
+    docs = pd.DataFrame(
+        {
+            "doc_id": [97 * 2, 5, 6, 7],
+            "text": [eval_text, doc5, doc6, clean],
+            "lang": "en",
+            "source": "synth",
+            "n_chars": 0,
+        }
+    )
+    d = tmp_path / "documents.parquet"
+    docs.to_parquet(d)
+    got = decontaminate(str(tmp_path))
+    got = got.set_index("doc_id")["n_hit_shingles"]
+    assert got.to_dict() == {5: 1, 6: 2}
+    # no-overlap corpus: result must be typed-empty, not schemaless
+    empty = decontaminate(str(tmp_path), k=30)
+    assert list(empty.columns) == ["doc_id", "n_hit_shingles"]
+    assert len(empty) == 0

@@ -5,8 +5,10 @@ sf dir, comparing row count, sorted column names, and an order-insensitive
 value hash (floats rounded to 9 dp before hashing, mirroring a tolerant
 driver compare; mismatches print a sample diff).
 
-Usage: python tools/check_oracle.py [sf_dir] [query_name ...]
-(with query names given, only those entries run)
+Usage: python tools/check_oracle.py [sf_dir] [--json out.json] [query_name ...]
+(with query names given, only those entries run; --json writes a
+per-query record in the driver's CORRECTNESS_r{N} shape so rounds can
+commit a local-gate record covering entries past the driver's 50-slot cap)
 """
 
 from __future__ import annotations
@@ -80,7 +82,8 @@ def compare(name: str, got: pd.DataFrame, want: pd.DataFrame) -> bool:
     return ok
 
 
-def main(sf_dir: str, only: list[str] | None = None):
+def main(sf_dir: str, only: list[str] | None = None,
+         json_out: str | None = None):
     import ray
 
     ray.init(address="local", num_cpus=8, include_dashboard=False,
@@ -103,6 +106,7 @@ def main(sf_dir: str, only: list[str] | None = None):
     if only:
         qs = {k: v for k, v in qs.items() if k in only}
     passed = failed = rows_only = 0
+    records: dict[str, dict] = {}
     for name, fn in qs.items():
         try:
             got = fn(sf_dir)
@@ -110,28 +114,52 @@ def main(sf_dir: str, only: list[str] | None = None):
                 got = got.to_pandas()
         except Exception as e:
             print(f"[{name}] QUERY ERROR: {type(e).__name__}: {e}")
+            records[name] = {"status": "error", "error": f"{type(e).__name__}: {e}"}
             failed += 1
             continue
         if name not in sqls:
             print(f"[{name}] rows-only: {len(got)} rows")
+            records[name] = {"status": "rows_only", "rows": int(len(got))}
             rows_only += 1
             continue
         try:
             want = con.execute(sqls[name]).df()
         except Exception as e:
             print(f"[{name}] SQL ERROR: {e}")
+            records[name] = {"status": "sql_error", "error": str(e)}
             failed += 1
             continue
-        if compare(name, got, want):
+        ok = compare(name, got, want)
+        records[name] = {
+            "status": "ok" if ok else "mismatch",
+            "rows": int(len(got)), "oracle_rows": int(len(want)),
+            "rows_match": len(got) == len(want),
+            "schema_match": sorted(got.columns) == sorted(want.columns),
+            "values_match": ok,
+        }
+        if ok:
             print(f"[{name}] OK ({len(got)} rows)")
             passed += 1
         else:
             failed += 1
     print(f"\n{passed} ok, {failed} failed, {rows_only} rows-only")
+    if json_out:
+        import json
+
+        with open(json_out, "w") as f:
+            json.dump({"sf_dir": sf_dir, "ok": passed, "failed": failed,
+                       "rows_only": rows_only, "queries": records}, f, indent=1)
+        print(f"wrote {json_out}")
     ray.shutdown()
     return failed
 
 
 if __name__ == "__main__":
-    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    sys.exit(1 if main(sf, sys.argv[2:] or None) else 0)
+    argv = sys.argv[1:]
+    json_out = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        argv = argv[:i] + argv[i + 2:]
+    sf = argv[0] if argv else "/root/testdata/sf0.001"
+    sys.exit(1 if main(sf, argv[1:] or None, json_out=json_out) else 0)

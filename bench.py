@@ -231,7 +231,10 @@ def run_bench() -> dict:
         # round-4 operators
         "grouping_sets_day", "attribution_window_30m", "funnel_conversion",
         "q5_local_supplier", "state_duration", "interval_coverage",
-        "decontaminate",
+        "decontaminate", "levenshtein_pairs",
+        # round-4 wave 3 (grouped-shape operators)
+        "mode_per_user", "pivot_event_counts", "ntile_event_buckets",
+        "source_mixture_sample", "rolling_median_24h",
     ]
     q_steal: dict[str, float] = {}
     for name in q_list:

@@ -235,6 +235,10 @@ def run_bench() -> dict:
         # round-4 wave 3 (grouped-shape operators)
         "mode_per_user", "pivot_event_counts", "ntile_event_buckets",
         "source_mixture_sample", "rolling_median_24h",
+        # round-4 waves 4-5
+        "transition_matrix", "cohort_retention", "m4_downsample_15m",
+        "tfidf_topk", "forecast_mae_24h", "interarrival_stats",
+        "q22_no_orders",
     ]
     q_steal: dict[str, float] = {}
     for name in q_list:

@@ -26,6 +26,13 @@ from ..functions.shuffle import hash_combine
 
 US = 1_000_000
 HOUR_US = 3600 * US
+WEEK_US = 7 * 24 * HOUR_US
+
+
+def _r6away(x: np.ndarray) -> np.ndarray:
+    """ROUND half-AWAY-from-zero at 6 decimals — mirrors DuckDB ROUND
+    (np.round is half-even and flips exact ties; CLAUDE.md invariant)."""
+    return np.sign(x) * np.floor(np.abs(x) * 1e6 + 0.5) / 1e6
 
 
 def _events(sf_dir: str, columns=None) -> ray.data.Dataset:
@@ -265,4 +272,288 @@ def rolling_median_24h(sf_dir: str) -> pd.DataFrame:
     out["bucket_start"] = out.pop("bucket_us").to_numpy().view("datetime64[us]")
     return out.sort_values(["user_id", "bucket_start"], ignore_index=True)[
         ["user_id", "bucket_start", "n", "med_24h"]
+    ]
+
+
+# --------------------------------------------------- transition matrix
+def transition_matrix(sf_dir: str) -> pd.DataFrame:
+    """Global event-type Markov transition matrix: for each ordered pair
+    (from_event, to_event) the count of adjacent occurrences in per-user
+    event streams and the row-conditional probability.  Sequence order is
+    (ts, event_id) — event_id is the generator's unique ingest sequence,
+    so ties at equal ts are broken deterministically on both sides.
+
+    Shape: successor pairs need each user's FULL stream in one place, so
+    the projected 4-column table rides ONE user-hash exchange; the combine
+    sorts a whole partition once (mergesort) and builds every user's
+    adjacent pairs with two shifted array views — no per-user Python.
+    Per-partition (from, to) counts are vocabulary-sized; the driver sums
+    P tiny frames and performs the single probability division (integer
+    n / integer row-total, mirrored op-for-op in the oracle).  The
+    reference's per-scene QA-state succession summary over time-ordered
+    granules (`VNP43NRT/VNP43NRT.py` composite sequencing) re-expressed as
+    a grouped operator."""
+    ds = _events(sf_dir, ["user_id", "ts", "event_id", "event_type"])
+
+    def project(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": df["user_id"].to_numpy(np.int64),
+                "ts_us": df["ts"].astype("datetime64[us]").astype(np.int64),
+                "event_id": df["event_id"].to_numpy(np.int64),
+                "event_type": df["event_type"].astype(str),
+            }
+        )
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts_us", "event_id"], kind="mergesort")
+        u = g["user_id"].to_numpy()
+        et = g["event_type"].astype(str).to_numpy()
+        if len(g) < 2:
+            return pd.DataFrame(
+                {"from_event": pd.Series(dtype=str),
+                 "to_event": pd.Series(dtype=str),
+                 "n": pd.Series(dtype=np.int64)}
+            )
+        same = u[1:] == u[:-1]
+        return (
+            pd.DataFrame({"from_event": et[:-1][same], "to_event": et[1:][same]})
+            .groupby(["from_event", "to_event"], sort=False)
+            .size()
+            .rename("n")
+            .reset_index()
+        )
+
+    parts = hash_combine(
+        ds.map_batches(project, batch_format="pandas"), ["user_id"], combine
+    ).to_pandas()
+    out = parts.groupby(["from_event", "to_event"], as_index=False)["n"].sum()
+    out["n"] = out["n"].astype(np.int64)
+    tot = out.groupby("from_event")["n"].transform("sum").to_numpy(np.float64)
+    out["p"] = _r6away(out["n"].to_numpy(np.float64) / tot)
+    return out.sort_values(["from_event", "to_event"], ignore_index=True)
+
+
+# ---------------------------------------------------- cohort retention
+def cohort_retention(sf_dir: str) -> pd.DataFrame:
+    """Weekly cohort-retention triangle: users are cohorted by the epoch
+    week of their first event; for each (cohort_week, age_weeks) the
+    number of cohort members active that week and the retention fraction
+    vs the cohort's size (its age-0 count — every member is active in its
+    own cohort week by construction).
+
+    Map-side partials deduplicate (user, week) per batch, so the exchange
+    moves at most one row per user-week per block; the combine dedups
+    again, derives each user's cohort as a vectorized per-user min, and
+    emits vocabulary-sized (cohort, age) counts — users are hash-
+    partitioned, so partition counts are additive and the driver sums P
+    tiny frames.  Weeks are `epoch_us // WEEK_US` (pure integer axis,
+    mirrored in SQL), retention is ONE int/int division."""
+    ds = _events(sf_dir, ["user_id", "ts"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        w = df["ts"].astype("datetime64[us]").astype(np.int64) // WEEK_US
+        return (
+            pd.DataFrame({"user_id": df["user_id"], "week": w})
+            .drop_duplicates()
+        )
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["user_id", "week"])
+        cw = g.groupby("user_id")["week"].transform("min")
+        return (
+            pd.DataFrame({"cohort_week": cw, "age_weeks": g["week"] - cw})
+            .groupby(["cohort_week", "age_weeks"], sort=False)
+            .size()
+            .rename("n_active")
+            .reset_index()
+        )
+
+    parts = hash_combine(
+        ds.map_batches(partial, batch_format="pandas"), ["user_id"], combine
+    ).to_pandas()
+    out = parts.groupby(["cohort_week", "age_weeks"], as_index=False)[
+        "n_active"
+    ].sum()
+    out["n_active"] = out["n_active"].astype(np.int64)
+    size0 = out[out["age_weeks"] == 0].set_index("cohort_week")["n_active"]
+    csize = out["cohort_week"].map(size0).to_numpy(np.float64)
+    out["retention"] = _r6away(out["n_active"].to_numpy(np.float64) / csize)
+    return out.sort_values(["cohort_week", "age_weeks"], ignore_index=True)
+
+
+# ------------------------------------------------------ M4 downsampling
+M4_W_US = 15 * 60 * US
+
+
+def m4_downsample_15m(sf_dir: str) -> pd.DataFrame:
+    """M4 chart downsampling (Jugel et al., VLDB 2014): per (user, 15-min
+    pixel bucket) the min, max, first and last of ``value`` plus the point
+    count — the lossless-at-pixel-resolution reduction a tier store serves
+    to dashboards.  First/last are taken in ``event_id`` order (the unique
+    ingest sequence), so the pick is deterministic under any block
+    arrival order and exact in the value hash (pure selection, no float
+    arithmetic — no rounding needed).
+
+    Classic two-level M4: map-side per-batch M4 partials (7 narrow columns
+    per touched bucket), ONE user-hash exchange, then an order-free merge
+    (min of mins, max of maxes, first by smallest first_eid, last by
+    largest last_eid).  Output is pixel-axis-sized, never event-sized."""
+    ds = _events(sf_dir, ["user_id", "ts", "event_id", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        b = df["ts"].astype("datetime64[us]").astype(np.int64) // M4_W_US * M4_W_US
+        d = pd.DataFrame(
+            {
+                "user_id": df["user_id"].to_numpy(np.int64),
+                "bucket_us": b,
+                "event_id": df["event_id"].to_numpy(np.int64),
+                "value": df["value"].to_numpy(np.float64),
+            }
+        ).sort_values(["user_id", "bucket_us", "event_id"], kind="mergesort")
+        return d.groupby(["user_id", "bucket_us"], sort=False).agg(
+            n=("value", "size"),
+            v_min=("value", "min"),
+            v_max=("value", "max"),
+            first_eid=("event_id", "first"),
+            v_first=("value", "first"),
+            last_eid=("event_id", "last"),
+            v_last=("value", "last"),
+        ).reset_index()
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "bucket_us", "first_eid"], kind="mergesort")
+        keys = ["user_id", "bucket_us"]
+        firsts = g.groupby(keys, sort=False)[["first_eid", "v_first"]].first()
+        g2 = g.sort_values(keys + ["last_eid"], kind="mergesort")
+        lasts = g2.groupby(keys, sort=False)[["last_eid", "v_last"]].last()
+        agg = g.groupby(keys, sort=False).agg(
+            n=("n", "sum"), v_min=("v_min", "min"), v_max=("v_max", "max")
+        )
+        out = pd.concat([agg, firsts, lasts], axis=1).reset_index()
+        return out.drop(columns=["first_eid", "last_eid"])
+
+    out = hash_combine(
+        ds.map_batches(partial, batch_format="pandas"), ["user_id"], combine
+    ).to_pandas()
+    out["n"] = out["n"].astype(np.int64)
+    out["bucket_start"] = out.pop("bucket_us").to_numpy().view("datetime64[us]")
+    return out.sort_values(["user_id", "bucket_start"], ignore_index=True)[
+        ["user_id", "bucket_start", "n", "v_min", "v_max", "v_first", "v_last"]
+    ]
+
+
+# ---------------------------------------------- seasonal-naive backtest
+def forecast_mae_24h(sf_dir: str) -> pd.DataFrame:
+    """Seasonal-naive forecast backtest: predict each user's hourly event
+    count with the count 24 h earlier (the standard naive-seasonal
+    baseline a tier store's anomaly alerts are judged against) and score
+    per-user MAE and bias over the matched buckets (sparse axis — a
+    bucket scores only if its t-24h counterpart exists).
+
+    Integer partial counts ride ONE user-hash exchange; the combine
+    self-aligns each partition's (user, bucket) table against itself
+    shifted by 24 h with one vectorized merge, then reduces to THREE
+    int64 sums per user (matched count, sum |err|, sum err).  The two
+    divisions happen once, mirrored op-for-op in the oracle (CLAUDE.md
+    float-compare invariant)."""
+    ds = _events(sf_dir, ["user_id", "ts"])
+    DAY_US = 24 * HOUR_US
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        b = df["ts"].astype("datetime64[us]").astype(np.int64) // HOUR_US * HOUR_US
+        return (
+            pd.DataFrame({"user_id": df["user_id"], "bucket_us": b})
+            .groupby(["user_id", "bucket_us"], sort=False)
+            .size()
+            .rename("n")
+            .reset_index()
+        )
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        c = g.groupby(["user_id", "bucket_us"], as_index=False)["n"].sum()
+        f = c.rename(columns={"bucket_us": "t_src", "n": "f"})
+        f["bucket_us"] = f["t_src"] + DAY_US
+        m = c.merge(f[["user_id", "bucket_us", "f"]], on=["user_id", "bucket_us"])
+        if not len(m):
+            return pd.DataFrame(
+                {c: pd.Series(dtype=np.int64)
+                 for c in ("user_id", "n_matched", "s_abs", "s_diff")}
+            )
+        err = m["n"].to_numpy(np.int64) - m["f"].to_numpy(np.int64)
+        m["s_abs"] = np.abs(err)
+        m["s_diff"] = err
+        out = m.groupby("user_id", as_index=False).agg(
+            n_matched=("s_abs", "size"), s_abs=("s_abs", "sum"),
+            s_diff=("s_diff", "sum"),
+        )
+        return out
+
+    out = hash_combine(
+        ds.map_batches(partial, batch_format="pandas"), ["user_id"], combine
+    ).to_pandas()
+    out = out[out["n_matched"] > 0].copy()
+    nm = out["n_matched"].to_numpy(np.float64)
+    out["mae"] = _r6away(out["s_abs"].to_numpy(np.float64) / nm)
+    out["bias"] = _r6away(out["s_diff"].to_numpy(np.float64) / nm)
+    out["n_matched"] = out["n_matched"].astype(np.int64)
+    return out.sort_values("user_id", ignore_index=True)[
+        ["user_id", "n_matched", "mae", "bias"]
+    ]
+
+
+# --------------------------------------------------- inter-arrival stats
+def interarrival_stats(sf_dir: str) -> pd.DataFrame:
+    """Per-user inter-arrival-time statistics: count, median, max and mean
+    of the microsecond gaps between consecutive events in (ts, event_id)
+    order — the cadence profile that sizes a tier store's ingest windows.
+
+    The 3-column projection rides ONE user-hash exchange (full streams
+    must co-locate, same contract as :func:`transition_matrix`); the
+    combine sorts the partition once and derives every user's gaps from
+    two shifted views.  Median/max of int64 gaps are selections (order-
+    independent, exact — a half-integer median has no 7th decimal so no
+    rounding is needed); the mean is ONE int-sum / int-count division."""
+    ds = _events(sf_dir, ["user_id", "ts", "event_id"])
+
+    def project(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": df["user_id"].to_numpy(np.int64),
+                "ts_us": df["ts"].astype("datetime64[us]").astype(np.int64),
+                "event_id": df["event_id"].to_numpy(np.int64),
+            }
+        )
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts_us", "event_id"], kind="mergesort")
+        u = g["user_id"].to_numpy()
+        t = g["ts_us"].to_numpy()
+        if len(g) < 2:
+            return pd.DataFrame(
+                {"user_id": pd.Series(dtype=np.int64),
+                 "n_gaps": pd.Series(dtype=np.int64),
+                 "s_gap": pd.Series(dtype=np.int64),
+                 "med_gap": pd.Series(dtype=np.float64),
+                 "max_gap": pd.Series(dtype=np.int64)}
+            )
+        same = u[1:] == u[:-1]
+        d = pd.DataFrame({"user_id": u[1:][same], "gap": (t[1:] - t[:-1])[same]})
+        out = d.groupby("user_id", as_index=False).agg(
+            n_gaps=("gap", "size"), s_gap=("gap", "sum"),
+            med_gap=("gap", "median"), max_gap=("gap", "max"),
+        )
+        return out
+
+    out = hash_combine(
+        ds.map_batches(project, batch_format="pandas"), ["user_id"], combine
+    ).to_pandas()
+    out["mean_gap_us"] = _r6away(
+        out["s_gap"].to_numpy(np.float64) / out["n_gaps"].to_numpy(np.float64)
+    )
+    out["n_gaps"] = out["n_gaps"].astype(np.int64)
+    out["max_gap_us"] = out["max_gap"].astype(np.int64)
+    out["median_gap_us"] = out["med_gap"].astype(np.float64)
+    return out.sort_values("user_id", ignore_index=True)[
+        ["user_id", "n_gaps", "median_gap_us", "max_gap_us", "mean_gap_us"]
     ]

@@ -304,3 +304,92 @@ def q5_local_supplier(sf_dir: str) -> pd.DataFrame:
     out["n_name"] = out["snat"].map(name_of)
     out["revenue"] = np.round(out["rev_u"].to_numpy(dtype=np.float64) / 10000.0, 6)
     return out[["n_name", "revenue"]].sort_values("n_name", ignore_index=True)
+
+
+def q22_no_orders(
+    sf_dir: str, nations: tuple = (1, 3, 5, 7, 9, 11, 13)
+) -> pd.DataFrame:
+    """TPC-H Q22 shape (phone-prefix list -> nation-key list, the synthetic
+    customer table has no phone column): per selected nation, the count and
+    total balance of ABOVE-AVERAGE-balance customers who never placed an
+    URGENT order — the classic scalar-subquery + anti-join composite (the
+    synthetic generator gives every customer at least one order, so the
+    anti-join side is the urgent-priority subset to stay non-vacuous).
+
+    Exactness: balances are 2-decimal, so they ride as int64 cents; the
+    "above average of the positive pool" threshold is evaluated as the
+    integer cross-product test ``cents * n_pos > s_pos`` on BOTH sides —
+    no float average exists anywhere, so the filter cannot flip on an ulp
+    (CLAUDE.md float-compare invariant).  ``totacctbal`` is ONE division
+    of an exact int sum by 100.0.
+
+    Shape: (1) a tiny two-int driver reduce computes the pool sums over
+    the nation-filtered stream; (2) filtered customers and per-batch
+    DISTINCT order custkeys ride ONE custkey-hash exchange (schemas
+    aligned, no padding) and each partition drops customers whose key has
+    an order row — the fully distributed anti-join (J5 family; the Bloom
+    variant above is the pre-filter at 100 TB); (3) per-partition
+    (nation) partials are 7 rows each, summed on the driver."""
+    nat = list(nations)
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_nationkey", "c_acctbal"],
+    )
+
+    def cust_rows(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[df["c_nationkey"].isin(nat)]
+        return pd.DataFrame(
+            {
+                "k": d["c_custkey"].to_numpy(np.int64),
+                "nat": d["c_nationkey"].to_numpy(np.int64),
+                "cents": np.rint(d["c_acctbal"].to_numpy(np.float64) * 100)
+                .astype(np.int64),
+                "is_order": np.zeros(len(d), dtype=np.int64),
+            }
+        )
+
+    filtered = cust.map_batches(cust_rows, batch_format="pandas")
+
+    def pool_partial(df: pd.DataFrame) -> pd.DataFrame:
+        pos = df["cents"].to_numpy(np.int64)
+        pos = pos[pos > 0]
+        return pd.DataFrame({"n": [len(pos)], "s": [pos.sum()]})
+
+    pool = filtered.map_batches(pool_partial, batch_format="pandas").to_pandas()
+    n_pos, s_pos = int(pool["n"].sum()), int(pool["s"].sum())
+
+    def order_rows(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[df["o_orderpriority"].astype(str) == "1-URGENT"]
+        k = np.unique(d["o_custkey"].to_numpy(np.int64))
+        return pd.DataFrame(
+            {
+                "k": k,
+                "nat": np.full(len(k), -1, dtype=np.int64),
+                "cents": np.zeros(len(k), dtype=np.int64),
+                "is_order": np.ones(len(k), dtype=np.int64),
+            }
+        )
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderpriority"]
+    ).map_batches(order_rows, batch_format="pandas")
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        ordered = set(g.loc[g["is_order"] == 1, "k"].tolist())
+        c = g[g["is_order"] == 0]
+        keep = (~c["k"].isin(ordered)) & (
+            c["cents"].to_numpy(np.int64) * n_pos > s_pos
+        )
+        c = c[keep]
+        return c.groupby("nat", as_index=False).agg(
+            numcust=("k", "size"), s_cents=("cents", "sum")
+        )
+
+    parts = hash_combine(filtered.union(orders), ["k"], combine).to_pandas()
+    out = parts.groupby("nat", as_index=False).sum()
+    out["numcust"] = out["numcust"].astype(np.int64)
+    out["totacctbal"] = out["s_cents"].to_numpy(np.float64) / 100.0
+    out = out.rename(columns={"nat": "cntrycode"})
+    return out.sort_values("cntrycode", ignore_index=True)[
+        ["cntrycode", "numcust", "totacctbal"]
+    ]

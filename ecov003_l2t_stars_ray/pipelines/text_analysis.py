@@ -623,3 +623,97 @@ def decontaminate(sf_dir: str, k: int = 8, eval_mod: int = 97) -> pd.DataFrame:
         return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
                              "n_hit_shingles": pd.Series(dtype="int64")})
     return out.sort_values("doc_id", ignore_index=True)
+
+
+def tfidf_topk(sf_dir: str, k: int = 5) -> pd.DataFrame:
+    """Top-k TF-IDF terms per document: score = tf * ln(N / df) over the
+    space-token vocabulary (same tokenizer as :func:`top_bigrams`, so the
+    oracle tokenizes identically with ``string_split``).
+
+    Two passes, both streaming:
+    1. document frequencies — per-batch distinct (doc, term) collapse,
+       counts ride ONE term-hash exchange; the combined df table is
+       vocabulary-sized and is broadcast once via ``ray.put`` (at 100 TB a
+       heavy-tailed vocabulary would cap this with a min-df cut or a
+       Misra-Gries top-vocab pass — documented contract; the gate corpus
+       vocabulary is thousands of terms).
+    2. map-only scoring — documents are row-contained, so tf, the score
+       and the per-doc top-k never leave the batch: no second shuffle.
+
+    Determinism: ranking uses ``score_milli`` = half-away-rounded
+    ``1000 * score`` as an int64 (BIGINT on both sides) with the term
+    string as tiebreak, so a last-ulp difference between numpy's and
+    DuckDB's ``ln`` cannot flip ranks; the emitted score is half-away
+    ROUND(x, 6) (CLAUDE.md float-compare invariant).
+    """
+    import ray as _ray
+
+    def df_partial(df: pd.DataFrame) -> pd.DataFrame:
+        ex = df["text"].astype(str).str.split(" ").explode()
+        pairs = pd.DataFrame(
+            {"doc": ex.index.to_numpy(), "term": ex.to_numpy()}
+        ).drop_duplicates()
+        c = pairs.groupby("term", sort=False).size()
+        return pd.DataFrame(
+            {"term": c.index.to_numpy(), "df": c.to_numpy(np.int64)}
+        )
+
+    def df_combine(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.copy()
+        g["term"] = g["term"].astype(str)
+        return g.groupby("term", as_index=False)["df"].sum()
+
+    from ..functions.shuffle import hash_combine
+
+    n_docs = _docs(sf_dir, ["doc_id"]).count()
+    df_tbl = hash_combine(
+        _docs(sf_dir, ["doc_id", "text"]).map_batches(
+            df_partial, batch_format="pandas"
+        ),
+        ["term"],
+        df_combine,
+    ).to_pandas()
+    df_ref = _ray.put(
+        pd.Series(
+            df_tbl["df"].to_numpy(np.int64), index=df_tbl["term"].astype(str)
+        )
+    )
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        dfs = _ray.get(df_ref)
+        ex = df["text"].astype(str).str.split(" ").explode()
+        tf = (
+            pd.DataFrame(
+                {
+                    "doc_id": df["doc_id"].reindex(ex.index).to_numpy(np.int64),
+                    "term": ex.to_numpy(),
+                }
+            )
+            .groupby(["doc_id", "term"], sort=False)
+            .size()
+            .rename("tf")
+            .reset_index()
+        )
+        dfv = dfs.reindex(tf["term"]).to_numpy(np.float64)
+        s = tf["tf"].to_numpy(np.float64) * np.log(n_docs / dfv)
+        tf["score_milli"] = np.floor(s * 1e3 + 0.5).astype(np.int64)
+        tf["score"] = np.floor(s * 1e6 + 0.5) / 1e6
+        tf["df"] = dfs.reindex(tf["term"]).to_numpy(np.int64)
+        tf = tf.sort_values(
+            ["doc_id", "score_milli", "term"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        top = tf.groupby("doc_id", sort=False).head(k)
+        return top[["doc_id", "term", "tf", "df", "score"]]
+
+    out = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(score, batch_format="pandas")
+        .to_pandas()
+    )
+    out["tf"] = out["tf"].astype(np.int64)
+    return out.sort_values(
+        ["doc_id", "score", "term"], ascending=[True, False, True],
+        ignore_index=True,
+    )

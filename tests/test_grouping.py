@@ -124,3 +124,197 @@ def test_rolling_median_24h_matches_bruteforce():
         got, want[["user_id", "bucket_start", "n", "med_24h"]],
         check_dtype=False,
     )
+
+
+def test_transition_matrix_matches_bruteforce():
+    from ecov003_l2t_stars_ray.pipelines.grouping import transition_matrix
+
+    got = transition_matrix(SF)
+    ev = _events_pdf().sort_values(
+        ["user_id", "ts", "event_id"], ignore_index=True
+    )
+    u = ev["user_id"].to_numpy()
+    et = ev["event_type"].astype(str).to_numpy()
+    same = u[1:] == u[:-1]
+    want = (
+        pd.DataFrame({"from_event": et[:-1][same], "to_event": et[1:][same]})
+        .groupby(["from_event", "to_event"], as_index=False)
+        .size()
+        .rename(columns={"size": "n"})
+        .sort_values(["from_event", "to_event"], ignore_index=True)
+    )
+    tot = want.groupby("from_event")["n"].transform("sum")
+    want["p"] = np.floor(want["n"] / tot * 1e6 + 0.5) / 1e6
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # probabilities are conditional: each row sums to ~1
+    rs = got.groupby("from_event")["p"].sum()
+    assert ((rs - 1).abs() < 1e-4).all()
+
+
+def test_cohort_retention_matches_bruteforce():
+    from ecov003_l2t_stars_ray.pipelines.grouping import (
+        WEEK_US, cohort_retention,
+    )
+
+    got = cohort_retention(SF)
+    ev = _events_pdf()
+    w = ev["ts"].astype("datetime64[us]").astype(np.int64) // WEEK_US
+    uw = pd.DataFrame({"user_id": ev["user_id"], "w": w}).drop_duplicates()
+    cw = uw.groupby("user_id")["w"].transform("min")
+    want = (
+        pd.DataFrame({"cohort_week": cw, "age_weeks": uw["w"] - cw})
+        .groupby(["cohort_week", "age_weeks"], as_index=False)
+        .size()
+        .rename(columns={"size": "n_active"})
+        .sort_values(["cohort_week", "age_weeks"], ignore_index=True)
+    )
+    size0 = want[want["age_weeks"] == 0].set_index("cohort_week")["n_active"]
+    want["retention"] = np.floor(
+        want["n_active"] / want["cohort_week"].map(size0) * 1e6 + 0.5
+    ) / 1e6
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # age-0 retention is exactly 1 for every cohort
+    assert (got.loc[got["age_weeks"] == 0, "retention"] == 1.0).all()
+
+
+def test_m4_downsample_matches_bruteforce():
+    from ecov003_l2t_stars_ray.pipelines.grouping import (
+        M4_W_US, m4_downsample_15m,
+    )
+
+    got = m4_downsample_15m(SF)
+    ev = _events_pdf()
+    ev["b"] = (
+        ev["ts"].astype("datetime64[us]").astype(np.int64)
+        // M4_W_US * M4_W_US
+    )
+    ev = ev.sort_values(["user_id", "b", "event_id"], ignore_index=True)
+    want = ev.groupby(["user_id", "b"], as_index=False).agg(
+        n=("value", "size"), v_min=("value", "min"), v_max=("value", "max"),
+        v_first=("value", "first"), v_last=("value", "last"),
+    )
+    want["bucket_start"] = want.pop("b").to_numpy().view("datetime64[us]")
+    want = want[
+        ["user_id", "bucket_start", "n", "v_min", "v_max", "v_first", "v_last"]
+    ].sort_values(["user_id", "bucket_start"], ignore_index=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # picks are exact selections: every v_* exists among the bucket's values
+    assert (got["v_min"] <= got["v_max"]).all()
+
+
+def test_tfidf_topk_matches_bruteforce():
+    from ecov003_l2t_stars_ray.pipelines.text_analysis import tfidf_topk
+
+    got = tfidf_topk(SF, k=3)
+    docs = ray.data.read_parquet(f"{SF}/documents.parquet").to_pandas()
+    ex = docs["text"].astype(str).str.split(" ").explode()
+    pairs = pd.DataFrame(
+        {"doc_id": docs["doc_id"].reindex(ex.index), "term": ex}
+    )
+    tf = pairs.groupby(["doc_id", "term"], as_index=False).size().rename(
+        columns={"size": "tf"}
+    )
+    dfq = pairs.drop_duplicates().groupby("term").size()
+    n_docs = len(docs)
+    tf["df"] = dfq.reindex(tf["term"]).to_numpy(np.int64)
+    s = tf["tf"].to_numpy(np.float64) * np.log(
+        n_docs / tf["df"].to_numpy(np.float64)
+    )
+    tf["score_milli"] = np.floor(s * 1e3 + 0.5).astype(np.int64)
+    tf["score"] = np.floor(s * 1e6 + 0.5) / 1e6
+    tf = tf.sort_values(
+        ["doc_id", "score_milli", "term"], ascending=[True, False, True],
+        kind="mergesort",
+    )
+    want = (
+        tf.groupby("doc_id", sort=False)
+        .head(3)[["doc_id", "term", "tf", "df", "score"]]
+        .sort_values(
+            ["doc_id", "score", "term"], ascending=[True, False, True],
+            ignore_index=True,
+        )
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert got.groupby("doc_id").size().max() <= 3
+
+
+def test_forecast_mae_24h_matches_bruteforce():
+    from ecov003_l2t_stars_ray.pipelines.grouping import forecast_mae_24h
+
+    got = forecast_mae_24h(SF)
+    ev = _events_pdf()
+    b = (
+        ev["ts"].astype("datetime64[us]").astype(np.int64)
+        // HOUR_US * HOUR_US
+    )
+    c = (
+        pd.DataFrame({"u": ev["user_id"], "t": b})
+        .groupby(["u", "t"], as_index=False)
+        .size()
+    )
+    f = c.rename(columns={"size": "f"}).copy()
+    f["t"] = f["t"] + 24 * HOUR_US
+    m = c.merge(f, on=["u", "t"])
+    err = m["size"].to_numpy(np.int64) - m["f"].to_numpy(np.int64)
+    m["abs"] = np.abs(err)
+    m["d"] = err
+    w = m.groupby("u", as_index=False).agg(
+        n_matched=("abs", "size"), s_abs=("abs", "sum"), s_d=("d", "sum")
+    )
+    w["mae"] = np.floor(w["s_abs"] / w["n_matched"] * 1e6 + 0.5) / 1e6
+    sgn = np.sign(w["s_d"].to_numpy(np.float64))
+    w["bias"] = sgn * np.floor(
+        np.abs(w["s_d"] / w["n_matched"]) * 1e6 + 0.5
+    ) / 1e6
+    want = w.rename(columns={"u": "user_id"}).sort_values(
+        "user_id", ignore_index=True
+    )[["user_id", "n_matched", "mae", "bias"]]
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_interarrival_stats_matches_bruteforce():
+    from ecov003_l2t_stars_ray.pipelines.grouping import interarrival_stats
+
+    got = interarrival_stats(SF)
+    ev = _events_pdf().sort_values(
+        ["user_id", "ts", "event_id"], ignore_index=True
+    )
+    u = ev["user_id"].to_numpy()
+    t = ev["ts"].astype("datetime64[us]").astype(np.int64).to_numpy()
+    same = u[1:] == u[:-1]
+    d = pd.DataFrame({"user_id": u[1:][same], "gap": (t[1:] - t[:-1])[same]})
+    w = d.groupby("user_id", as_index=False).agg(
+        n_gaps=("gap", "size"), median_gap_us=("gap", "median"),
+        max_gap_us=("gap", "max"), s=("gap", "sum"),
+    )
+    w["mean_gap_us"] = np.floor(w["s"] / w["n_gaps"] * 1e6 + 0.5) / 1e6
+    want = w.drop(columns="s").sort_values("user_id", ignore_index=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_q22_no_orders_matches_bruteforce():
+    from ecov003_l2t_stars_ray.pipelines.joins import q22_no_orders
+
+    got = q22_no_orders(SF)
+    cust = ray.data.read_parquet(f"{SF}/customer.parquet").to_pandas()
+    orders = ray.data.read_parquet(f"{SF}/orders.parquet").to_pandas()
+    f = cust[cust["c_nationkey"].isin([1, 3, 5, 7, 9, 11, 13])].copy()
+    f["cents"] = np.rint(f["c_acctbal"].to_numpy(np.float64) * 100).astype(
+        np.int64
+    )
+    pos = f[f["cents"] > 0]
+    n_pos, s_pos = len(pos), int(pos["cents"].sum())
+    urgent = orders[orders["o_orderpriority"] == "1-URGENT"]
+    keep = f[
+        (f["cents"] * n_pos > s_pos)
+        & ~f["c_custkey"].isin(set(urgent["o_custkey"]))
+    ]
+    want = (
+        keep.groupby("c_nationkey", as_index=False)
+        .agg(numcust=("c_custkey", "size"), s=("cents", "sum"))
+        .rename(columns={"c_nationkey": "cntrycode"})
+    )
+    want["totacctbal"] = want.pop("s").to_numpy(np.float64) / 100.0
+    want = want.sort_values("cntrycode", ignore_index=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert len(got) > 0  # the fixture has order-less customers

@@ -557,3 +557,217 @@ def interarrival_stats(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("user_id", ignore_index=True)[
         ["user_id", "n_gaps", "median_gap_us", "max_gap_us", "mean_gap_us"]
     ]
+
+
+# ----------------------------------------------------------------- funnel
+def funnel_stages(sf_dir: str) -> pd.DataFrame:
+    """Ordered-sequence funnel view -> click -> purchase: per user the
+    first view, the first click strictly after it, and the first purchase
+    strictly after that; emitted as one row per stage with the surviving
+    user count and the mean microsecond gap from the previous stage.
+
+    The stream is filtered to the three stage types MAP-SIDE (the exchange
+    ships only funnel-relevant rows), rides ONE user-hash exchange, and the
+    per-partition combine resolves every user's three thresholded minima
+    with two vectorized merge+filter+groupby passes — no per-user Python.
+    Each partition emits ONE row of additive int counters (counts + gap
+    sums), so the driver reduction is P-row; the two means are single
+    int-sum / int-count divisions mirrored op-for-op in the oracle.
+    Re-expresses the reference's staged acquisition chain (granule listed
+    -> downloaded -> composited, `VNP43NRT.py` retrieval sequencing) as a
+    grouped funnel over a generic event stream."""
+    ds = _events(sf_dir, ["user_id", "ts", "event_type"])
+    _STAGES = ("view", "click", "purchase")
+
+    def project(df: pd.DataFrame) -> pd.DataFrame:
+        et = df["event_type"].astype(str)
+        m = et.isin(_STAGES).to_numpy()
+        return pd.DataFrame(
+            {
+                "user_id": df["user_id"].to_numpy(np.int64)[m],
+                "ts_us": df["ts"].astype("datetime64[us]").astype(np.int64).to_numpy()[m],
+                "event_type": et.to_numpy()[m],
+            }
+        )
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        et = g["event_type"].astype(str).to_numpy()
+        v = (
+            g[et == "view"]
+            .groupby("user_id", as_index=False)["ts_us"]
+            .min()
+            .rename(columns={"ts_us": "t1"})
+        )
+        c = g[et == "click"][["user_id", "ts_us"]].merge(v, on="user_id")
+        c = (
+            c[c["ts_us"] > c["t1"]]
+            .groupby("user_id", as_index=False)
+            .agg(t2=("ts_us", "min"), t1=("t1", "first"))
+        )
+        p = g[et == "purchase"][["user_id", "ts_us"]].merge(
+            c[["user_id", "t2"]], on="user_id"
+        )
+        p = (
+            p[p["ts_us"] > p["t2"]]
+            .groupby("user_id", as_index=False)
+            .agg(t3=("ts_us", "min"), t2=("t2", "first"))
+        )
+        return pd.DataFrame(
+            {
+                "n_view": [np.int64(len(v))],
+                "n_click": [np.int64(len(c))],
+                "s_gap1": [np.int64((c["t2"] - c["t1"]).sum())],
+                "n_purchase": [np.int64(len(p))],
+                "s_gap2": [np.int64((p["t3"] - p["t2"]).sum())],
+            }
+        )
+
+    parts = hash_combine(
+        ds.map_batches(project, batch_format="pandas"), ["user_id"], combine
+    ).to_pandas()
+    t = parts.sum()
+    def _mean(s: int, n: int) -> float:
+        return float(_r6away(np.float64(s) / np.float64(n))) if n else 0.0
+    return pd.DataFrame(
+        {
+            "stage_idx": np.array([1, 2, 3], dtype=np.int64),
+            "stage": ["view", "click", "purchase"],
+            "n_users": np.array(
+                [t["n_view"], t["n_click"], t["n_purchase"]], dtype=np.int64
+            ),
+            "mean_gap_us": [
+                0.0,
+                _mean(int(t["s_gap1"]), int(t["n_click"])),
+                _mean(int(t["s_gap2"]), int(t["n_purchase"])),
+            ],
+        }
+    )
+
+
+# ---------------------------------------------------------- grouping sets
+def rollup_grouping_sets(sf_dir: str) -> pd.DataFrame:
+    """GROUP BY ROLLUP(o_orderpriority, o_orderstatus) in ONE pass: every
+    map batch emits integer partials for ALL THREE grouping levels —
+    (priority, status), (priority) and () — with rolled-up columns filled
+    as 'ALL' and a SQL GROUPING()-compatible gid, so the multi-level cube
+    costs one read and one vocabulary-sized reduction instead of three
+    scans.  Money rides as ROUND(x*100)-cents int64 partials; the emitted
+    total is ONE integer-sum / 100.0 division (exact halves, mirrored).
+    The reduction input is <= 21 rows per batch (5 priorities x 3 statuses
+    + 5 + 1), so the driver combine is vocabulary-sized at any corpus
+    scale.  Re-expresses the reference's multi-resolution QA summary
+    (per-class, per-band, global counts in one product pass)."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderpriority", "o_orderstatus", "o_totalprice"],
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        cents = np.floor(
+            df["o_totalprice"].to_numpy(np.float64) * 100 + 0.5
+        ).astype(np.int64)
+        base = pd.DataFrame(
+            {
+                "priority": df["o_orderpriority"].astype(str).to_numpy(),
+                "status": df["o_orderstatus"].astype(str).to_numpy(),
+                "cents": cents,
+            }
+        )
+        lv0 = base.groupby(["priority", "status"], as_index=False).agg(
+            n=("cents", "size"), s=("cents", "sum")
+        )
+        lv0["gid"] = np.int64(0)
+        lv1 = base.groupby("priority", as_index=False).agg(
+            n=("cents", "size"), s=("cents", "sum")
+        )
+        lv1["status"] = "ALL"
+        lv1["gid"] = np.int64(1)
+        lv2 = pd.DataFrame(
+            {
+                "priority": ["ALL"],
+                "status": ["ALL"],
+                "n": [np.int64(len(base))],
+                "s": [np.int64(base["cents"].sum())],
+                "gid": [np.int64(3)],
+            }
+        )
+        cols = ["priority", "status", "gid", "n", "s"]
+        return pd.concat([lv0[cols], lv1[cols], lv2[cols]], ignore_index=True)
+
+    agg = (
+        ds.map_batches(partial, batch_format="pandas")
+        .to_pandas()
+        .groupby(["priority", "status", "gid"], as_index=False)[["n", "s"]]
+        .sum()
+    )
+    out = pd.DataFrame(
+        {
+            "priority": agg["priority"].astype(str),
+            "status": agg["status"].astype(str),
+            "gid": agg["gid"].astype(np.int64),
+            "n_orders": agg["n"].astype(np.int64),
+            "total_price": agg["s"].to_numpy(np.int64) / 100.0,
+        }
+    )
+    return out.sort_values(["gid", "priority", "status"], ignore_index=True)
+
+
+# ------------------------------------------------------- exact moments
+def corr_value_props(sf_dir: str) -> pd.DataFrame:
+    """Per-event-type exact distributed second moments: n, mean(value) and
+    corr(value, LENGTH(props)) with NO order-dependent float accumulation.
+
+    Values are snapped ONCE to 2^10 fixed point (q = floor(x*1024+0.5),
+    one deterministic float op per row); every moment lane — q, q*q, y,
+    y*y, q*y — is then an EXACT int64 product, so partials combine exactly
+    in any order and the final mean / Pearson expression is ONE float
+    chain over identical integer sums mirrored op-for-op in the SQL —
+    bit-stable under block arrival order (CLAUDE.md float-compare
+    invariant).  Headroom: q*q <= 2.5e11 for values < 512, so int64 lanes
+    hold to ~3.7e7 rows per group-partial; past that the qq lane splits
+    hi/lo uint64 (the span_dedup dual-lane pattern) — documented scale
+    path, not needed at any tested sf."""
+    ds = _events(sf_dir, ["event_type", "value", "props"])
+    _S = np.float64(1024.0)  # 2**10 fixed-point snap
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        v = df["value"].to_numpy(np.float64)
+        q = np.floor(v * _S + 0.5).astype(np.int64)
+        qq = q * q
+        y = df["props"].astype(str).str.len().to_numpy(np.int64)
+        b = pd.DataFrame(
+            {
+                "event_type": df["event_type"].astype(str).to_numpy(),
+                "n": np.int64(1),
+                "sq": q,
+                "sqq": qq,
+                "sy": y,
+                "syy": y * y,
+                "sqy": q * y,
+            }
+        )
+        return b.groupby("event_type", as_index=False).sum()
+
+    s = (
+        ds.map_batches(partial, batch_format="pandas")
+        .to_pandas()
+        .groupby("event_type", as_index=False)
+        .sum()
+    )
+    n = s["n"].to_numpy(np.float64)
+    sq = s["sq"].to_numpy(np.float64)
+    sqq = s["sqq"].to_numpy(np.float64)
+    sy = s["sy"].to_numpy(np.float64)
+    syy = s["syy"].to_numpy(np.float64)
+    sqy = s["sqy"].to_numpy(np.float64)
+    return pd.DataFrame(
+        {
+            "event_type": s["event_type"].astype(str),
+            "n": s["n"].astype(np.int64),
+            "mean_value": _r6away(sq / n / _S),
+            "corr_len": _r6away(
+                (n * sqy - sq * sy)
+                / np.sqrt((n * sqq - sq * sq) * (n * syy - sy * sy))
+            ),
+        }
+    ).sort_values("event_type", ignore_index=True)

@@ -318,3 +318,97 @@ def test_q22_no_orders_matches_bruteforce():
     want = want.sort_values("cntrycode", ignore_index=True)
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
     assert len(got) > 0  # the fixture has order-less customers
+
+
+def test_funnel_stages_matches_bruteforce():
+    from ecov003_l2t_stars_ray.pipelines.grouping import funnel_stages
+
+    got = funnel_stages(SF)
+    ev = _events_pdf()
+    ev = ev.assign(ts_us=ev["ts"].astype("datetime64[us]").astype(np.int64))
+    t1 = ev[ev.event_type == "view"].groupby("user_id")["ts_us"].min()
+    c = ev[ev.event_type == "click"].merge(
+        t1.rename("t1"), left_on="user_id", right_index=True
+    )
+    c = c[c.ts_us > c.t1]
+    t2 = c.groupby("user_id")["ts_us"].min()
+    gap1 = (t2 - t1.reindex(t2.index)).to_numpy()
+    p = ev[ev.event_type == "purchase"].merge(
+        t2.rename("t2"), left_on="user_id", right_index=True
+    )
+    p = p[p.ts_us > p.t2]
+    t3 = p.groupby("user_id")["ts_us"].min()
+    gap2 = (t3 - t2.reindex(t3.index)).to_numpy()
+    assert got["n_users"].tolist() == [len(t1), len(t2), len(t3)]
+    assert len(t2) > 0 and len(t3) > 0  # the synthetic stream funnels
+    np.testing.assert_allclose(
+        got["mean_gap_us"].to_numpy()[1:],
+        [gap1.mean(), gap2.mean()],
+        rtol=0, atol=5e-7,
+    )
+    assert got["mean_gap_us"].iloc[0] == 0.0
+    # monotone survivorship
+    assert got["n_users"].is_monotonic_decreasing
+
+
+def test_rollup_grouping_sets_levels_consistent():
+    from ecov003_l2t_stars_ray.pipelines.grouping import rollup_grouping_sets
+
+    got = rollup_grouping_sets(SF)
+    orders = ray.data.read_parquet(f"{SF}/orders.parquet").to_pandas()
+    cents = np.floor(orders["o_totalprice"].to_numpy() * 100 + 0.5).astype(
+        np.int64
+    )
+    # level 0 matches a direct groupby
+    want0 = (
+        orders.assign(cents=cents)
+        .groupby(["o_orderpriority", "o_orderstatus"], as_index=False)
+        .agg(n_orders=("cents", "size"), s=("cents", "sum"))
+    )
+    lv0 = got[got.gid == 0].merge(
+        want0,
+        left_on=["priority", "status"],
+        right_on=["o_orderpriority", "o_orderstatus"],
+    )
+    assert len(lv0) == len(want0) == (got.gid == 0).sum()
+    assert (lv0["n_orders_x"] == lv0["n_orders_y"]).all()
+    np.testing.assert_array_equal(
+        lv0["total_price"].to_numpy(), lv0["s"].to_numpy() / 100.0
+    )
+    # each level's totals reconcile upward exactly
+    assert (got.gid == 3).sum() == 1
+    for g in (0, 1):
+        assert got[got.gid == g]["n_orders"].sum() == len(orders)
+        np.testing.assert_array_equal(
+            np.float64(got[got.gid == g]["total_price"].sum()),
+            np.float64(cents.sum() / 100.0),
+        )
+    assert int(got[got.gid == 3]["n_orders"].iloc[0]) == len(orders)
+
+
+def test_corr_value_props_matches_bruteforce():
+    from ecov003_l2t_stars_ray.pipelines.grouping import corr_value_props
+
+    got = corr_value_props(SF)
+    ev = _events_pdf()
+    S = 1024.0
+    v = ev["value"].to_numpy(np.float64)
+    ev = ev.assign(
+        q=np.floor(v * S + 0.5).astype(np.int64),
+        y=ev["props"].astype(str).str.len().astype(np.int64),
+    )
+    for _, row in got.iterrows():
+        g = ev[ev.event_type == row["event_type"]]
+        assert row["n"] == len(g)
+        # mean of snapped fixed-point == emitted mean to the 6th decimal
+        np.testing.assert_allclose(
+            row["mean_value"], g["q"].mean() / S, rtol=0, atol=5e-7
+        )
+        # Pearson on the snapped lanes (numpy corrcoef reference)
+        ref = np.corrcoef(
+            g["q"].to_numpy(np.float64), g["y"].to_numpy(np.float64)
+        )[0, 1]
+        np.testing.assert_allclose(row["corr_len"], ref, rtol=0, atol=1e-4)
+    # determinism under re-run (order-independent int accumulation)
+    again = corr_value_props(SF)
+    pd.testing.assert_frame_equal(got, again)

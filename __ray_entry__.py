@@ -559,7 +559,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel_stages": G.funnel_stages,
         "rollup_grouping_sets": G.rollup_grouping_sets,
         "corr_value_props": G.corr_value_props,
-        # ---- slots 42-50: core SQL-oracled surface ----
+        # round-4 wave 7: per-user path-signature histogram, presence-
+        # bitmask event PMI, broadcast-membership promo revenue (Q14)
+        "path_signature": G.path_signature,
+        "event_pmi": G.event_pmi,
+        "promo_revenue_share": J.promo_revenue_share,
+        # ---- slots 45-50: core SQL-oracled surface ----
         # bucketed rollup ladder (A1/M13); 1h/1d rotated to tail
         "rollup_1m": lambda sf: A.events_rollup(sf, "1m"),
         # dense axis + gap flags (S4/J1)
@@ -1822,5 +1827,70 @@ def oracle_sql() -> dict[str, str]:
                                 * (CAST(n AS DOUBLE) * syy
                                    - CAST(sy AS DOUBLE) * sy)), 6) AS corr_len
             FROM s ORDER BY event_type
+        """,
+        # rn order is (ts, event_id) — unique, so the first-8 head is
+        # deterministic on both sides; single-letter codes are distinct
+        # across the closed event vocabulary
+        "path_signature": """
+            WITH r AS (
+                SELECT user_id, substr(event_type, 1, 1) AS c,
+                       row_number() OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       ) AS rn
+                FROM events
+            ), p AS (
+                SELECT user_id, string_agg(c, '' ORDER BY rn) AS path
+                FROM r WHERE rn <= 8 GROUP BY 1
+            )
+            SELECT path, CAST(COUNT(*) AS BIGINT) AS n_users
+            FROM p GROUP BY 1 ORDER BY path
+        """,
+        # all counts exact integers; pmi is one mirrored float chain
+        "event_pmi": """
+            WITH d AS (SELECT DISTINCT user_id, event_type FROM events),
+            nn AS (
+                SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS nu
+                FROM events
+            ), t AS (
+                SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_t
+                FROM d GROUP BY 1
+            ), p AS (
+                SELECT a.event_type AS event_a, b.event_type AS event_b,
+                       CAST(COUNT(*) AS BIGINT) AS n_both
+                FROM d a JOIN d b
+                  ON a.user_id = b.user_id AND a.event_type < b.event_type
+                GROUP BY 1, 2
+            )
+            SELECT event_a, event_b, n_both,
+                   ROUND(ln(CAST(n_both AS DOUBLE) * nu
+                            / (CAST(ta.n_t AS DOUBLE) * tb.n_t)), 6) AS pmi
+            FROM p JOIN t ta ON ta.event_type = p.event_a
+                   JOIN t tb ON tb.event_type = p.event_b
+                   CROSS JOIN nn
+            ORDER BY event_a, event_b
+        """,
+        # revenue in the exact integer form (cents * (100 - disc_pct));
+        # the share is one float chain over two exact int sums; the join
+        # reduces to broadcast membership because l_partkey -> part is a
+        # verified FK (pytest asserts zero orphans)
+        "promo_revenue_share": """
+            WITH l AS (
+                SELECT l_partkey,
+                       CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
+                       * (100 - CAST(ROUND(l_discount * 100, 0) AS BIGINT))
+                           AS rc
+                FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                  AND l_shipdate < TIMESTAMP '1997-01-01'
+            ), j AS (
+                SELECT rc,
+                       CASE WHEN p_type LIKE 'PROMO%' THEN rc ELSE 0 END AS rp
+                FROM l JOIN part ON p_partkey = l_partkey
+            )
+            SELECT ROUND(CAST(SUM(rp) AS DOUBLE) * 100.0
+                         / CAST(SUM(rc) AS DOUBLE), 6) AS promo_share_pct,
+                   CAST(SUM(rp) AS BIGINT) / 10000.0 AS promo_revenue,
+                   CAST(SUM(rc) AS BIGINT) / 10000.0 AS total_revenue
+            FROM j
         """,
     }

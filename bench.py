@@ -241,6 +241,8 @@ def run_bench() -> dict:
         "q22_no_orders",
         # round-4 wave 6
         "funnel_stages", "rollup_grouping_sets", "corr_value_props",
+        # round-4 wave 7
+        "path_signature", "event_pmi", "promo_revenue_share",
     ]
     q_steal: dict[str, float] = {}
     for name in q_list:

@@ -771,3 +771,126 @@ def corr_value_props(sf_dir: str) -> pd.DataFrame:
             ),
         }
     ).sort_values("event_type", ignore_index=True)
+
+
+# ------------------------------------------------------- path signature
+def path_signature(sf_dir: str, k: int = 8) -> pd.DataFrame:
+    """Per-user behavioral path signature: the first-letter codes of the
+    user's first ``k`` events in (ts, event_id) order concatenated into
+    one string, histogrammed across users — the session-shape inventory a
+    curation pipeline uses to stratify interaction data.
+
+    The exchange ships the 4-column projection once (user-hash, full
+    streams co-locate); the combine sorts its partition, ranks rows per
+    user with ONE arange-minus-segment-start subtraction, scatters the
+    <=k head codes of every user into an (n_users, k) uint8 matrix and
+    reinterprets the rows as 'S{k}' — numpy strips NUL padding, so the
+    variable-length strings appear without any per-user Python (the
+    np.char lesson from CLAUDE.md).  Each partition emits a path
+    histogram; the driver sums vocabulary-sized frames."""
+    ds = _events(sf_dir, ["user_id", "ts", "event_id", "event_type"])
+
+    def project(df: pd.DataFrame) -> pd.DataFrame:
+        et = df["event_type"].astype(str)
+        return pd.DataFrame(
+            {
+                "user_id": df["user_id"].to_numpy(np.int64),
+                "ts_us": df["ts"].astype("datetime64[us]").astype(np.int64),
+                "event_id": df["event_id"].to_numpy(np.int64),
+                "code": et.str.slice(0, 1),
+            }
+        )
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame(
+                {"path": pd.Series(dtype=str), "n_users": pd.Series(dtype=np.int64)}
+            )
+        g = g.sort_values(["user_id", "ts_us", "event_id"], kind="mergesort")
+        u = g["user_id"].to_numpy()
+        codes = g["code"].astype(str).to_numpy().astype("S1").view(np.uint8)
+        new = np.empty(len(u), dtype=bool)
+        new[0] = True
+        new[1:] = u[1:] != u[:-1]
+        uidx = np.cumsum(new) - 1          # dense user index
+        starts = np.flatnonzero(new)
+        rn = np.arange(len(u)) - starts[uidx]
+        mat = np.zeros((int(uidx[-1]) + 1, k), dtype=np.uint8)
+        m = rn < k
+        mat[uidx[m], rn[m]] = codes[m]
+        paths = pd.Series(mat.view(f"S{k}").ravel()).str.decode("ascii")
+        out = paths.value_counts().rename_axis("path").rename("n_users")
+        return out.reset_index()
+
+    parts = hash_combine(
+        ds.map_batches(project, batch_format="pandas"), ["user_id"], combine
+    ).to_pandas()
+    out = parts.groupby("path", as_index=False)["n_users"].sum()
+    out["n_users"] = out["n_users"].astype(np.int64)
+    return out.sort_values("path", ignore_index=True)
+
+
+# ----------------------------------------------------------- event PMI
+def event_pmi(sf_dir: str) -> pd.DataFrame:
+    """Pointwise mutual information between event types co-present in a
+    user's history (the co-occurrence signal behind feature vocabularies).
+
+    Presence compresses to ONE uint8 bitmask per user: the map side ORs a
+    per-batch mask per user (5-bit vocabulary), the exchange ships (user,
+    mask) partials, the combine ORs masks per user and histograms the
+    <=32 distinct masks — so the driver reduction is mask-vocabulary-
+    sized regardless of corpus size.  All counts are exact int64; pmi =
+    ln(n_ab * N / (n_a * n_b)) is one float chain over identical integer
+    counts on both sides."""
+    ds = _events(sf_dir, ["user_id", "event_type"])
+    vocab = list(_EVENT_VOCAB)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        # each event row sets exactly ONE bit, so per-user OR ==
+        # sum over DISTINCT (user, bit) rows — no per-group Python
+        et = df["event_type"].astype(str).to_numpy()
+        bit = np.zeros(len(et), dtype=np.int64)
+        for i, t in enumerate(vocab):
+            bit |= np.int64(1 << i) * (et == t)
+        b = pd.DataFrame(
+            {"user_id": df["user_id"].to_numpy(np.int64), "mask": bit}
+        ).drop_duplicates()
+        return b.groupby("user_id", as_index=False)["mask"].sum()
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        # OR of multi-bit masks: unpack to 0/1 bit columns, groupby max
+        # (== OR), re-pack — all vectorized
+        bits = pd.DataFrame(
+            {f"b{i}": (g["mask"].to_numpy(np.int64) >> i) & 1
+             for i in range(len(vocab))}
+        )
+        bits["user_id"] = g["user_id"].to_numpy(np.int64)
+        per_user = bits.groupby("user_id").max()
+        mask = np.zeros(len(per_user), dtype=np.int64)
+        for i in range(len(vocab)):
+            mask |= per_user[f"b{i}"].to_numpy(np.int64) << i
+        h = pd.Series(mask).value_counts()
+        return pd.DataFrame(
+            {"mask": h.index.to_numpy(np.int64),
+             "n_users": h.to_numpy(np.int64)}
+        )
+
+    parts = hash_combine(
+        ds.map_batches(partial, batch_format="pandas"), ["user_id"], combine
+    ).to_pandas()
+    h = parts.groupby("mask")["n_users"].sum()
+    masks = h.index.to_numpy(np.int64)
+    cnt = h.to_numpy(np.int64)
+    N = np.float64(cnt.sum())
+    n_t = {t: int(cnt[(masks >> i) & 1 == 1].sum()) for i, t in enumerate(vocab)}
+    rows = []
+    for i, a in enumerate(vocab):
+        for j in range(i + 1, len(vocab)):
+            b = vocab[j]
+            both = int(cnt[((masks >> i) & 1 == 1) & ((masks >> j) & 1 == 1)].sum())
+            if both:
+                pmi = np.log(np.float64(both) * N / (np.float64(n_t[a]) * np.float64(n_t[b])))
+                rows.append((a, b, both, float(_r6away(np.float64(pmi)))))
+    out = pd.DataFrame(rows, columns=["event_a", "event_b", "n_both", "pmi"])
+    out["n_both"] = out["n_both"].astype(np.int64)
+    return out.sort_values(["event_a", "event_b"], ignore_index=True)

@@ -393,3 +393,64 @@ def q22_no_orders(
     return out.sort_values("cntrycode", ignore_index=True)[
         ["cntrycode", "numcust", "totacctbal"]
     ]
+
+
+def promo_revenue_share(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q14 shape: promo-type revenue share for shipdates in 1996 —
+    a two-aggregate division over a dimension-filtered fact stream.
+
+    The part side is dimension-sized, so it never shuffles: the PROMO
+    partkey set rides ONE ``ray.put`` broadcast and the fact scan tests
+    membership vectorized per batch (the J2 broadcast-lookup pattern; at
+    100 TB the set is ~2e8 int64 = 1.6 GB — still one object per node,
+    or the bloom_semijoin path above if it outgrows that).  Revenue is
+    the engine's exact integer form (cents * (100 - discount_pct)); the
+    partial stream is ONE row per batch and the share is a single float
+    chain over two exact int sums, mirrored op-for-op.  FK integrity
+    (every l_partkey resolves) makes broadcast membership equivalent to
+    the oracle's inner join — asserted in pytest, not assumed."""
+    import ray as _ray
+
+    part = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"]
+    ).to_pandas()
+    promo = part.loc[
+        part["p_type"].astype(str).str.startswith("PROMO"), "p_partkey"
+    ].to_numpy(np.int64)
+    promo_ref = _ray.put(np.sort(promo))
+
+    lo, hi = np.datetime64("1996-01-01"), np.datetime64("1997-01-01")
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        sd = df["l_shipdate"].astype("datetime64[us]").to_numpy()
+        m = (sd >= lo) & (sd < hi)
+        pk = df["l_partkey"].to_numpy(np.int64)[m]
+        pc_ = np.floor(
+            df["l_extendedprice"].to_numpy(np.float64)[m] * 100 + 0.5
+        ).astype(np.int64)
+        dc = np.floor(
+            df["l_discount"].to_numpy(np.float64)[m] * 100 + 0.5
+        ).astype(np.int64)
+        rc = pc_ * (100 - dc)
+        ps = _ray.get(promo_ref)
+        isp = ps[np.clip(np.searchsorted(ps, pk), 0, len(ps) - 1)] == pk \
+            if len(ps) else np.zeros(len(pk), dtype=bool)
+        return pd.DataFrame(
+            {"s_promo": [np.int64(rc[isp].sum())],
+             "s_all": [np.int64(rc.sum())]}
+        )
+
+    t = li.map_batches(partial, batch_format="pandas").to_pandas().sum()
+    sp, sa = np.float64(t["s_promo"]), np.float64(t["s_all"])
+    share = np.sign(sp) * np.floor(np.abs(sp * 100.0 / sa) * 1e6 + 0.5) / 1e6
+    return pd.DataFrame(
+        {
+            "promo_share_pct": [np.float64(share)],
+            "promo_revenue": [np.int64(t["s_promo"]) / 10000.0],
+            "total_revenue": [np.int64(t["s_all"]) / 10000.0],
+        }
+    )

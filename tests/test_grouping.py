@@ -412,3 +412,75 @@ def test_corr_value_props_matches_bruteforce():
     # determinism under re-run (order-independent int accumulation)
     again = corr_value_props(SF)
     pd.testing.assert_frame_equal(got, again)
+
+
+def test_path_signature_matches_bruteforce():
+    from ecov003_l2t_stars_ray.pipelines.grouping import path_signature
+
+    got = path_signature(SF)
+    ev = _events_pdf()
+    ev = ev.assign(
+        ts_us=ev["ts"].astype("datetime64[us]").astype(np.int64),
+        c=ev["event_type"].astype(str).str[0],
+    ).sort_values(["user_id", "ts_us", "event_id"])
+    want = (
+        ev.groupby("user_id")["c"]
+        .apply(lambda s: "".join(s.iloc[:8]))
+        .value_counts()
+        .rename_axis("path")
+        .rename("n_users")
+        .reset_index()
+        .sort_values("path", ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_event_pmi_matches_bruteforce():
+    from ecov003_l2t_stars_ray.pipelines.grouping import event_pmi
+
+    got = event_pmi(SF)
+    ev = _events_pdf()
+    d = ev[["user_id", "event_type"]].drop_duplicates()
+    sets = d.groupby("user_id")["event_type"].agg(frozenset)
+    N = len(sets)
+    types = sorted(d["event_type"].unique())
+    for _, row in got.iterrows():
+        a, b = row["event_a"], row["event_b"]
+        assert a < b
+        n_a = int(sum(a in s for s in sets))
+        n_b = int(sum(b in s for s in sets))
+        n_ab = int(sum((a in s and b in s) for s in sets))
+        assert row["n_both"] == n_ab
+        np.testing.assert_allclose(
+            row["pmi"], np.log(n_ab * N / (n_a * n_b)), rtol=0, atol=5e-7
+        )
+    # every co-occurring pair present
+    pairs = {(a, b) for i, a in enumerate(types) for b in types[i + 1:]
+             if any(a in s and b in s for s in sets)}
+    assert set(zip(got["event_a"], got["event_b"])) == pairs
+
+
+def test_promo_revenue_share_matches_bruteforce():
+    from ecov003_l2t_stars_ray.pipelines.joins import promo_revenue_share
+
+    got = promo_revenue_share(SF)
+    li = ray.data.read_parquet(f"{SF}/lineitem.parquet").to_pandas()
+    part = ray.data.read_parquet(f"{SF}/part.parquet").to_pandas()
+    # FK integrity makes broadcast membership == inner join
+    assert li["l_partkey"].isin(part["p_partkey"]).all()
+    sd = li["l_shipdate"].astype("datetime64[us]")
+    m = (sd >= pd.Timestamp("1996-01-01")) & (sd < pd.Timestamp("1997-01-01"))
+    li = li[m]
+    pc_ = np.floor(li["l_extendedprice"].to_numpy() * 100 + 0.5).astype(np.int64)
+    dc = np.floor(li["l_discount"].to_numpy() * 100 + 0.5).astype(np.int64)
+    rc = pc_ * (100 - dc)
+    promo_keys = set(
+        part.loc[part["p_type"].str.startswith("PROMO"), "p_partkey"]
+    )
+    isp = li["l_partkey"].isin(promo_keys).to_numpy()
+    sp, sa = rc[isp].sum(), rc.sum()
+    assert got["promo_revenue"].iloc[0] == sp / 10000.0
+    assert got["total_revenue"].iloc[0] == sa / 10000.0
+    np.testing.assert_allclose(
+        got["promo_share_pct"].iloc[0], 100.0 * sp / sa, rtol=0, atol=5e-7
+    )

@@ -243,6 +243,8 @@ def run_bench() -> dict:
         "funnel_stages", "rollup_grouping_sets", "corr_value_props",
         # round-4 wave 7
         "path_signature", "event_pmi", "promo_revenue_share",
+        # round-4 wave 8
+        "active_users_7d", "ab_conversion",
     ]
     q_steal: dict[str, float] = {}
     for name in q_list:

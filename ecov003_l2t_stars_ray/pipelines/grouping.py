@@ -894,3 +894,139 @@ def event_pmi(sf_dir: str) -> pd.DataFrame:
     out = pd.DataFrame(rows, columns=["event_a", "event_b", "n_both", "pmi"])
     out["n_both"] = out["n_both"].astype(np.int64)
     return out.sort_values(["event_a", "event_b"], ignore_index=True)
+
+
+DAY_US = 24 * HOUR_US
+
+
+# ------------------------------------------------------ rolling distinct
+def active_users_7d(sf_dir: str) -> pd.DataFrame:
+    """Exact DAU / trailing-7-day WAU / stickiness per day — the rolling
+    DISTINCT-count family, which is NOT windowed-sum decomposable (a user
+    active twice in one window still counts once).
+
+    Users are partition-exclusive after the ONE user-hash exchange, so
+    per-user interval logic never crosses partitions: each user's distinct
+    active days sort once per partition; runs with gaps < 7 days merge
+    into maximal covered intervals via one shifted-view comparison, and
+    every interval scatters (+1 at start, -1 at end) into a day-keyed
+    diff table.  Partials are day-axis-sized (additive int deltas +
+    per-day distinct-pair DAU counts); the driver cumsums ONE tiny diff
+    array — corpus-size-independent.  Stickiness is a single int/int
+    division mirrored in the oracle."""
+    ds = _events(sf_dir, ["user_id", "ts"])
+
+    def project(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": df["user_id"].to_numpy(np.int64),
+                "day": df["ts"].astype("datetime64[us]").astype(np.int64)
+                // DAY_US,
+            }
+        ).drop_duplicates()
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["user_id", "day"]).sort_values(
+            ["user_id", "day"], kind="mergesort"
+        )
+        u = g["user_id"].to_numpy()
+        d = g["day"].to_numpy()
+        if not len(g):
+            return pd.DataFrame(
+                {"day": pd.Series(dtype=np.int64),
+                 "delta": pd.Series(dtype=np.int64),
+                 "dau": pd.Series(dtype=np.int64)}
+            )
+        new_run = np.empty(len(g), dtype=bool)
+        new_run[0] = True
+        new_run[1:] = (u[1:] != u[:-1]) | (d[1:] - d[:-1] >= 7)
+        run_start = d[new_run]
+        last = np.empty(len(g), dtype=bool)
+        last[:-1] = new_run[1:]
+        last[-1] = True
+        run_end = d[last] + 7  # exclusive
+        diff = pd.concat(
+            [
+                pd.DataFrame({"day": run_start, "delta": np.int64(1)}),
+                pd.DataFrame({"day": run_end, "delta": np.int64(-1)}),
+            ]
+        ).groupby("day", as_index=False)["delta"].sum()
+        dau = (
+            pd.Series(d).value_counts().rename_axis("day").rename("dau")
+            .reset_index()
+        )
+        out = diff.merge(dau, on="day", how="outer")
+        return out.fillna(0).astype(np.int64)
+
+    parts = hash_combine(
+        ds.map_batches(project, batch_format="pandas"), ["user_id"], combine
+    ).to_pandas()
+    agg = parts.groupby("day", as_index=False)[["delta", "dau"]].sum()
+    agg = agg.sort_values("day", ignore_index=True)
+    agg["wau"] = agg["delta"].cumsum()
+    out = agg[agg["dau"] > 0].reset_index(drop=True)
+    return pd.DataFrame(
+        {
+            "day": out["day"].astype(np.int64),
+            "dau": out["dau"].astype(np.int64),
+            "wau": out["wau"].astype(np.int64),
+            "stickiness": _r6away(
+                out["dau"].to_numpy(np.float64) / out["wau"].to_numpy(np.float64)
+            ),
+        }
+    )
+
+
+# ------------------------------------------------------------- A/B lift
+def ab_conversion(sf_dir: str) -> pd.DataFrame:
+    """Deterministic A/B experiment readout: users split by user_id parity
+    (reproducible across runs and cluster sizes — no RNG state), per-arm
+    user count, converted-user count (>=1 purchase), events per user and
+    conversion rate.  Per-user flags reduce by max (== OR) inside the one
+    user-hash exchange; per-arm counts are additive int partials and the
+    two emitted rates are single int/int division chains."""
+    ds = _events(sf_dir, ["user_id", "event_type"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        b = pd.DataFrame(
+            {
+                "user_id": df["user_id"].to_numpy(np.int64),
+                "conv": (
+                    df["event_type"].astype(str) == "purchase"
+                ).to_numpy(np.int64),
+                "n_ev": np.int64(1),
+            }
+        )
+        return b.groupby("user_id", as_index=False).agg(
+            conv=("conv", "max"), n_ev=("n_ev", "sum")
+        )
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        pu = g.groupby("user_id", as_index=False).agg(
+            conv=("conv", "max"), n_ev=("n_ev", "sum")
+        )
+        pu["arm"] = (pu["user_id"].to_numpy(np.int64) % 2).astype(np.int64)
+        return pu.groupby("arm", as_index=False).agg(
+            n_users=("user_id", "size"), n_conv=("conv", "sum"),
+            s_ev=("n_ev", "sum"),
+        )
+
+    parts = hash_combine(
+        ds.map_batches(partial, batch_format="pandas"), ["user_id"], combine
+    ).to_pandas()
+    a = parts.groupby("arm", as_index=False)[["n_users", "n_conv", "s_ev"]].sum()
+    return pd.DataFrame(
+        {
+            "arm": a["arm"].astype(np.int64),
+            "n_users": a["n_users"].astype(np.int64),
+            "n_conv": a["n_conv"].astype(np.int64),
+            "conv_rate": _r6away(
+                a["n_conv"].to_numpy(np.float64)
+                / a["n_users"].to_numpy(np.float64)
+            ),
+            "events_per_user": _r6away(
+                a["s_ev"].to_numpy(np.float64)
+                / a["n_users"].to_numpy(np.float64)
+            ),
+        }
+    ).sort_values("arm", ignore_index=True)

@@ -484,3 +484,55 @@ def test_promo_revenue_share_matches_bruteforce():
     np.testing.assert_allclose(
         got["promo_share_pct"].iloc[0], 100.0 * sp / sa, rtol=0, atol=5e-7
     )
+
+
+def test_active_users_7d_matches_bruteforce():
+    from ecov003_l2t_stars_ray.pipelines.grouping import active_users_7d
+
+    got = active_users_7d(SF)
+    ev = _events_pdf()
+    DAY_US = 86400 * 1_000_000
+    d = pd.DataFrame(
+        {
+            "user_id": ev["user_id"],
+            "day": ev["ts"].astype("datetime64[us]").astype(np.int64) // DAY_US,
+        }
+    ).drop_duplicates()
+    days = np.sort(d["day"].unique())
+    for _, row in got.iterrows():
+        day = row["day"]
+        w = d[(d["day"] >= day - 6) & (d["day"] <= day)]
+        assert row["wau"] == w["user_id"].nunique(), day
+        assert row["dau"] == (d["day"] == day).sum(), day
+        np.testing.assert_allclose(
+            row["stickiness"], row["dau"] / row["wau"], rtol=0, atol=5e-7
+        )
+    assert got["day"].tolist() == list(days)
+    assert (got["wau"] >= got["dau"]).all()
+
+
+def test_ab_conversion_matches_bruteforce():
+    from ecov003_l2t_stars_ray.pipelines.grouping import ab_conversion
+
+    got = ab_conversion(SF)
+    ev = _events_pdf()
+    pu = ev.groupby("user_id").agg(
+        conv=("event_type", lambda s: int((s == "purchase").any())),
+        n_ev=("event_type", "size"),
+    )
+    pu["arm"] = pu.index % 2
+    want = pu.groupby("arm").agg(
+        n_users=("conv", "size"), n_conv=("conv", "sum"), s_ev=("n_ev", "sum")
+    )
+    assert got["n_users"].tolist() == want["n_users"].tolist()
+    assert got["n_conv"].tolist() == want["n_conv"].tolist()
+    np.testing.assert_allclose(
+        got["conv_rate"],
+        want["n_conv"].to_numpy() / want["n_users"].to_numpy(),
+        rtol=0, atol=5e-7,
+    )
+    np.testing.assert_allclose(
+        got["events_per_user"],
+        want["s_ev"].to_numpy() / want["n_users"].to_numpy(),
+        rtol=0, atol=5e-7,
+    )

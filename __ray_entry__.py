@@ -347,6 +347,29 @@ def _media_decode_real(sf_dir: str) -> pd.DataFrame:
     ].sort_values("media_id", ignore_index=True)
 
 
+def _media_thumbnails(sf_dir: str) -> pd.DataFrame:
+    """Actor-pool nearest-neighbor PPM resize (the multimodal RESIZE
+    stage); thumbnails are bit-exact integer selections (golden pytest)."""
+    import ray.data
+
+    from ecov003_l2t_stars_ray.pipelines.multimodal import (
+        synthesize_real_media,
+        thumbnail_media,
+    )
+
+    media = ray.data.from_arrow(synthesize_real_media(n=64, seed=42))
+    out = thumbnail_media(media, side=8).to_pandas()
+    out["thumb_bytes"] = out["thumbnail"].map(
+        lambda t: 0 if t is None else len(t)
+    ).astype("int64")
+    for c in ("thumb_mean_r", "thumb_mean_g", "thumb_mean_b"):
+        out[c] = out[c].round(6)
+    return out[
+        ["media_id", "modality", "thumb_bytes",
+         "thumb_mean_r", "thumb_mean_g", "thumb_mean_b"]
+    ].sort_values("media_id", ignore_index=True)
+
+
 def _dedup_exact(sf_dir: str) -> pd.DataFrame:
     import ray.data
 
@@ -651,6 +674,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gorilla_chunks": _gorilla_chunks,
         "media_decode": _media_decode,
         "media_decode_real": _media_decode_real,
+        "media_thumbnails": _media_thumbnails,
         # sketches with pytest error-bound/merge oracles
         "tdigest_latency_quantiles": SK.tdigest_latency_quantiles,
         "hll_distinct": SK.hll_distinct,

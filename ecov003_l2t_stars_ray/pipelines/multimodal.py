@@ -181,3 +181,59 @@ def decode_features(
         batch_size=32,  # wide rows: keep batch x concurrency within heap
         concurrency=(1, 4),
     )
+
+
+class ThumbnailStage:
+    """Actor-pool image RESIZE stage: decode PPM -> nearest-neighbor
+    downsample to ``side x side`` -> re-encode PPM, plus per-thumbnail
+    mean channel stats.
+
+    Nearest-neighbor index math is pure integer selection
+    (``src = (dst * src_dim) // side``), so thumbnails are bit-exact and
+    cluster-size independent — the property the golden pytest pins.
+    Non-image rows pass through with a null thumbnail (schema-total, like
+    the reference's BlankOutput gate).  Same actor-pool shape as
+    :class:`DecodeStage` (K6 one-time init; small batches because rows
+    carry binary payloads).  Reference analog: the coarse->fine raster
+    resampling step (`ECOv003_L2T_STARS` upsampling of 490 m composites
+    to the 70 m grid) as a Ray Data stage."""
+
+    def __init__(self, side: int = 8):
+        self.side = int(side)
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        from ..functions.media import decode_ppm, encode_ppm
+
+        side = self.side
+        thumbs: list = []
+        means = np.full((len(df), 3), np.nan)
+        for i, (payload, codec) in enumerate(zip(df["payload"], df["codec"])):
+            if codec != "ppm":
+                thumbs.append(None)
+                continue
+            img = decode_ppm(payload)
+            h, w = img.shape[:2]
+            ys = (np.arange(side, dtype=np.int64) * h) // side
+            xs = (np.arange(side, dtype=np.int64) * w) // side
+            th = img[np.ix_(ys, xs)]
+            thumbs.append(encode_ppm(th))
+            means[i] = th.reshape(-1, 3).mean(axis=0)
+        out = df.drop(columns=["payload"]).copy()
+        out["thumbnail"] = thumbs
+        out["thumb_mean_r"] = means[:, 0]
+        out["thumb_mean_g"] = means[:, 1]
+        out["thumb_mean_b"] = means[:, 2]
+        return out
+
+
+def thumbnail_media(
+    media: ray.data.Dataset, side: int = 8
+) -> ray.data.Dataset:
+    """Resize stage wiring: actor pool, small binary-row batches."""
+    return media.map_batches(
+        ThumbnailStage,
+        fn_constructor_kwargs={"side": side},
+        batch_format="pandas",
+        batch_size=32,
+        concurrency=(1, 4),
+    )

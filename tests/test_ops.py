@@ -627,3 +627,38 @@ def test_pack_sequences_invariants():
     # determinism: a second run packs identically
     out2 = pack_sequences(SF, budget=budget)
     pd.testing.assert_frame_equal(out, out2)
+
+
+def test_media_thumbnails_golden():
+    from ecov003_l2t_stars_ray.functions.media import decode_ppm, encode_ppm
+    from ecov003_l2t_stars_ray.pipelines.multimodal import (
+        synthesize_real_media, thumbnail_media,
+    )
+
+    media = ray.data.from_arrow(synthesize_real_media(n=16, seed=3))
+    out = thumbnail_media(media, side=4).to_pandas().set_index("media_id")
+    src = synthesize_real_media(n=16, seed=3).to_pandas().set_index("media_id")
+    n_img = 0
+    for mid, row in out.iterrows():
+        if row["modality"] != "image":
+            assert row["thumbnail"] is None
+            assert np.isnan(row["thumb_mean_r"])
+            continue
+        n_img += 1
+        img = decode_ppm(src.loc[mid, "payload"])
+        h, w = img.shape[:2]
+        ys = (np.arange(4) * h) // 4
+        xs = (np.arange(4) * w) // 4
+        want = img[np.ix_(ys, xs)]
+        # bit-exact nearest-neighbor selection, byte-exact re-encode
+        assert bytes(row["thumbnail"]) == encode_ppm(want)
+        np.testing.assert_allclose(
+            row["thumb_mean_r"], want.reshape(-1, 3).mean(axis=0)[0]
+        )
+    assert n_img > 0
+    # determinism across runs (cluster-size independence proxy)
+    again = thumbnail_media(
+        ray.data.from_arrow(synthesize_real_media(n=16, seed=3)), side=4
+    ).to_pandas().set_index("media_id")
+    for mid in out.index[out["modality"] == "image"]:
+        assert bytes(again.loc[mid, "thumbnail"]) == bytes(out.loc[mid, "thumbnail"])

@@ -655,8 +655,9 @@ def rollup_grouping_sets(sf_dir: str) -> pd.DataFrame:
     total is ONE integer-sum / 100.0 division (exact halves, mirrored).
     The reduction input is <= 21 rows per batch (5 priorities x 3 statuses
     + 5 + 1), so the driver combine is vocabulary-sized at any corpus
-    scale.  Re-expresses the reference's multi-resolution QA summary
-    (per-class, per-band, global counts in one product pass)."""
+    scale.  Re-expresses the reference's multi-resolution summary ladder
+    (per-class, per-band, global counts across the 70m/490m/980m tiers,
+    `ECOv003_L2T_STARS/constants.py:29-31`) in one product pass."""
     ds = ray.data.read_parquet(
         f"{sf_dir}/orders.parquet",
         columns=["o_orderpriority", "o_orderstatus", "o_totalprice"],
@@ -726,7 +727,10 @@ def corr_value_props(sf_dir: str) -> pd.DataFrame:
     invariant).  Headroom: q*q <= 2.5e11 for values < 512, so int64 lanes
     hold to ~3.7e7 rows per group-partial; past that the qq lane splits
     hi/lo uint64 (the span_dedup dual-lane pattern) — documented scale
-    path, not needed at any tested sf."""
+    path, not needed at any tested sf.  Reference analog: the
+    fine->coarse calibration regression, which reduces two aligned rasters
+    to the same five moment sums before ONE slope/intercept solve
+    (`ECOv003_L2T_STARS/calibrate_fine_to_coarse.py:10-60`)."""
     ds = _events(sf_dir, ["event_type", "value", "props"])
     _S = np.float64(1024.0)  # 2**10 fixed-point snap
 
@@ -913,7 +917,10 @@ def active_users_7d(sf_dir: str) -> pd.DataFrame:
     diff table.  Partials are day-axis-sized (additive int deltas +
     per-day distinct-pair DAU counts); the driver cumsums ONE tiny diff
     array — corpus-size-independent.  Stickiness is a single int/int
-    division mirrored in the oracle."""
+    division mirrored in the oracle.  Reference analog: the trailing
+    date-window coverage accounting that decides which granules feed a
+    composite (`ECOv003_L2T_STARS/generate_STARS_inputs.py:26-60`,
+    VIIRS/HLS start-date windows)."""
     ds = _events(sf_dir, ["user_id", "ts"])
 
     def project(df: pd.DataFrame) -> pd.DataFrame:

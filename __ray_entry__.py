@@ -592,10 +592,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # scatter), deterministic A/B conversion readout
         "active_users_7d": G.active_users_7d,
         "ab_conversion": G.ab_conversion,
-        # ---- slots 47-50: core SQL-oracled surface ----
-        # bucketed rollup ladder (A1/M13); 1h/1d rotated to tail
-        "rollup_1m": lambda sf: A.events_rollup(sf, "1m"),
-        # dense axis + gap flags (S4/J1)
+        # round-4 wave 9: distributed first-occurrence vocabulary growth
+        "vocab_growth": T.vocab_growth,
+        # ---- slots 48-50: core SQL-oracled surface ----
+        # dense axis + gap flags (S4/J1); rollup ladder rotated to tail
         "gap_fill_1m": A.gap_fill_1m,
         # two-source blend (M10)
         "blend_two_source": A.blend_two_source,
@@ -609,6 +609,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---- past the 50-slot gate cap ----
         # rotated long-green SQL entries (still oracle_sql-covered; see
         # CORRECTNESS_LOCAL_r04.json for this round's local gate run)
+        "rollup_1m": lambda sf: A.events_rollup(sf, "1m"),
         "rollup_1h": lambda sf: A.events_rollup(sf, "1h"),
         "rollup_1d": lambda sf: A.events_rollup(sf, "1d"),
         # watermark / late split (§2.9), calibration (K5/A6),
@@ -1941,6 +1942,21 @@ def oracle_sql() -> dict[str, str]:
                    CAST(a.wau AS BIGINT) AS wau,
                    ROUND(CAST(dau.n_dau AS DOUBLE) / a.wau, 6) AS stickiness
             FROM dau JOIN a USING (day) ORDER BY day
+        """,
+        # same tokenizer as tfidf_topk (string_split on single space);
+        # first occurrence is MIN over an integer key — pure selection
+        "vocab_growth": """
+            WITH w AS (
+                SELECT source, doc_id,
+                       unnest(string_split(text, ' ')) AS term
+                FROM documents
+            ), f AS (
+                SELECT source, term, MIN(doc_id) AS first_doc
+                FROM w GROUP BY 1, 2
+            )
+            SELECT source, CAST(first_doc // 64 AS BIGINT) AS bucket,
+                   CAST(COUNT(*) AS BIGINT) AS new_terms
+            FROM f GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "ab_conversion": """
             WITH pu AS (

@@ -245,6 +245,8 @@ def run_bench() -> dict:
         "path_signature", "event_pmi", "promo_revenue_share",
         # round-4 wave 8
         "active_users_7d", "ab_conversion",
+        # round-4 wave 9
+        "vocab_growth",
     ]
     q_steal: dict[str, float] = {}
     for name in q_list:

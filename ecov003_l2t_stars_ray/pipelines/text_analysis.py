@@ -717,3 +717,57 @@ def tfidf_topk(sf_dir: str, k: int = 5) -> pd.DataFrame:
         ["doc_id", "score", "term"], ascending=[True, False, True],
         ignore_index=True,
     )
+
+
+def vocab_growth(sf_dir: str, bucket_docs: int = 64) -> pd.DataFrame:
+    """Per-source vocabulary growth (the Heaps-law curve a curation
+    pipeline tracks to spot template collapse): for each source, how many
+    NEW terms first appear in each ``bucket_docs``-wide doc_id bucket.
+
+    Distributed first-occurrence: map batches emit per-batch
+    (source, term, min doc_id) partials; ONE (source, term)-hash exchange
+    co-locates every sighting of a term, the combine takes the global min
+    and histograms first-buckets per partition — (source, bucket) counts
+    are additive, so the driver reduction is curve-sized.  The term-keyed
+    exchange is the genuinely corpus-scale shuffle here (vocabulary-sized
+    payload, 3 narrow columns); same tokenizer as :func:`tfidf_topk` so
+    the oracle's ``string_split`` matches exactly.  Reference analog: the
+    first-seen accounting in the prior/posterior chain — which tile dates
+    contribute NEW information to the composite
+    (`ECOv003_L2T_STARS/load_prior.py:14-60`)."""
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.reset_index(drop=True)  # positional explode-index math
+        ex = df["text"].astype(str).str.split(" ").explode()
+        idx = ex.index.to_numpy()
+        b = pd.DataFrame(
+            {
+                "source": df["source"].astype(str).to_numpy()[idx],
+                "term": ex.to_numpy(),
+                "first_doc": df["doc_id"].to_numpy(np.int64)[idx],
+            }
+        )
+        return b.groupby(["source", "term"], sort=False, as_index=False)[
+            "first_doc"
+        ].min()
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        f = g.groupby(["source", "term"], as_index=False)["first_doc"].min()
+        f["bucket"] = f["first_doc"].to_numpy(np.int64) // bucket_docs
+        h = f.groupby(["source", "bucket"], as_index=False).size()
+        return h.rename(columns={"size": "new_terms"})
+
+    from ..functions.shuffle import hash_combine
+
+    parts = hash_combine(
+        docs.map_batches(partial, batch_format="pandas"),
+        ["source", "term"], combine,
+    ).to_pandas()
+    out = parts.groupby(["source", "bucket"], as_index=False)["new_terms"].sum()
+    out["source"] = out["source"].astype(str)
+    out["bucket"] = out["bucket"].astype(np.int64)
+    out["new_terms"] = out["new_terms"].astype(np.int64)
+    return out.sort_values(["source", "bucket"], ignore_index=True)

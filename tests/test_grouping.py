@@ -536,3 +536,29 @@ def test_ab_conversion_matches_bruteforce():
         want["s_ev"].to_numpy() / want["n_users"].to_numpy(),
         rtol=0, atol=5e-7,
     )
+
+
+def test_vocab_growth_matches_bruteforce():
+    from ecov003_l2t_stars_ray.pipelines.text_analysis import vocab_growth
+
+    got = vocab_growth(SF, bucket_docs=64)
+    docs = ray.data.read_parquet(f"{SF}/documents.parquet").to_pandas()
+    rows = []
+    for _, r in docs.iterrows():
+        for t in str(r["text"]).split(" "):
+            rows.append((r["source"], t, r["doc_id"]))
+    f = (
+        pd.DataFrame(rows, columns=["source", "term", "doc_id"])
+        .groupby(["source", "term"], as_index=False)["doc_id"]
+        .min()
+    )
+    f["bucket"] = f["doc_id"] // 64
+    want = (
+        f.groupby(["source", "bucket"], as_index=False)
+        .size()
+        .rename(columns={"size": "new_terms"})
+        .sort_values(["source", "bucket"], ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # growth curves are monotone in cumulative terms and positive
+    assert (got["new_terms"] > 0).all()

@@ -338,7 +338,8 @@ def run_scaling() -> dict:
     for _c in range(cycles):
         lo, hi = run(cpu_lo), run(cpu_hi)
         per_cycle.append(
-            round((hi["turns_per_sec"] / lo["turns_per_sec"]) / 4.0, 3)
+            round((hi["turns_per_sec"] / lo["turns_per_sec"])
+                  / (cpu_hi / cpu_lo), 3)
         )
         cycle_guard.append(
             {

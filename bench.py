@@ -247,6 +247,11 @@ def run_bench() -> dict:
         "active_users_7d", "ab_conversion",
         # round-4 wave 9
         "vocab_growth",
+        # round-4 wave 10 (order statistics + TPC-H composites)
+        "gini_revenue", "pareto_revenue_share", "chi2_event_hour",
+        "median_mad_by_type", "dod_revenue", "percentile_rank_users",
+        "hapax_stats", "q18_large_orders", "q16_supplier_cnt",
+        "q10_returned_items", "q7_nation_volume",
     ]
     q_steal: dict[str, float] = {}
     for name in q_list:

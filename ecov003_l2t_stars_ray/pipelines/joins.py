@@ -454,3 +454,360 @@ def promo_revenue_share(sf_dir: str) -> pd.DataFrame:
             "total_revenue": [np.int64(t["s_all"]) / 10000.0],
         }
     )
+
+
+# ----------------------------------------------------- Q18 large orders
+def q18_large_orders(sf_dir: str, qty_threshold: int = 300) -> pd.DataFrame:
+    """TPC-H Q18 shape (large-volume customers): orders whose total line
+    quantity exceeds the threshold, joined back to order and customer
+    attributes — the HAVING-filtered aggregate -> fact re-join composite.
+
+    Shape: per-order int quantity partials ride ONE orderkey-hash
+    exchange; the HAVING filter runs inside the combine, so only the
+    (rare) qualifying orders — not the aggregate — leave the exchange; the
+    tiny survivor set broadcasts back over the orders scan as a
+    vectorized membership filter (the classic magic-set reduction; a
+    second big-big exchange would ship every order row for a <0.1% hit
+    rate), and customer names attach from a broadcast dimension map.
+    Quantities are integral by data contract and ride as int64."""
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_quantity"]
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        q = np.floor(df["l_quantity"].to_numpy(np.float64) + 0.5).astype(
+            np.int64
+        )
+        return (
+            pd.DataFrame({"okey": df["l_orderkey"].to_numpy(np.int64), "q": q})
+            .groupby("okey", as_index=False)["q"]
+            .sum()
+        )
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("okey", as_index=False)["q"].sum()
+        return agg[agg["q"] > qty_threshold]
+
+    big = hash_combine(
+        li.map_batches(partial, batch_format="pandas"), ["okey"], combine
+    ).to_pandas()
+    qty_map = dict(zip(big["okey"].astype(np.int64), big["q"].astype(np.int64)))
+    keys = np.sort(big["okey"].to_numpy(np.int64))
+    keys_ref = ray.put(keys)
+
+    cust = pd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+    )
+    name_map_ref = ray.put(
+        dict(zip(cust["c_custkey"].astype(np.int64), cust["c_name"].astype(str)))
+    )
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+    )
+
+    def attach(df: pd.DataFrame) -> pd.DataFrame:
+        ks = ray.get(keys_ref)
+        ok = df["o_orderkey"].to_numpy(np.int64)
+        m = (
+            ks[np.clip(np.searchsorted(ks, ok), 0, len(ks) - 1)] == ok
+            if len(ks)
+            else np.zeros(len(ok), dtype=bool)
+        )
+        keep = df[m]
+        names = ray.get(name_map_ref)
+        cents = np.floor(
+            keep["o_totalprice"].to_numpy(np.float64) * 100 + 0.5
+        ).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "c_name": keep["o_custkey"].map(names).astype(str),
+                "o_custkey": keep["o_custkey"].astype(np.int64),
+                "l_orderkey": keep["o_orderkey"].astype(np.int64),
+                "o_orderdate": keep["o_orderdate"],
+                "total_price": cents / 100.0,
+                "sum_qty": keep["o_orderkey"].map(qty_map).astype(np.int64),
+            }
+        )
+
+    out = orders.map_batches(attach, batch_format="pandas").to_pandas()
+    return out.sort_values("l_orderkey", ignore_index=True)
+
+
+# -------------------------------------------------- Q16 supplier counts
+def q16_supplier_cnt(
+    sf_dir: str, exclude_brand: str = "Brand#11"
+) -> pd.DataFrame:
+    """TPC-H Q16 shape: distinct suppliers able to supply each
+    (brand, size) part class, excluding one brand — the COUNT(DISTINCT)
+    over a dimension-decorated big scan.
+
+    Shape: part attributes broadcast once as int-indexed arrays (the
+    dimension side never shuffles); each lineitem batch maps partkey ->
+    (brand, size) vectorized, dedups (brand, size, supplier) locally, and
+    the triples ride ONE (brand, size)-hash exchange where the combine
+    finishes the distinct count — every (brand, size) class lives in
+    exactly one partition, so counts need no second pass."""
+    part = pd.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand", "p_size"]
+    )
+    part = part[part["p_brand"].astype(str) != exclude_brand]
+    pk = part["p_partkey"].to_numpy(np.int64)
+    order = np.argsort(pk)
+    attrs_ref = ray.put(
+        (
+            pk[order],
+            part["p_brand"].astype(str).to_numpy()[order],
+            part["p_size"].to_numpy(np.int64)[order],
+        )
+    )
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_suppkey"]
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        keys, brand, size = ray.get(attrs_ref)
+        pkv = df["l_partkey"].to_numpy(np.int64)
+        idx = np.clip(np.searchsorted(keys, pkv), 0, len(keys) - 1)
+        m = keys[idx] == pkv  # drops the excluded brand's parts
+        return pd.DataFrame(
+            {
+                "p_brand": brand[idx[m]],
+                "p_size": size[idx[m]],
+                "supp": df["l_suppkey"].to_numpy(np.int64)[m],
+            }
+        ).drop_duplicates()
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        return (
+            g.drop_duplicates()
+            .groupby(["p_brand", "p_size"], as_index=False)["supp"]
+            .nunique()
+            .rename(columns={"supp": "supplier_cnt"})
+        )
+
+    out = hash_combine(
+        li.map_batches(partial, batch_format="pandas"),
+        ["p_brand", "p_size"],
+        combine,
+    ).to_pandas()
+    out["supplier_cnt"] = out["supplier_cnt"].astype(np.int64)
+    out["p_size"] = out["p_size"].astype(np.int64)
+    return out.sort_values(["p_brand", "p_size"], ignore_index=True)
+
+
+# ------------------------------------------------- Q10 returned items
+def q10_returned_items(sf_dir: str, k: int = 20) -> pd.DataFrame:
+    """TPC-H Q10 shape (returned-item report): revenue of RETURNED lines
+    per customer, top-k customers with their attributes — a big-big join
+    RE-KEYED into a second aggregation on a different key than the join
+    key (orderkey -> custkey), the composite the Q3-shaped
+    ``join_topk_revenue`` doesn't exercise.
+
+    Shape: returnflag filter pushed to the parquet scan; per-order int
+    revenue partials join orders via the ONE orderkey hash exchange;
+    inside the join partitions rows re-key to custkey and pre-aggregate,
+    so the second (custkey) exchange ships at most one row per (customer,
+    partition); per-partition top-k bounds the driver merge at O(P*k).
+    Ties at rank k break on custkey (mirrored in the oracle)."""
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+        filter=pc.field("l_returnflag") == pc.scalar("R"),
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    )
+
+    def li_prep(df: pd.DataFrame) -> pd.DataFrame:
+        ep_c = np.floor(
+            df["l_extendedprice"].to_numpy(np.float64) * 100 + 0.5
+        ).astype(np.int64)
+        dm = np.floor(
+            df["l_discount"].to_numpy(np.float64) * 1000 + 0.5
+        ).astype(np.int64)
+        return (
+            pd.DataFrame(
+                {
+                    "okey": df["l_orderkey"].to_numpy(np.int64),
+                    "rev_u": ep_c * (1000 - dm),
+                }
+            )
+            .groupby("okey", as_index=False)["rev_u"]
+            .sum()
+        )
+
+    def o_prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "okey": df["o_orderkey"].to_numpy(np.int64),
+                "custkey": df["o_custkey"].to_numpy(np.int64),
+            }
+        )
+
+    joined = hash_join(
+        li.map_batches(li_prep, batch_format="pandas"),
+        orders.map_batches(o_prep, batch_format="pandas"),
+        on=["okey"],
+    )
+
+    def rekey(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("custkey", as_index=False)["rev_u"].sum()
+
+    per_cust = hash_combine(
+        joined.map_batches(rekey, batch_format="pandas"),
+        ["custkey"],
+        lambda g: g.groupby("custkey", as_index=False)["rev_u"]
+        .sum()
+        .sort_values(["rev_u", "custkey"], ascending=[False, True],
+                     kind="mergesort")
+        .head(k),
+    ).to_pandas()
+
+    top = (
+        per_cust.sort_values(["rev_u", "custkey"], ascending=[False, True],
+                             kind="mergesort")
+        .head(k)
+        .reset_index(drop=True)
+    )
+    cust = pd.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_name", "c_nationkey", "c_acctbal"],
+    ).set_index("c_custkey")
+    picked = cust.loc[top["custkey"].to_numpy(np.int64)]
+    return pd.DataFrame(
+        {
+            "c_custkey": top["custkey"].astype(np.int64),
+            "c_name": picked["c_name"].astype(str).to_numpy(),
+            "c_nationkey": picked["c_nationkey"].to_numpy(np.int64),
+            "c_acctbal": np.floor(
+                picked["c_acctbal"].to_numpy(np.float64) * 100 + 0.5
+            ).astype(np.int64)
+            / 100.0,
+            "revenue": top["rev_u"].to_numpy(np.int64) / 100000.0,
+        }
+    )
+
+
+# ------------------------------------------------ Q7 nation volume
+def q7_nation_volume(
+    sf_dir: str,
+    supp_nations: tuple = (1, 2),
+    cust_nations: tuple = (3, 4),
+) -> pd.DataFrame:
+    """TPC-H Q7 shape (volume shipping): returned revenue per
+    (supplier nation, customer nation, ship year) for selected nation
+    pairs — a fact-fact join decorated by TWO broadcast dimensions.
+
+    Shape: supplier->nation and nation-name maps broadcast once
+    (dimension side); lineitem rows pre-filter on supplier nation and
+    pre-aggregate to (okey, snat, year) int partials BEFORE the one
+    orderkey exchange; orders carry custkey; inside the join partitions
+    the customer-nation filter (broadcast) drops non-selected pairs and
+    the tiny (snat, cnat, year) table sums on the driver."""
+    supp = pd.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    )
+    s_sel = supp[supp["s_nationkey"].isin(list(supp_nations))]
+    sk = s_sel["s_suppkey"].to_numpy(np.int64)
+    so = np.argsort(sk)
+    supp_ref = ray.put((sk[so], s_sel["s_nationkey"].to_numpy(np.int64)[so]))
+
+    cust = pd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    c_sel = cust[cust["c_nationkey"].isin(list(cust_nations))]
+    ck = c_sel["c_custkey"].to_numpy(np.int64)
+    co = np.argsort(ck)
+    cust_ref = ray.put((ck[co], c_sel["c_nationkey"].to_numpy(np.int64)[co]))
+
+    nation = pd.read_parquet(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    )
+    nname = dict(zip(nation["n_nationkey"].astype(np.int64),
+                     nation["n_name"].astype(str)))
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount",
+                 "l_shipdate"],
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    )
+
+    def li_prep(df: pd.DataFrame) -> pd.DataFrame:
+        keys, nats = ray.get(supp_ref)
+        sv = df["l_suppkey"].to_numpy(np.int64)
+        idx = np.clip(np.searchsorted(keys, sv), 0, max(len(keys) - 1, 0))
+        m = keys[idx] == sv if len(keys) else np.zeros(len(sv), dtype=bool)
+        d = df[m]
+        ep_c = np.floor(
+            d["l_extendedprice"].to_numpy(np.float64) * 100 + 0.5
+        ).astype(np.int64)
+        dm = np.floor(d["l_discount"].to_numpy(np.float64) * 1000 + 0.5).astype(
+            np.int64
+        )
+        year = d["l_shipdate"].dt.year.to_numpy(np.int64)
+        return (
+            pd.DataFrame(
+                {
+                    "okey": d["l_orderkey"].to_numpy(np.int64),
+                    "snat": nats[idx[m]],
+                    "year": year,
+                    "rev_u": ep_c * (1000 - dm),
+                }
+            )
+            .groupby(["okey", "snat", "year"], as_index=False)["rev_u"]
+            .sum()
+        )
+
+    def o_prep(df: pd.DataFrame) -> pd.DataFrame:
+        keys, nats = ray.get(cust_ref)
+        cv = df["o_custkey"].to_numpy(np.int64)
+        idx = np.clip(np.searchsorted(keys, cv), 0, max(len(keys) - 1, 0))
+        m = keys[idx] == cv if len(keys) else np.zeros(len(cv), dtype=bool)
+        d = df[m]
+        return pd.DataFrame(
+            {
+                "okey": d["o_orderkey"].to_numpy(np.int64),
+                "cnat": nats[idx[m]],
+            }
+        )
+
+    joined = hash_join(
+        li.map_batches(li_prep, batch_format="pandas"),
+        orders.map_batches(o_prep, batch_format="pandas"),
+        on=["okey"],
+    )
+
+    EMPTY = pd.DataFrame(
+        {
+            "snat": pd.Series([], dtype=np.int64),
+            "cnat": pd.Series([], dtype=np.int64),
+            "year": pd.Series([], dtype=np.int64),
+            "rev_u": pd.Series([], dtype=np.int64),
+        }
+    )
+
+    def part_agg(df: pd.DataFrame) -> pd.DataFrame:
+        # an all-filtered partition arrives as a columnless empty block
+        if len(df) == 0 or "snat" not in df.columns:
+            return EMPTY.copy()
+        return df.groupby(["snat", "cnat", "year"], as_index=False)[
+            "rev_u"
+        ].sum()
+
+    agg = pd.concat(
+        [EMPTY, joined.map_batches(part_agg, batch_format="pandas").to_pandas()]
+    ).groupby(["snat", "cnat", "year"], as_index=False)["rev_u"].sum()
+    return pd.DataFrame(
+        {
+            "supp_nation": agg["snat"].map(nname).astype(str),
+            "cust_nation": agg["cnat"].map(nname).astype(str),
+            "l_year": agg["year"].astype(np.int64),
+            "revenue": agg["rev_u"].to_numpy(np.int64) / 100000.0,
+        }
+    ).sort_values(["supp_nation", "cust_nation", "l_year"], ignore_index=True)

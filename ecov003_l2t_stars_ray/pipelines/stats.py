@@ -1,0 +1,441 @@
+"""Distribution / order-statistics operators: Gini concentration via a
+distributed sort, Pareto coverage via an early-stopping sorted stream,
+chi-square independence cells, exact median/MAD on a bounded value
+lattice, day-over-day deltas, PERCENT_RANK, and hapax vocabulary stats.
+
+Engine shape matches ``analytics``/``grouping``: vectorized map-side
+partials, ONE int-keyed hash exchange (``functions.shuffle.hash_combine``)
+or ONE range exchange (``Dataset.sort``), vocabulary-sized driver reduces.
+Every SQL-checked float is a single division chain over order-independent
+integer accumulations (CLAUDE.md float-compare invariant); medians are
+computed on a 2^10 fixed-point lattice so interpolated midpoints are exact
+binary halves on BOTH sides.
+
+Reference parity: the reference computes scene-level distribution summaries
+(per-class means/medians and QA-count concentration) inside its composite
+step (`ECOv003_L2T_STARS/L2T_STARS.py` composite statistics); these
+re-express that family over generic tables plus the order-statistics the
+reference's raster engine never needed at corpus scale.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray
+import ray.data
+
+from ..functions.shuffle import hash_combine
+
+US = 1_000_000
+HOUR_US = 3600 * US
+DAY_US = 24 * HOUR_US
+
+
+def _r6away(x):
+    """ROUND half-away-from-zero at 6 dp — mirrors DuckDB ROUND (CLAUDE.md
+    invariant; np.round is half-even)."""
+    x = np.asarray(x, dtype=np.float64)
+    return np.sign(x) * np.floor(np.abs(x) * 1e6 + 0.5) / 1e6
+
+
+def _events(sf_dir: str, columns=None) -> ray.data.Dataset:
+    return ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=columns)
+
+
+def _per_customer_cents(sf_dir: str) -> ray.data.Dataset:
+    """Per-customer order revenue as exact int64 cents: map-side per-batch
+    custkey partial sums, one custkey-hash exchange, per-partition combine.
+    The result is customer-dimension sized (bounded, not event-sized)."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        cents = np.floor(
+            df["o_totalprice"].to_numpy(np.float64) * 100 + 0.5
+        ).astype(np.int64)
+        return (
+            pd.DataFrame(
+                {"cust": df["o_custkey"].to_numpy(np.int64), "cents": cents}
+            )
+            .groupby("cust", as_index=False)["cents"]
+            .sum()
+        )
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("cust", as_index=False)["cents"].sum()
+
+    return hash_combine(
+        ds.map_batches(partial, batch_format="pandas"), ["cust"], combine
+    )
+
+
+# ----------------------------------------------------------------- Gini
+def gini_revenue(sf_dir: str) -> pd.DataFrame:
+    """Gini coefficient of per-customer revenue via the sorted-rank
+    identity G = 2*sum(i*x_i)/(n*sum(x)) - (n+1)/n (i = 1-based ascending
+    rank) — the canonical concentration measure over a distributed sort.
+
+    Shape: per-customer cents (one hash exchange) -> ``Dataset.sort`` (one
+    range exchange) -> per-BLOCK integer partials {n, sum, sum(local_i*x),
+    min, max}; the driver orders the O(blocks) partials by (min, max) —
+    valid because Ray's sort range-partitions, so block value-ranges never
+    interleave and ties contribute identically under any tie order — and
+    re-bases each block's rank sum with its prefix offset: ONE tiny driver
+    reduce, no row-level driver materialization.  All accumulations are
+    int64 (swx <= n*sx; document two-lane int128 split past ~sf10); the
+    Gini itself is ONE mirrored float chain over three exact ints."""
+    totals = _per_customer_cents(sf_dir).sort("cents")
+
+    def block_stats(df: pd.DataFrame) -> pd.DataFrame:
+        x = df["cents"].to_numpy(np.int64)
+        if len(x) == 0:
+            return pd.DataFrame(
+                {"n": [], "sx": [], "swx": [], "minc": [], "maxc": []}
+            ).astype(np.int64)
+        i = np.arange(1, len(x) + 1, dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "n": [np.int64(len(x))],
+                "sx": [x.sum()],
+                "swx": [(i * x).sum()],
+                "minc": [x[0]],
+                "maxc": [x[-1]],
+            }
+        )
+
+    parts = (
+        totals.map_batches(block_stats, batch_format="pandas")
+        .to_pandas()
+        .sort_values(["minc", "maxc"], kind="mergesort", ignore_index=True)
+    )
+    n = int(parts["n"].sum())
+    sx = int(parts["sx"].sum())
+    nb = parts["n"].to_numpy(np.int64)
+    off = np.concatenate([[0], np.cumsum(nb)[:-1]])
+    swx = int(
+        (parts["swx"].to_numpy(np.int64) + off * parts["sx"].to_numpy(np.int64)).sum()
+    )
+    gini = float(_r6away(2.0 * swx / n / sx - (n + 1.0) / n))
+    return pd.DataFrame(
+        {
+            "n_customers": [np.int64(n)],
+            "total_revenue": [sx / 100.0],
+            "gini": [gini],
+        }
+    )
+
+
+# --------------------------------------------------------------- Pareto
+def pareto_revenue_share(sf_dir: str, pcts=(50, 80, 90)) -> pd.DataFrame:
+    """Pareto coverage: the smallest number of top customers whose summed
+    revenue reaches p% of the total, plus the revenue they cover.
+
+    Shape: per-customer cents -> ``materialize()`` (customer-dimension
+    sized by contract) -> ONE total-sum pass -> descending sort -> the
+    driver consumes the sorted stream via ``iter_batches`` with a
+    vectorized exclusive-prefix test per block and EARLY-STOPS at the
+    largest threshold — O(1) driver memory, and only the head of the
+    sorted stream is ever pulled.  Counting rows with excl_prefix*100 <
+    pct*total is tie-order invariant (equal values contribute identical
+    prefix multisets), so no tiebreak column is needed on either side."""
+    totals = _per_customer_cents(sf_dir).materialize()
+    sx = int(
+        totals.map_batches(
+            lambda df: pd.DataFrame({"s": [df["cents"].sum()]}),
+            batch_format="pandas",
+        )
+        .to_pandas()["s"]
+        .sum()
+    )
+    pcts = sorted(int(p) for p in pcts)
+    hi = max(pcts)
+    n_cov = {p: 0 for p in pcts}
+    rev_cov = {p: 0 for p in pcts}
+    cum = 0
+    for b in totals.sort("cents", descending=True).iter_batches(
+        batch_format="pandas"
+    ):
+        x = b["cents"].to_numpy(np.int64)
+        if len(x) == 0:
+            continue
+        excl = cum + np.concatenate([[0], np.cumsum(x)[:-1]])
+        for p in pcts:
+            m = excl * 100 < p * sx
+            n_cov[p] += int(m.sum())
+            rev_cov[p] += int(x[m].sum())
+        cum += int(x.sum())
+        if cum * 100 >= hi * sx:
+            break
+    return pd.DataFrame(
+        {
+            "pct": np.array(pcts, dtype=np.int64),
+            "n_customers": np.array([n_cov[p] for p in pcts], dtype=np.int64),
+            "revenue_covered": np.array(
+                [rev_cov[p] for p in pcts], dtype=np.int64
+            )
+            / 100.0,
+        }
+    )
+
+
+# ----------------------------------------------------- chi-square cells
+def chi2_event_hour(sf_dir: str) -> pd.DataFrame:
+    """Chi-square independence cells for event_type x hour-of-day: per-cell
+    observed count, expected count under independence, and the cell's
+    chi-square contribution.  Per-cell output (no float summation across
+    cells) keeps every emitted float a SINGLE mirrored chain over exact
+    integer marginals — the stat's total is a trivial driver sum the
+    caller can do, but summing ~hundreds of float terms inside the oracle
+    would re-open the partial-sum ulp hazard (CLAUDE.md).
+
+    Shape: vectorized (type, hour) count partials, driver reduce of a
+    vocabulary-sized table (|types| x 24), marginals by numpy."""
+    ds = _events(sf_dir, ["event_type", "ts"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        us = df["ts"].astype("datetime64[us]").astype(np.int64)
+        hour = (us // HOUR_US) % 24
+        return (
+            pd.DataFrame(
+                {"event_type": df["event_type"].astype(str), "hour": hour}
+            )
+            .groupby(["event_type", "hour"], sort=False)
+            .size()
+            .rename("observed")
+            .reset_index()
+        )
+
+    c = (
+        ds.map_batches(partial, batch_format="pandas")
+        .to_pandas()
+        .groupby(["event_type", "hour"], as_index=False)["observed"]
+        .sum()
+    )
+    c["observed"] = c["observed"].astype(np.int64)
+    c["hour"] = c["hour"].astype(np.int64)
+    rt = c.groupby("event_type")["observed"].transform("sum").to_numpy(np.int64)
+    ct = c.groupby("hour")["observed"].transform("sum").to_numpy(np.int64)
+    n = int(c["observed"].sum())
+    e = (rt * ct).astype(np.float64) / n
+    o = c["observed"].to_numpy(np.float64)
+    d = o - e
+    c["expected"] = _r6away(e)
+    c["chi2_term"] = _r6away(d * d / e)
+    return c.sort_values(["event_type", "hour"], ignore_index=True)
+
+
+# -------------------------------------------------- exact median / MAD
+def median_mad_by_type(sf_dir: str) -> pd.DataFrame:
+    """EXACT per-type median and median-absolute-deviation via a bounded
+    fixed-point histogram: values snap once to the 2^10 lattice (the
+    ``corr_value_props`` precedent), per-(type, q) counts ride one hash
+    exchange, and the driver reduces a lattice-bounded histogram — fully
+    distributed and scale-safe (the histogram is value-range bounded, not
+    corpus sized), unlike a per-group full sort.  t-digest
+    (`sketches.py`) remains the unbounded-domain alternative.
+
+    Exactness: medians are taken in the DOUBLED lattice (lo+hi stays an
+    integer), so the interpolated midpoint is an exact binary half and
+    deviations |q - med| are exact halves; the final /1024.0 and /2 are
+    power-of-two exact, making the engine bitwise-equal to DuckDB's
+    ``median`` (= quantile_cont(0.5) = lo + (hi-lo)*0.5, identical on this
+    lattice)."""
+    ds = _events(sf_dir, ["event_type", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        q = np.floor(df["value"].to_numpy(np.float64) * 1024.0 + 0.5).astype(
+            np.int64
+        )
+        return (
+            pd.DataFrame({"event_type": df["event_type"].astype(str), "q": q})
+            .groupby(["event_type", "q"], sort=False)
+            .size()
+            .rename("cnt")
+            .reset_index()
+        )
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(["event_type", "q"], as_index=False)["cnt"].sum()
+
+    hist = hash_combine(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["event_type", "q"],
+        combine,
+    ).to_pandas()
+    hist = hist.groupby(["event_type", "q"], as_index=False)["cnt"].sum()
+
+    def _hist_median2(v: np.ndarray, c: np.ndarray) -> int:
+        """lo+hi (doubled median) of a value histogram, values sorted."""
+        cum = np.cumsum(c)
+        n = int(cum[-1])
+        lo = int(v[np.searchsorted(cum, (n - 1) // 2 + 1)])
+        hi = int(v[np.searchsorted(cum, n // 2 + 1)])
+        return lo + hi
+
+    rows = []
+    for t, g in hist.groupby("event_type"):
+        g = g.sort_values("q")
+        v = g["q"].to_numpy(np.int64)
+        c = g["cnt"].to_numpy(np.int64)
+        n = int(c.sum())
+        med2 = _hist_median2(v, c)  # 2 * median on the q lattice
+        # deviation histogram in the doubled lattice: |2q - med2| ints
+        dev = np.abs(2 * v - med2)
+        dg = pd.DataFrame({"d": dev, "c": c}).groupby("d", as_index=False).sum()
+        mad4 = _hist_median2(
+            dg["d"].to_numpy(np.int64), dg["c"].to_numpy(np.int64)
+        )  # 4 * MAD on the q lattice
+        rows.append(
+            (
+                t,
+                np.int64(n),
+                float(_r6away(med2 / 2.0 / 1024.0)),
+                float(_r6away(mad4 / 4.0 / 1024.0)),
+            )
+        )
+    out = pd.DataFrame(
+        rows, columns=["event_type", "n", "median_value", "mad_value"]
+    )
+    out["n"] = out["n"].astype(np.int64)
+    return out.sort_values("event_type", ignore_index=True)
+
+
+# ------------------------------------------------------- day-over-day
+def dod_revenue(sf_dir: str) -> pd.DataFrame:
+    """Day-over-day revenue deltas (period-over-period family): per epoch
+    day the exact cents total, and the relative change vs the previous
+    PRESENT day (SQL LAG semantics — gaps are not filled).  One vectorized
+    partial pass, vocabulary-sized (day-axis) driver reduce, pct change is
+    ONE mirrored division over two exact ints; the first day is NULL on
+    both sides."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderdate", "o_totalprice"]
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        day = (
+            df["o_orderdate"].astype("datetime64[us]").astype(np.int64)
+            // DAY_US
+        )
+        cents = np.floor(
+            df["o_totalprice"].to_numpy(np.float64) * 100 + 0.5
+        ).astype(np.int64)
+        return (
+            pd.DataFrame({"day": day, "cents": cents})
+            .groupby("day", as_index=False)["cents"]
+            .sum()
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pandas")
+        .to_pandas()
+        .groupby("day", as_index=False)["cents"]
+        .sum()
+        .sort_values("day", ignore_index=True)
+    )
+    cents = agg["cents"].to_numpy(np.int64)
+    prev = np.roll(cents.astype(np.float64), 1)
+    pct = _r6away(cents.astype(np.float64) / prev - 1.0)
+    pct[0] = np.nan
+    return pd.DataFrame(
+        {
+            "day": agg["day"].astype(np.int64),
+            "revenue": cents / 100.0,
+            "pct_change": pct,
+        }
+    )
+
+
+# ----------------------------------------------------- PERCENT_RANK
+def percentile_rank_users(sf_dir: str) -> pd.DataFrame:
+    """Per-user PERCENT_RANK by exact total event value: values snap once
+    to the 2^10 lattice, per-user int sums ride one hash exchange, and the
+    driver ranks the user-dimension-sized result (by-contract pull, like
+    the other per-user queries; the distributed-sort + block-offset path
+    of ``gini_revenue`` is the 100 TB rank assignment).  rank = 1 +
+    #(strictly smaller) via searchsorted — SQL RANK over ties — and
+    percent_rank = (rank-1)/(n-1) is ONE division over exact ints."""
+    ds = _events(sf_dir, ["user_id", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        q = np.floor(df["value"].to_numpy(np.float64) * 1024.0 + 0.5).astype(
+            np.int64
+        )
+        return (
+            pd.DataFrame({"user_id": df["user_id"].to_numpy(np.int64), "sq": q})
+            .groupby("user_id", as_index=False)["sq"]
+            .sum()
+        )
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("user_id", as_index=False)["sq"].sum()
+
+    t = hash_combine(
+        ds.map_batches(partial, batch_format="pandas"), ["user_id"], combine
+    ).to_pandas()
+    sq = t["sq"].to_numpy(np.int64)
+    n = len(t)
+    ssq = np.sort(sq)
+    rank = np.searchsorted(ssq, sq, side="left") + 1
+    prank = (rank - 1) / (n - 1.0) if n > 1 else np.zeros(n)
+    return pd.DataFrame(
+        {
+            "user_id": t["user_id"].astype(np.int64),
+            "total_value": _r6away(sq.astype(np.float64) / 1024.0),
+            "prank": _r6away(prank),
+        }
+    ).sort_values("user_id", ignore_index=True)
+
+
+# -------------------------------------------------------- hapax stats
+def hapax_stats(sf_dir: str) -> pd.DataFrame:
+    """Per-source vocabulary statistics: token count, vocabulary size,
+    hapax-legomenon count (corpus-frequency-1 words) and hapax ratio —
+    the classic corpus-quality signal (a high hapax share flags noisy or
+    OCR-damaged sources).  Tokenization is the corpus-wide space split
+    shared with ``top_bigrams`` (mirrored by string_split in the oracle).
+
+    Shape: vectorized per-batch (source, word) counts -> ONE
+    (source, word)-hash exchange -> per-partition combine reduces each
+    partition to per-source scalars (each word lives in exactly ONE
+    partition, so vocab/hapax/token counts are additive) -> tiny driver
+    sum.  No word list ever reaches the driver."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["source", "text"]
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        ex = df.set_index("source")["text"].str.split(" ").explode()
+        c = ex.groupby([ex.index, ex.values]).size()
+        out = c.rename("cnt").reset_index()
+        out.columns = ["source", "word", "cnt"]
+        return out
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        w = g.groupby(["source", "word"], as_index=False)["cnt"].sum()
+        return (
+            w.assign(hapax=(w["cnt"] == 1).astype(np.int64))
+            .groupby("source", as_index=False)
+            .agg(
+                n_tokens=("cnt", "sum"),
+                n_vocab=("cnt", "size"),
+                n_hapax=("hapax", "sum"),
+            )
+        )
+
+    parts = hash_combine(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["source", "word"],
+        combine,
+    ).to_pandas()
+    out = parts.groupby("source", as_index=False)[
+        ["n_tokens", "n_vocab", "n_hapax"]
+    ].sum()
+    for c in ["n_tokens", "n_vocab", "n_hapax"]:
+        out[c] = out[c].astype(np.int64)
+    out["hapax_ratio"] = _r6away(
+        out["n_hapax"].to_numpy(np.float64) / out["n_vocab"].to_numpy(np.int64)
+    )
+    return out.sort_values("source", ignore_index=True)

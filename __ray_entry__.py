@@ -555,9 +555,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # deterministic weighted mixture sample, trailing-24h RANGE-window
         # median over a sparse bucket axis
         "mode_per_user": G.mode_per_user,
-        "pivot_event_counts": G.pivot_event_counts,
-        "ntile_event_buckets": G.ntile_event_buckets,
         "source_mixture_sample": G.source_mixture_sample,
+        # round-4 wave 11: tie-corrected Mann-Whitney U / AUC over the
+        # value lattice; cross-source shared-k-gram contamination matrix
+        # (pivot_event_counts and ntile_event_buckets rotate to the tail —
+        # chi2_event_hour / percentile_rank_users represent those shapes)
+        "mann_whitney_auc": ST.mann_whitney_auc,
+        "cross_source_ngram_matrix": T.cross_source_ngram_matrix,
         "rolling_median_24h": G.rolling_median_24h,
         # round-4 wave 4: event-type Markov transition matrix, weekly
         # cohort-retention triangle, M4 chart downsampling (min/max/
@@ -608,6 +612,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rotated wave 6-9 entries (each a close variant of an in-window
         # family representative; all bit-exact-probed and covered by the
         # committed local gate run, CORRECTNESS_LOCAL_r04.json)
+        "pivot_event_counts": G.pivot_event_counts,
+        "ntile_event_buckets": G.ntile_event_buckets,
+        # wave-11 variants of in-window family representatives
+        "lattice_quantiles": ST.lattice_quantiles,
+        "q4_late_orders": J.q4_late_orders,
+        "q6_revenue_delta": J.q6_revenue_delta,
         "funnel_stages": G.funnel_stages,
         "path_signature": G.path_signature,
         "event_pmi": G.event_pmi,
@@ -855,6 +865,109 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(CAST(COUNT(*) FILTER (WHERE cnt = 1) AS DOUBLE)
                          / COUNT(*), 6) AS hapax_ratio
             FROM c GROUP BY 1
+        """,
+        # ---- wave 11 ----
+        # tie-corrected rank sums ride DOUBLED (2R1) so every accumulation
+        # is int64; U and AUC are single mirrored float chains
+        "mann_whitney_auc": """
+            WITH b AS (
+                SELECT event_type,
+                       CAST(FLOOR(value * 1024.0 + 0.5) AS BIGINT) AS q
+                FROM events WHERE event_type IN ('view', 'purchase')
+            ), h AS (
+                SELECT q,
+                       CAST(COUNT(*) FILTER (WHERE event_type = 'view')
+                            AS BIGINT) AS n1,
+                       CAST(COUNT(*) FILTER (WHERE event_type = 'purchase')
+                            AS BIGINT) AS n2
+                FROM b GROUP BY 1
+            ), r AS (
+                SELECT q, n1, n2,
+                       SUM(n1 + n2) OVER (ORDER BY q
+                           ROWS UNBOUNDED PRECEDING) - (n1 + n2) AS below
+                FROM h
+            ), s AS (
+                SELECT CAST(SUM(n1) AS BIGINT) AS N1,
+                       CAST(SUM(n2) AS BIGINT) AS N2,
+                       CAST(SUM(n1 * (2 * below + n1 + n2 + 1)) AS BIGINT)
+                           AS twoR1
+                FROM r
+            )
+            SELECT N1 AS n_a, N2 AS n_b,
+                   CAST(twoR1 - N1 * (N1 + 1) AS DOUBLE) / 2.0 AS u_stat,
+                   ROUND(CAST(twoR1 - N1 * (N1 + 1) AS DOUBLE)
+                         / (2 * N1 * N2), 6) AS auc
+            FROM s
+        """,
+        # same space-split word axis as top_bigrams/hapax_stats; the
+        # 4-gram build (ws[i]||' '||...) mirrors the engine's shifted join
+        "cross_source_ngram_matrix": """
+            WITH w AS (
+                SELECT source, string_split(text, ' ') AS ws FROM documents
+            ), g0 AS (
+                SELECT source, ws, unnest(generate_series(1, len(ws) - 3))
+                           AS i
+                FROM w
+            ), g AS (
+                SELECT DISTINCT source,
+                       ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' '
+                           || ws[i+3] AS gram
+                FROM g0
+            )
+            SELECT a.source AS src_a, b.source AS src_b,
+                   CAST(COUNT(*) AS BIGINT) AS n_shared
+            FROM g a JOIN g b ON a.gram = b.gram AND a.source < b.source
+            GROUP BY 1, 2
+        """,
+        # binary-fraction probabilities: (n-1)*p, frac and the lattice
+        # interpolation are all exact, so quantile_cont's formula and the
+        # engine's lo + (hi-lo)*frac agree bitwise
+        "lattice_quantiles": """
+            WITH b AS (
+                SELECT event_type,
+                       CAST(FLOOR(value * 1024.0 + 0.5) AS BIGINT) AS q
+                FROM events
+            ), a AS (
+                SELECT event_type,
+                       quantile_cont(CAST(q AS DOUBLE), 0.25) AS v1,
+                       quantile_cont(CAST(q AS DOUBLE), 0.5) AS v2,
+                       quantile_cont(CAST(q AS DOUBLE), 0.75) AS v3
+                FROM b GROUP BY 1
+            )
+            SELECT event_type, CAST(0.25 AS DOUBLE) AS p,
+                   ROUND(v1 / 1024.0, 6) AS q_value FROM a
+            UNION ALL
+            SELECT event_type, CAST(0.5 AS DOUBLE),
+                   ROUND(v2 / 1024.0, 6) FROM a
+            UNION ALL
+            SELECT event_type, CAST(0.75 AS DOUBLE),
+                   ROUND(v3 / 1024.0, 6) FROM a
+        """,
+        "q4_late_orders": """
+            SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+            FROM orders o
+            WHERE EXISTS (
+                SELECT 1 FROM lineitem l
+                WHERE l.l_orderkey = o.o_orderkey
+                  AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+            )
+            GROUP BY 1
+        """,
+        # discount band on the exact milli lattice (l_discount is NOT
+        # 2-decimal; see CLAUDE.md float invariant)
+        "q6_revenue_delta": """
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+                   CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5)
+                                 AS BIGINT)
+                            * CAST(FLOOR(l_discount * 1000 + 0.5)
+                                   AS BIGINT))
+                        AS BIGINT) / 100000.0 AS revenue_delta
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate < TIMESTAMP '1998-01-01'
+              AND CAST(FLOOR(l_discount * 1000 + 0.5) AS BIGINT)
+                  BETWEEN 50 AND 70
+              AND l_quantity < 24
         """,
         # ---- wave 10: TPC-H composites ----
         "q18_large_orders": """

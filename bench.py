@@ -252,6 +252,10 @@ def run_bench() -> dict:
         "median_mad_by_type", "dod_revenue", "percentile_rank_users",
         "hapax_stats", "q18_large_orders", "q16_supplier_cnt",
         "q10_returned_items", "q7_nation_volume",
+        # round-4 wave 11 (rank tests, lattice quantiles, contamination
+        # matrix, Q4/Q6 shapes)
+        "mann_whitney_auc", "lattice_quantiles",
+        "cross_source_ngram_matrix", "q4_late_orders", "q6_revenue_delta",
     ]
     q_steal: dict[str, float] = {}
     for name in q_list:

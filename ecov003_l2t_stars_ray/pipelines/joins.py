@@ -811,3 +811,130 @@ def q7_nation_volume(
             "revenue": agg["rev_u"].to_numpy(np.int64) / 100000.0,
         }
     ).sort_values(["supp_nation", "cust_nation", "l_year"], ignore_index=True)
+
+
+# -------------------------------------------------- Q4 order priority
+def q4_late_orders(sf_dir: str, grace_days: int = 30) -> pd.DataFrame:
+    """TPC-H Q4 shape (order-priority checking): orders with at least one
+    line shipped more than ``grace_days`` after the order date, counted
+    per priority — the correlated-EXISTS composite, rewritten as a
+    per-key MAX reduction + join (EXISTS(ship > odate+g) <=> max(ship) >
+    odate+g), so the big side ships ONE row per order into the exchange
+    instead of a semi-join probe per line.
+
+    Shape: per-order max-shipdate int partials -> one orderkey hash
+    exchange joining the orders stream (aligned-union form via
+    hash_join); the priority counts are 5-row partials summed on the
+    driver.  All comparisons are int64 microseconds."""
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_shipdate"]
+    )
+
+    def li_prep(df: pd.DataFrame) -> pd.DataFrame:
+        us = df["l_shipdate"].astype("datetime64[us]").astype(np.int64)
+        return (
+            pd.DataFrame(
+                {"okey": df["l_orderkey"].to_numpy(np.int64), "max_ship": us}
+            )
+            .groupby("okey", as_index=False)["max_ship"]
+            .max()
+        )
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+    )
+
+    def o_prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "okey": df["o_orderkey"].to_numpy(np.int64),
+                "odate": df["o_orderdate"]
+                .astype("datetime64[us]")
+                .astype(np.int64),
+                "priority": df["o_orderpriority"].astype(str),
+            }
+        )
+
+    joined = hash_join(
+        li.map_batches(li_prep, batch_format="pandas"),
+        orders.map_batches(o_prep, batch_format="pandas"),
+        on=["okey"],
+    )
+    grace_us = grace_days * 24 * 3600 * 1_000_000
+
+    def part_counts(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "max_ship" not in df.columns:
+            return pd.DataFrame(
+                {
+                    "o_orderpriority": pd.Series([], dtype=str),
+                    "order_count": pd.Series([], dtype=np.int64),
+                }
+            )
+        # li_prep emits per-BATCH maxima, so an order can arrive as
+        # several rows; the join partition holds ALL of them — finish the
+        # max here before testing the grace window
+        g = df.groupby(["okey", "odate", "priority"], as_index=False)[
+            "max_ship"
+        ].max()
+        late = g[
+            g["max_ship"].to_numpy(np.int64)
+            > g["odate"].to_numpy(np.int64) + grace_us
+        ]
+        return (
+            late.groupby("priority", sort=False)
+            .size()
+            .rename("order_count")
+            .reset_index()
+            .rename(columns={"priority": "o_orderpriority"})
+        )
+
+    out = (
+        joined.map_batches(part_counts, batch_format="pandas")
+        .to_pandas()
+        .groupby("o_orderpriority", as_index=False)["order_count"]
+        .sum()
+    )
+    out["order_count"] = out["order_count"].astype(np.int64)
+    return out.sort_values("o_orderpriority", ignore_index=True)
+
+
+# ---------------------------------------------------- Q6 filter-agg
+def q6_revenue_delta(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q6 shape (forecasting revenue change): one predicate-heavy
+    filter + global aggregate — the canonical read-pruning benchmark.
+    Ship-date and quantity predicates push into the parquet scan (row
+    groups outside 1997 never leave storage); the discount band filters
+    on the exact milli lattice in the map; revenue delta accumulates as
+    int64 cents x milli-discount, ONE division at the end."""
+    lo = pd.Timestamp("1997-01-01")
+    hi = pd.Timestamp("1998-01-01")
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_extendedprice", "l_discount", "l_quantity", "l_shipdate"],
+        filter=(
+            (pc.field("l_shipdate") >= pc.scalar(lo))
+            & (pc.field("l_shipdate") < pc.scalar(hi))
+            & (pc.field("l_quantity") < pc.scalar(24.0))
+        ),
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        dm = np.floor(df["l_discount"].to_numpy(np.float64) * 1000 + 0.5).astype(
+            np.int64
+        )
+        m = (dm >= 50) & (dm <= 70)
+        ep = np.floor(
+            df["l_extendedprice"].to_numpy(np.float64)[m] * 100 + 0.5
+        ).astype(np.int64)
+        return pd.DataFrame(
+            {"n": [np.int64(m.sum())], "s": [np.int64((ep * dm[m]).sum())]}
+        )
+
+    t = li.map_batches(partial, batch_format="pandas").to_pandas().sum()
+    return pd.DataFrame(
+        {
+            "n_lines": [np.int64(t["n"])],
+            "revenue_delta": [np.int64(t["s"]) / 100000.0],
+        }
+    )

@@ -439,3 +439,127 @@ def hapax_stats(sf_dir: str) -> pd.DataFrame:
         out["n_hapax"].to_numpy(np.float64) / out["n_vocab"].to_numpy(np.int64)
     )
     return out.sort_values("source", ignore_index=True)
+
+
+# ------------------------------------------------ Mann-Whitney U / AUC
+def mann_whitney_auc(
+    sf_dir: str, type_a: str = "view", type_b: str = "purchase"
+) -> pd.DataFrame:
+    """EXACT Mann-Whitney U statistic (with tie-corrected average ranks)
+    and the equivalent AUC between two event types' value distributions —
+    the standard nonparametric two-sample test, and the ranking-quality
+    readout an eval pipeline wants.
+
+    Exactness: values snap once to the 2^10 lattice; average tie ranks
+    ride DOUBLED (2R1 = sum n1*(2*below + n1 + n2 + 1)) so every
+    accumulation is int64; U and AUC are single mirrored float chains.
+    Shape: per-batch (q, n1, n2) histogram partials -> ONE q-hash
+    exchange -> the driver cumsums a lattice-bounded histogram (value-
+    range bounded, not corpus sized)."""
+    ds = _events(sf_dir, ["event_type", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        t = df["event_type"].astype(str)
+        m = t.isin([type_a, type_b])
+        d = df[m]
+        q = np.floor(d["value"].to_numpy(np.float64) * 1024.0 + 0.5).astype(
+            np.int64
+        )
+        isa = (t[m] == type_a).to_numpy()
+        return (
+            pd.DataFrame(
+                {
+                    "q": q,
+                    "n1": isa.astype(np.int64),
+                    "n2": (~isa).astype(np.int64),
+                }
+            )
+            .groupby("q", as_index=False)[["n1", "n2"]]
+            .sum()
+        )
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("q", as_index=False)[["n1", "n2"]].sum()
+
+    h = (
+        hash_combine(
+            ds.map_batches(partial, batch_format="pandas"), ["q"], combine
+        )
+        .to_pandas()
+        .groupby("q", as_index=False)[["n1", "n2"]]
+        .sum()
+        .sort_values("q", ignore_index=True)
+    )
+    n1 = h["n1"].to_numpy(np.int64)
+    n2 = h["n2"].to_numpy(np.int64)
+    tot = n1 + n2
+    below = np.concatenate([[0], np.cumsum(tot)[:-1]])
+    two_r1 = int((n1 * (2 * below + tot + 1)).sum())
+    N1, N2 = int(n1.sum()), int(n2.sum())
+    num = two_r1 - N1 * (N1 + 1)
+    return pd.DataFrame(
+        {
+            "n_a": [np.int64(N1)],
+            "n_b": [np.int64(N2)],
+            "u_stat": [num / 2.0],
+            "auc": [float(_r6away(num / (2 * N1 * N2)))],
+        }
+    )
+
+
+# ------------------------------------------- exact lattice quantiles
+def lattice_quantiles(sf_dir: str, ps=(0.25, 0.5, 0.75)) -> pd.DataFrame:
+    """EXACT per-type quantiles at binary-fraction probabilities via the
+    same bounded 2^10-lattice histogram as ``median_mad_by_type`` —
+    generalizes the median to arbitrary quantile_cont interpolation.
+
+    ps are restricted to BINARY fractions (k/2^m) by contract: then
+    (n-1)*p, the fractional part, and lo + (hi-lo)*frac are all exact on
+    the integer lattice, so any algebraically-equivalent interpolation
+    formula (DuckDB's included) produces the identical double; a
+    non-binary p (0.95) would make the result depend on the engine's
+    op order (CLAUDE.md float invariant)."""
+    ds = _events(sf_dir, ["event_type", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        q = np.floor(df["value"].to_numpy(np.float64) * 1024.0 + 0.5).astype(
+            np.int64
+        )
+        return (
+            pd.DataFrame({"event_type": df["event_type"].astype(str), "q": q})
+            .groupby(["event_type", "q"], sort=False)
+            .size()
+            .rename("cnt")
+            .reset_index()
+        )
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(["event_type", "q"], as_index=False)["cnt"].sum()
+
+    hist = (
+        hash_combine(
+            ds.map_batches(partial, batch_format="pandas"),
+            ["event_type", "q"],
+            combine,
+        )
+        .to_pandas()
+        .groupby(["event_type", "q"], as_index=False)["cnt"]
+        .sum()
+    )
+    rows = []
+    for t, g in hist.groupby("event_type"):
+        g = g.sort_values("q")
+        v = g["q"].to_numpy(np.int64)
+        cum = np.cumsum(g["cnt"].to_numpy(np.int64))
+        n = int(cum[-1])
+        for p in ps:
+            idx = (n - 1) * float(p)
+            lo = int(np.floor(idx))
+            frac = idx - lo
+            v_lo = int(v[np.searchsorted(cum, lo + 1)])
+            v_hi = int(v[np.searchsorted(cum, min(lo + 1, n - 1) + 1)])
+            qv = v_lo + (v_hi - v_lo) * frac
+            rows.append((t, float(p), float(_r6away(qv / 1024.0))))
+    return pd.DataFrame(
+        rows, columns=["event_type", "p", "q_value"]
+    ).sort_values(["event_type", "p"], ignore_index=True)

@@ -771,3 +771,58 @@ def vocab_growth(sf_dir: str, bucket_docs: int = 64) -> pd.DataFrame:
     out["bucket"] = out["bucket"].astype(np.int64)
     out["new_terms"] = out["new_terms"].astype(np.int64)
     return out.sort_values(["source", "bucket"], ignore_index=True)
+
+
+def cross_source_ngram_matrix(sf_dir: str, k: int = 4) -> pd.DataFrame:
+    """Cross-source contamination matrix: for every source pair, the
+    number of DISTINCT word k-grams occurring in both — the standard
+    corpus-hygiene readout for shared boilerplate / leakage between
+    ingestion feeds (decontaminate's eval-vs-train variant, applied
+    source-vs-source).
+
+    Shape: per-batch vectorized k-gram build (one split + k-1 shifted
+    joins, the top_bigrams pattern — no per-row Python, no np.char per
+    CLAUDE.md), local (source, gram) dedup, ONE gram-hash exchange; the
+    combine self-merges each partition on gram to emit (src_a < src_b)
+    pair counts — every gram lives in exactly one partition, so pair
+    counts are additive and only the |sources|^2-bounded matrix reaches
+    the driver.  At 100 TB the gram payload rides as a uint64 hash with
+    collision check (the span_dedup_hashed shape); the string form here
+    keeps the oracle exact."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.reset_index(drop=True)
+        ex = df["text"].str.split(" ").explode()
+        parts = [ex]
+        for j in range(1, k):
+            parts.append(ex.groupby(level=0).shift(-j))
+        mask = parts[-1].notna()
+        gram = parts[0][mask]
+        for p in parts[1:]:
+            gram = gram + " " + p[mask]
+        src = df["source"].astype(str).reindex(gram.index.get_level_values(0) if gram.index.nlevels > 1 else gram.index)
+        return pd.DataFrame(
+            {"source": src.to_numpy(), "gram": gram.to_numpy()}
+        ).drop_duplicates()
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates()
+        m = d.merge(d, on="gram")
+        m = m[m["source_x"] < m["source_y"]]
+        return (
+            m.groupby(["source_x", "source_y"], sort=False)
+            .size()
+            .rename("n_shared")
+            .reset_index()
+            .rename(columns={"source_x": "src_a", "source_y": "src_b"})
+        )
+
+    from ..functions.shuffle import hash_combine
+
+    ds = _docs(sf_dir, ["source", "text"]).map_batches(
+        partial, batch_format="pandas"
+    )
+    out = hash_combine(ds, ["gram"], combine).to_pandas()
+    out = out.groupby(["src_a", "src_b"], as_index=False)["n_shared"].sum()
+    out["n_shared"] = out["n_shared"].astype(np.int64)
+    return out.sort_values(["src_a", "src_b"], ignore_index=True)

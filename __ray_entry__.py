@@ -587,8 +587,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pareto_revenue_share": ST.pareto_revenue_share,
         "chi2_event_hour": ST.chi2_event_hour,
         "median_mad_by_type": ST.median_mad_by_type,
-        "dod_revenue": ST.dod_revenue,
-        "percentile_rank_users": ST.percentile_rank_users,
         "hapax_stats": ST.hapax_stats,
         # round-4 wave 10: TPC-H composites the r3 joins don't exercise —
         # Q18 HAVING-aggregate -> fact re-join, Q16 COUNT(DISTINCT) over a
@@ -596,8 +594,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # second aggregation, Q7 two-broadcast-dimension fact-fact join
         "q18_large_orders": J.q18_large_orders,
         "q16_supplier_cnt": J.q16_supplier_cnt,
-        "q10_returned_items": J.q10_returned_items,
         "q7_nation_volume": J.q7_nation_volume,
+        # round-4 wave 12: new composite families — Q13 left-outer count
+        # histogram (incl. zero class by cardinality), Q17 correlated
+        # per-key avg threshold via broadcast (integer predicate
+        # 5*qty*n < S), Q8 conditional-sum market-share ratio
+        # (dod_revenue / percentile_rank_users / q10_returned_items rotate
+        # to the tail — window_rank + join_topk_revenue rep those shapes)
+        "q13_custdist": J.q13_custdist,
+        "q17_small_qty_revenue": J.q17_small_qty_revenue,
+        "q8_market_share": J.q8_market_share,
         # ---- slot 50: core SQL-oracled surface ----
         # two-source blend (M10; r3 verdict item, kept driver-visible)
         "blend_two_source": A.blend_two_source,
@@ -614,10 +620,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # committed local gate run, CORRECTNESS_LOCAL_r04.json)
         "pivot_event_counts": G.pivot_event_counts,
         "ntile_event_buckets": G.ntile_event_buckets,
-        # wave-11 variants of in-window family representatives
+        # wave-11/12 variants of in-window family representatives
         "lattice_quantiles": ST.lattice_quantiles,
         "q4_late_orders": J.q4_late_orders,
         "q6_revenue_delta": J.q6_revenue_delta,
+        "dod_revenue": ST.dod_revenue,
+        "percentile_rank_users": ST.percentile_rank_users,
+        "q10_returned_items": J.q10_returned_items,
+        "q15_top_supplier": J.q15_top_supplier,
+        "q19_banded_revenue": J.q19_banded_revenue,
         "funnel_stages": G.funnel_stages,
         "path_signature": G.path_signature,
         "event_pmi": G.event_pmi,
@@ -968,6 +979,100 @@ def oracle_sql() -> dict[str, str]:
               AND CAST(FLOOR(l_discount * 1000 + 0.5) AS BIGINT)
                   BETWEEN 50 AND 70
               AND l_quantity < 24
+        """,
+        # ---- wave 12 ----
+        "q13_custdist": """
+            WITH c AS (
+                SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS cnt
+                FROM orders GROUP BY 1
+            ), a AS (
+                SELECT cu.c_custkey, COALESCE(c.cnt, 0) AS cnt
+                FROM customer cu LEFT JOIN c ON c.o_custkey = cu.c_custkey
+            )
+            SELECT CAST(cnt AS BIGINT) AS c_count,
+                   CAST(COUNT(*) AS BIGINT) AS custdist
+            FROM a GROUP BY 1
+        """,
+        # integer predicate 5*qty*n < s <=> qty < 0.2*avg(qty) — no float
+        # enters the correlated threshold
+        "q17_small_qty_revenue": """
+            WITH bp AS (
+                SELECT p_partkey FROM part WHERE p_brand = 'Brand#23'
+            ), a AS (
+                SELECT l_partkey,
+                       CAST(SUM(CAST(FLOOR(l_quantity + 0.5) AS BIGINT))
+                            AS BIGINT) AS s,
+                       CAST(COUNT(*) AS BIGINT) AS n
+                FROM lineitem JOIN bp ON bp.p_partkey = lineitem.l_partkey
+                GROUP BY 1
+            )
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+                   CAST(SUM(CAST(FLOOR(l.l_extendedprice * 100 + 0.5)
+                                 AS BIGINT)) AS BIGINT) / 700.0 AS avg_yearly
+            FROM lineitem l JOIN a ON a.l_partkey = l.l_partkey
+            WHERE 5 * CAST(FLOOR(l.l_quantity + 0.5) AS BIGINT) * a.n < a.s
+        """,
+        "q15_top_supplier": """
+            WITH r AS (
+                SELECT l_suppkey,
+                       CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5)
+                                     AS BIGINT)
+                                * (1000 - CAST(FLOOR(l_discount * 1000 + 0.5)
+                                               AS BIGINT))) AS BIGINT) AS u
+                FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+                  AND l_shipdate < TIMESTAMP '1997-04-01'
+                GROUP BY 1
+            )
+            SELECT CAST(r.l_suppkey AS BIGINT) AS s_suppkey,
+                   s.s_name AS s_name, u / 100000.0 AS total_revenue
+            FROM r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+            WHERE u = (SELECT MAX(u) FROM r)
+        """,
+        "q19_banded_revenue": """
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+                   CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5)
+                                 AS BIGINT)
+                            * (1000 - CAST(FLOOR(l_discount * 1000 + 0.5)
+                                           AS BIGINT))) AS BIGINT)
+                       / 100000.0 AS revenue
+            FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+            WHERE (p.p_brand = 'Brand#12'
+                   AND CAST(FLOOR(l.l_quantity + 0.5) AS BIGINT)
+                       BETWEEN 1 AND 15 AND p.p_size BETWEEN 1 AND 20)
+               OR (p.p_brand = 'Brand#23'
+                   AND CAST(FLOOR(l.l_quantity + 0.5) AS BIGINT)
+                       BETWEEN 5 AND 25 AND p.p_size BETWEEN 1 AND 35)
+               OR (p.p_brand = 'Brand#31'
+                   AND CAST(FLOOR(l.l_quantity + 0.5) AS BIGINT)
+                       BETWEEN 15 AND 40 AND p.p_size BETWEEN 1 AND 50)
+        """,
+        # share = BIGINT/BIGINT (double division, same as numpy
+        # int64/int64); ROUND is half-away on both sides
+        "q8_market_share": """
+            WITH f AS (
+                SELECT YEAR(o.o_orderdate) AS o_year,
+                       CAST(FLOOR(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+                         * (1000 - CAST(FLOOR(l.l_discount * 1000 + 0.5)
+                                        AS BIGINT)) AS u,
+                       CASE WHEN sn.n_name = 'NATION_19' THEN 1 ELSE 0 END
+                           AS is_t
+                FROM lineitem l
+                JOIN orders o ON o.o_orderkey = l.l_orderkey
+                JOIN customer cu ON cu.c_custkey = o.o_custkey
+                JOIN nation cn ON cn.n_nationkey = cu.c_nationkey
+                JOIN region r ON r.r_regionkey = cn.n_regionkey
+                     AND r.r_name = 'ASIA'
+                JOIN part p ON p.p_partkey = l.l_partkey
+                     AND p.p_type = 'STANDARD'
+                JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+            )
+            SELECT CAST(o_year AS BIGINT) AS o_year,
+                   ROUND(CAST(SUM(u * is_t) AS BIGINT)
+                         / CAST(SUM(u) AS BIGINT), 6) AS mkt_share,
+                   CAST(SUM(u) AS BIGINT) / 100000.0 AS total_revenue
+            FROM f GROUP BY 1
         """,
         # ---- wave 10: TPC-H composites ----
         "q18_large_orders": """

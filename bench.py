@@ -256,6 +256,9 @@ def run_bench() -> dict:
         # matrix, Q4/Q6 shapes)
         "mann_whitney_auc", "lattice_quantiles",
         "cross_source_ngram_matrix", "q4_late_orders", "q6_revenue_delta",
+        # round-4 wave 12 (Q13/Q17/Q15/Q19/Q8 composite shapes)
+        "q13_custdist", "q17_small_qty_revenue", "q15_top_supplier",
+        "q19_banded_revenue", "q8_market_share",
     ]
     q_steal: dict[str, float] = {}
     for name in q_list:

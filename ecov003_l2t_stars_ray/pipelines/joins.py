@@ -938,3 +938,406 @@ def q6_revenue_delta(sf_dir: str) -> pd.DataFrame:
             "revenue_delta": [np.int64(t["s"]) / 100000.0],
         }
     )
+
+
+# ------------------------------------------------ Q13 count histogram
+def q13_custdist(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q13 shape (customer distribution): histogram of per-customer
+    order counts INCLUDING the zero class — the double-groupby +
+    left-outer-count composite.
+
+    Scale shape: per-batch custkey value_counts partials -> one custkey
+    hash exchange; each combine partition then reduces its per-customer
+    counts to a count-of-counts partial, so only |distinct count values|
+    rows (bounded by the max orders any customer has) reach the driver.
+    The zero class is set difference by CARDINALITY (total customers -
+    customers with >=1 order) — no customer-side join ships at all."""
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey"]
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        v = df["o_custkey"].value_counts()
+        return pd.DataFrame(
+            {"c": v.index.to_numpy(np.int64), "cnt": v.to_numpy(np.int64)}
+        )
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        per_cust = g.groupby("c", as_index=False)["cnt"].sum()
+        h = per_cust["cnt"].value_counts()
+        return pd.DataFrame(
+            {
+                "c_count": h.index.to_numpy(np.int64),
+                "custdist": h.to_numpy(np.int64),
+            }
+        )
+
+    hist = (
+        hash_combine(orders.map_batches(partial, batch_format="pandas"),
+                     ["c"], combine)
+        .to_pandas()
+        .groupby("c_count", as_index=False)["custdist"]
+        .sum()
+    )
+    n_cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey"]
+    ).count()
+    zero = n_cust - int(hist["custdist"].sum())
+    if zero > 0:
+        hist = pd.concat(
+            [hist, pd.DataFrame({"c_count": [0], "custdist": [zero]})],
+            ignore_index=True,
+        )
+    hist["c_count"] = hist["c_count"].astype(np.int64)
+    hist["custdist"] = hist["custdist"].astype(np.int64)
+    return hist.sort_values(
+        ["custdist", "c_count"], ascending=[False, False], ignore_index=True
+    )
+
+
+# --------------------------------------- Q17 correlated-avg threshold
+def q17_small_qty_revenue(sf_dir: str, brand: str = "Brand#23") -> pd.DataFrame:
+    """TPC-H Q17 shape (small-quantity-order revenue): revenue of lines
+    whose quantity is below 20% of the per-part average — the correlated
+    scalar-aggregate threshold, done as two passes with a BROADCAST
+    per-part threshold instead of a correlated re-join.
+
+    Exactness: quantities are integral, so qty < 0.2 * (S/n) is the
+    INTEGER comparison 5*qty*n < S — no float enters the predicate.
+    Scale shape: pass 1 builds per-part (S, n) partials for the brand's
+    parts only (part side filters BEFORE the scan via a broadcast partkey
+    set, bounded by |parts of one brand|); the reduced threshold table
+    rides ``ray.put`` into pass 2's scan, which accumulates int64 cents.
+    avg_yearly is ONE division (cents / 700.0) mirrored in the oracle."""
+    part = pd.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"]
+    )
+    bp = set(part.loc[part["p_brand"].astype(str) == brand, "p_partkey"]
+             .astype(np.int64))
+    bp_ref = ray.put(bp)
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity", "l_extendedprice"],
+    )
+
+    def qty_partial(df: pd.DataFrame) -> pd.DataFrame:
+        pk = df["l_partkey"].to_numpy(np.int64)
+        m = np.isin(pk, np.fromiter(ray.get(bp_ref), np.int64))
+        q = np.floor(df["l_quantity"].to_numpy(np.float64)[m] + 0.5).astype(
+            np.int64
+        )
+        return (
+            pd.DataFrame({"pk": pk[m], "s": q, "n": np.int64(1)})
+            .groupby("pk", as_index=False)[["s", "n"]]
+            .sum()
+        )
+
+    thr = (
+        hash_combine(
+            li.map_batches(qty_partial, batch_format="pandas"),
+            ["pk"],
+            lambda g: g.groupby("pk", as_index=False)[["s", "n"]].sum(),
+            num_partitions=8,
+        )
+        .to_pandas()
+        .groupby("pk", as_index=False)[["s", "n"]]
+        .sum()
+    )
+    thr_ref = ray.put(thr.set_index("pk"))
+
+    def rev_partial(df: pd.DataFrame) -> pd.DataFrame:
+        t = ray.get(thr_ref)
+        pk = df["l_partkey"].to_numpy(np.int64)
+        m = np.isin(pk, t.index.to_numpy(np.int64))
+        if not m.any():
+            return pd.DataFrame({"n": [np.int64(0)], "s": [np.int64(0)]})
+        sub = t.loc[pk[m]]
+        q = np.floor(df["l_quantity"].to_numpy(np.float64)[m] + 0.5).astype(
+            np.int64
+        )
+        keep = 5 * q * sub["n"].to_numpy(np.int64) < sub["s"].to_numpy(
+            np.int64
+        )
+        ep = np.floor(
+            df["l_extendedprice"].to_numpy(np.float64)[m][keep] * 100 + 0.5
+        ).astype(np.int64)
+        return pd.DataFrame(
+            {"n": [np.int64(keep.sum())], "s": [np.int64(ep.sum())]}
+        )
+
+    t = li.map_batches(rev_partial, batch_format="pandas").to_pandas().sum()
+    return pd.DataFrame(
+        {
+            "n_lines": [np.int64(t["n"])],
+            "avg_yearly": [np.int64(t["s"]) / 700.0],
+        }
+    )
+
+
+# --------------------------------------------- Q15 argmax-over-aggregate
+def q15_top_supplier(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q15 shape (top supplier): per-supplier revenue over one
+    quarter, returning the MAX-revenue supplier(s) WITH ties — argmax
+    over a distributed aggregate.
+
+    Scale shape: date-pruned scan -> per-batch (suppkey, rev_u) int
+    partials -> one suppkey hash exchange; each combine partition emits
+    only its LOCAL max row(s), so the driver reduces |partitions| rows,
+    never |suppliers|. Names join from the tiny supplier table on the
+    driver."""
+    lo = pd.Timestamp("1997-01-01")
+    hi = pd.Timestamp("1997-04-01")
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"],
+        filter=(pc.field("l_shipdate") >= pc.scalar(lo))
+        & (pc.field("l_shipdate") < pc.scalar(hi)),
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        ep = np.floor(
+            df["l_extendedprice"].to_numpy(np.float64) * 100 + 0.5
+        ).astype(np.int64)
+        dm = np.floor(
+            df["l_discount"].to_numpy(np.float64) * 1000 + 0.5
+        ).astype(np.int64)
+        return (
+            pd.DataFrame(
+                {"sk": df["l_suppkey"].to_numpy(np.int64),
+                 "u": ep * (1000 - dm)}
+            )
+            .groupby("sk", as_index=False)["u"]
+            .sum()
+        )
+
+    def local_max(g: pd.DataFrame) -> pd.DataFrame:
+        per = g.groupby("sk", as_index=False)["u"].sum()
+        if len(per) == 0:
+            return per
+        return per[per["u"] == per["u"].max()]
+
+    cand = hash_combine(
+        li.map_batches(partial, batch_format="pandas"), ["sk"], local_max,
+        num_partitions=8,
+    ).to_pandas()
+    best = cand[cand["u"] == cand["u"].max()]
+    names = pd.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"]
+    ).set_index("s_suppkey")["s_name"]
+    out = pd.DataFrame(
+        {
+            "s_suppkey": best["sk"].to_numpy(np.int64),
+            "s_name": best["sk"].map(names).astype(str),
+            "total_revenue": best["u"].to_numpy(np.int64) / 100000.0,
+        }
+    )
+    return out.sort_values("s_suppkey", ignore_index=True)
+
+
+# ------------------------------------------------- Q19 OR-band revenue
+_Q19_BANDS = (
+    ("Brand#12", 1, 15, 1, 20),
+    ("Brand#23", 5, 25, 1, 35),
+    ("Brand#31", 15, 40, 1, 50),
+)
+
+
+def q19_banded_revenue(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q19 shape (discounted revenue, OR of predicate bands):
+    revenue of lines matching ANY (brand, quantity-range, size-range)
+    band — the disjunctive multi-attribute predicate composite.
+
+    Scale shape: the part side reduces to a partkey -> (q_lo, q_hi)
+    band map on the driver (brands are disjoint per part, so each part
+    carries at most one band) and rides ``ray.put``; the fact scan
+    filters and accumulates int64 cents x (1000 - milli-discount)
+    per batch, so only 2 ints per batch leave the scan — the OR never
+    becomes a join or a second pass."""
+    part = pd.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand", "p_size"]
+    )
+    pb = part["p_brand"].astype(str)
+    sz = part["p_size"].to_numpy(np.int64)
+    qlo = np.full(len(part), -1, np.int64)
+    qhi = np.full(len(part), -1, np.int64)
+    for brand, b_qlo, b_qhi, s_lo, s_hi in _Q19_BANDS:
+        m = (pb == brand).to_numpy() & (sz >= s_lo) & (sz <= s_hi)
+        qlo[m] = b_qlo
+        qhi[m] = b_qhi
+    band = pd.DataFrame(
+        {
+            "pk": part["p_partkey"].to_numpy(np.int64)[qlo >= 0],
+            "qlo": qlo[qlo >= 0],
+            "qhi": qhi[qlo >= 0],
+        }
+    ).set_index("pk")
+    band_ref = ray.put(band)
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        b = ray.get(band_ref)
+        pk = df["l_partkey"].to_numpy(np.int64)
+        m = np.isin(pk, b.index.to_numpy(np.int64))
+        if not m.any():
+            return pd.DataFrame({"n": [np.int64(0)], "s": [np.int64(0)]})
+        sub = b.loc[pk[m]]
+        q = np.floor(df["l_quantity"].to_numpy(np.float64)[m] + 0.5).astype(
+            np.int64
+        )
+        keep = (q >= sub["qlo"].to_numpy(np.int64)) & (
+            q <= sub["qhi"].to_numpy(np.int64)
+        )
+        ep = np.floor(
+            df["l_extendedprice"].to_numpy(np.float64)[m][keep] * 100 + 0.5
+        ).astype(np.int64)
+        dm = np.floor(
+            df["l_discount"].to_numpy(np.float64)[m][keep] * 1000 + 0.5
+        ).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "n": [np.int64(keep.sum())],
+                "s": [np.int64((ep * (1000 - dm)).sum())],
+            }
+        )
+
+    t = li.map_batches(partial, batch_format="pandas").to_pandas().sum()
+    return pd.DataFrame(
+        {
+            "n_lines": [np.int64(t["n"])],
+            "revenue": [np.int64(t["s"]) / 100000.0],
+        }
+    )
+
+
+# ------------------------------------------------- Q8 market share
+def q8_market_share(
+    sf_dir: str,
+    region: str = "ASIA",
+    ptype: str = "STANDARD",
+    nation: str = "NATION_19",
+) -> pd.DataFrame:
+    """TPC-H Q8 shape (national market share): of the revenue from a
+    region's customers buying a part type, the fraction supplied by one
+    nation, per order year — the conditional-sum ratio over a multi-way
+    join.
+
+    Scale shape: part-type partkeys, region custkeys, and the supplier ->
+    is-target-nation map are all small-side ``ray.put`` broadcasts into
+    the two fact scans; the ONE all-to-all is (filtered lineitem) x
+    (filtered orders) on orderkey. Revenue rides as int64 cents x
+    (1000 - milli) split into (total, target) lanes per year inside the
+    join partitions, so only |years| x 2 ints reach the driver; the share
+    is ONE int/int division + round(6) mirrored in the oracle."""
+    nat = pd.read_parquet(f"{sf_dir}/nation.parquet")
+    reg = pd.read_parquet(f"{sf_dir}/region.parquet")
+    rk = reg.loc[reg["r_name"].astype(str) == region, "r_regionkey"].iloc[0]
+    region_nations = set(
+        nat.loc[nat["n_regionkey"] == rk, "n_nationkey"].astype(np.int64)
+    )
+    target_key = int(
+        nat.loc[nat["n_name"].astype(str) == nation, "n_nationkey"].iloc[0]
+    )
+
+    cust = pd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    ck = cust.loc[
+        cust["c_nationkey"].astype(np.int64).isin(region_nations), "c_custkey"
+    ].to_numpy(np.int64)
+    ck_ref = ray.put(ck)
+
+    part = pd.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"]
+    )
+    pk = part.loc[part["p_type"].astype(str) == ptype, "p_partkey"].to_numpy(
+        np.int64
+    )
+    pk_ref = ray.put(pk)
+
+    supp = pd.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    )
+    tgt = supp.loc[
+        supp["s_nationkey"].astype(np.int64) == target_key, "s_suppkey"
+    ].to_numpy(np.int64)
+    tgt_ref = ray.put(tgt)
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    )
+
+    def o_prep(df: pd.DataFrame) -> pd.DataFrame:
+        keep = np.isin(df["o_custkey"].to_numpy(np.int64), ray.get(ck_ref))
+        d = df[keep]
+        return pd.DataFrame(
+            {
+                "okey": d["o_orderkey"].to_numpy(np.int64),
+                "o_year": d["o_orderdate"]
+                .astype("datetime64[us]")
+                .dt.year.to_numpy(np.int64),
+            }
+        )
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice",
+                 "l_discount"],
+    )
+
+    def li_prep(df: pd.DataFrame) -> pd.DataFrame:
+        keep = np.isin(df["l_partkey"].to_numpy(np.int64), ray.get(pk_ref))
+        d = df[keep]
+        ep = np.floor(
+            d["l_extendedprice"].to_numpy(np.float64) * 100 + 0.5
+        ).astype(np.int64)
+        dm = np.floor(
+            d["l_discount"].to_numpy(np.float64) * 1000 + 0.5
+        ).astype(np.int64)
+        u = ep * (1000 - dm)
+        is_t = np.isin(d["l_suppkey"].to_numpy(np.int64), ray.get(tgt_ref))
+        return (
+            pd.DataFrame(
+                {"okey": d["l_orderkey"].to_numpy(np.int64), "u": u,
+                 "t": np.where(is_t, u, 0)}
+            )
+            .groupby("okey", as_index=False)[["u", "t"]]
+            .sum()
+        )
+
+    joined = hash_join(
+        li.map_batches(li_prep, batch_format="pandas"),
+        orders.map_batches(o_prep, batch_format="pandas"),
+        on=["okey"],
+    )
+
+    def year_partial(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "o_year" not in df.columns:
+            return pd.DataFrame(
+                {"o_year": pd.Series([], dtype=np.int64),
+                 "u": pd.Series([], dtype=np.int64),
+                 "t": pd.Series([], dtype=np.int64)}
+            )
+        return df.groupby("o_year", as_index=False)[["u", "t"]].sum()
+
+    agg = (
+        joined.map_batches(year_partial, batch_format="pandas")
+        .to_pandas()
+        .groupby("o_year", as_index=False)[["u", "t"]]
+        .sum()
+    )
+    # half-AWAY rounding to match DuckDB ROUND exactly (shares are >= 0)
+    ratio = agg["t"].to_numpy(np.int64) / agg["u"].to_numpy(np.int64)
+    share = np.floor(ratio * 1e6 + 0.5) / 1e6
+    return pd.DataFrame(
+        {
+            "o_year": agg["o_year"].to_numpy(np.int64),
+            "mkt_share": share,
+            "total_revenue": agg["u"].to_numpy(np.int64) / 100000.0,
+        }
+    ).sort_values("o_year", ignore_index=True)

@@ -566,8 +566,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round-4 wave 4: event-type Markov transition matrix, weekly
         # cohort-retention triangle, M4 chart downsampling (min/max/
         # first/last per pixel bucket), top-k TF-IDF terms per doc
-        "transition_matrix": G.transition_matrix,
         "cohort_retention": G.cohort_retention,
+        # round-4 wave 13: sweep-line peak concurrency (block-offset
+        # prefix over a signed delta series) and dense-axis lag-1
+        # autocorrelation of hourly counts (transition_matrix /
+        # median_mad_by_type rotate to the tail — funnel_conversion and
+        # mann_whitney_auc's lattice rep those shapes)
+        "peak_concurrency": A.peak_concurrency,
+        "autocorr_lag1_hourly": ST.autocorr_lag1_hourly,
         "tfidf_topk": T.tfidf_topk,
         # round-4 wave 5: seasonal-naive forecast backtest, per-user
         # inter-arrival cadence stats, TPC-H Q22-shaped scalar-subquery +
@@ -586,7 +592,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gini_revenue": ST.gini_revenue,
         "pareto_revenue_share": ST.pareto_revenue_share,
         "chi2_event_hour": ST.chi2_event_hour,
-        "median_mad_by_type": ST.median_mad_by_type,
         "hapax_stats": ST.hapax_stats,
         # round-4 wave 10: TPC-H composites the r3 joins don't exercise —
         # Q18 HAVING-aggregate -> fact re-join, Q16 COUNT(DISTINCT) over a
@@ -629,6 +634,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q10_returned_items": J.q10_returned_items,
         "q15_top_supplier": J.q15_top_supplier,
         "q19_banded_revenue": J.q19_banded_revenue,
+        "median_mad_by_type": ST.median_mad_by_type,
+        "transition_matrix": G.transition_matrix,
+        "ks_test_values": ST.ks_test_values,
+        "user_first_seen_daily": G.user_first_seen_daily,
         "funnel_stages": G.funnel_stages,
         "path_signature": G.path_signature,
         "event_pmi": G.event_pmi,
@@ -909,6 +918,124 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(CAST(twoR1 - N1 * (N1 + 1) AS DOUBLE)
                          / (2 * N1 * N2), 6) AS auc
             FROM s
+        """,
+        # KS companion to mann_whitney_auc: same 2^10 value lattice; the
+        # max deviation rides as the INTEGER |c1*N2 - c2*N1| on both
+        # sides, the statistic is ONE final division
+        "ks_test_values": """
+            WITH b AS (
+                SELECT event_type,
+                       CAST(FLOOR(value * 1024.0 + 0.5) AS BIGINT) AS q
+                FROM events WHERE event_type IN ('view', 'purchase')
+            ), h AS (
+                SELECT q,
+                       CAST(COUNT(*) FILTER (WHERE event_type = 'view')
+                            AS BIGINT) AS n1,
+                       CAST(COUNT(*) FILTER (WHERE event_type = 'purchase')
+                            AS BIGINT) AS n2
+                FROM b GROUP BY 1
+            ), tot AS (
+                SELECT CAST(SUM(n1) AS BIGINT) AS N1,
+                       CAST(SUM(n2) AS BIGINT) AS N2
+                FROM h
+            ), c AS (
+                SELECT SUM(n1) OVER (ORDER BY q
+                           ROWS UNBOUNDED PRECEDING) AS c1,
+                       SUM(n2) OVER (ORDER BY q
+                           ROWS UNBOUNDED PRECEDING) AS c2
+                FROM h
+            ), m AS (
+                SELECT CAST(MAX(ABS(c1 * t.N2 - c2 * t.N1)) AS BIGINT)
+                           AS dn
+                FROM c, tot t
+            )
+            SELECT t.N1 AS n_a, t.N2 AS n_b, m.dn AS ks_num,
+                   ROUND(CAST(m.dn AS DOUBLE) / (t.N1 * t.N2), 6)
+                       AS ks_stat
+            FROM tot t, m
+        """,
+        # sweep-line peak: per-timestamp NET delta (+1 start / -1 end at
+        # ts + 300 s, merged per boundary) preserves every prefix maximum
+        # because ends only lower the count — identical merge both sides
+        "peak_concurrency": """
+            WITH d AS (
+                SELECT event_type, epoch_us(ts) AS t,
+                       CAST(1 AS BIGINT) AS net FROM events
+                UNION ALL
+                SELECT event_type, epoch_us(ts) + 300000000,
+                       CAST(-1 AS BIGINT) FROM events
+            ), m AS (
+                SELECT event_type, t, CAST(SUM(net) AS BIGINT) AS net
+                FROM d GROUP BY 1, 2
+            ), c AS (
+                SELECT event_type,
+                       SUM(net) OVER (PARTITION BY event_type ORDER BY t
+                           ROWS UNBOUNDED PRECEDING) AS run
+                FROM m
+            )
+            SELECT event_type,
+                   CAST(MAX(run) AS BIGINT) AS peak_concurrent
+            FROM c GROUP BY 1 ORDER BY 1
+        """,
+        # dense GLOBAL hour axis (absent hours = 0, bounds over ALL
+        # types); all six moments are exact integers, the correlation is
+        # one mirrored float chain — num stays integer, the two variance
+        # terms convert to DOUBLE before their product and one IEEE sqrt
+        "autocorr_lag1_hourly": """
+            WITH h AS (
+                SELECT event_type,
+                       epoch_us(ts) // 3600000000 AS hr,
+                       CAST(COUNT(*) AS BIGINT) AS c
+                FROM events GROUP BY 1, 2
+            ), bounds AS (
+                SELECT MIN(hr) AS lo, MAX(hr) AS hi FROM h
+            ), axis AS (
+                SELECT unnest(range(lo, hi + 1)) AS hr FROM bounds
+            ), types AS (
+                SELECT DISTINCT event_type FROM h
+            ), dense AS (
+                SELECT t.event_type, a.hr, COALESCE(h.c, 0) AS c
+                FROM types t CROSS JOIN axis a
+                LEFT JOIN h ON h.event_type = t.event_type
+                           AND h.hr = a.hr
+            ), p AS (
+                SELECT event_type, c AS x,
+                       LEAD(c) OVER (PARTITION BY event_type
+                                     ORDER BY hr) AS y
+                FROM dense
+            ), s AS (
+                SELECT event_type,
+                       CAST(COUNT(*) AS HUGEINT) AS n,
+                       CAST(SUM(x) AS HUGEINT) AS sx,
+                       CAST(SUM(y) AS HUGEINT) AS sy,
+                       CAST(SUM(x * x) AS HUGEINT) AS sxx,
+                       CAST(SUM(y * y) AS HUGEINT) AS syy,
+                       CAST(SUM(x * y) AS HUGEINT) AS sxy
+                FROM p WHERE y IS NOT NULL GROUP BY 1
+            )
+            SELECT event_type, CAST(n AS BIGINT) AS n_pairs,
+                   ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                         / SQRT(CAST(n * sxx - sx * sx AS DOUBLE)
+                                * CAST(n * syy - sy * sy AS DOUBLE)), 6)
+                       AS autocorr
+            FROM s ORDER BY event_type
+        """,
+        # distributed first-occurrence keyed on users (vocab_growth
+        # shape); day = epoch_us // DAY_US, cumulative is a prefix sum
+        # over the bounded day axis
+        "user_first_seen_daily": """
+            WITH f AS (
+                SELECT user_id, MIN(epoch_us(ts)) AS t
+                FROM events GROUP BY 1
+            ), h AS (
+                SELECT CAST(t // 86400000000 AS BIGINT) AS day,
+                       CAST(COUNT(*) AS BIGINT) AS new_users
+                FROM f GROUP BY 1
+            )
+            SELECT day, new_users,
+                   CAST(SUM(new_users) OVER (ORDER BY day
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
+            FROM h ORDER BY day
         """,
         # same space-split word axis as top_bigrams/hapax_stats; the
         # 4-gram build (ws[i]||' '||...) mirrors the engine's shifted join

@@ -1819,3 +1819,82 @@ def interval_coverage(sf_dir: str, hold_s: int = 300) -> pd.DataFrame:
         .to_pandas()
         .sort_values("user_id", ignore_index=True)
     )
+
+
+# ----------------------------------------------------- peak concurrency
+def peak_concurrency(sf_dir: str, hold_s: int = 300) -> pd.DataFrame:
+    """Sweep-line peak concurrency: the maximum number of simultaneously
+    open [ts, ts+hold_s) activity intervals per event type — the
+    capacity-planning readout over the same synthetic-interval convention
+    as ``interval_coverage``.
+
+    Semantics: intervals are close-OPEN, so an interval ending exactly
+    when another starts never overlaps it (ends apply before starts at
+    equal timestamps).  Because ends only lower the running count, the
+    per-timestamp NET delta (+starts - ends) preserves every prefix
+    maximum, so the sweep needs one row per distinct boundary time.
+
+    Shape: per-batch (type, t, net) delta partials -> one hash exchange
+    to merge duplicate boundary times -> ``Dataset.sort`` on (type, t)
+    (one range exchange) -> per-BLOCK prefix partials {contiguous-run
+    sums, local max-prefix, key range}; the driver orders the O(blocks)
+    partials (valid: range partitioning means per-type block key ranges
+    never interleave) and re-bases each block's local max with its
+    running offset — the gini block-offset pattern on a signed series."""
+    hold_us = hold_s * US
+    ds = _events(sf_dir, ["event_type", "ts"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        t = df["ts"].astype("datetime64[us]").astype(np.int64).to_numpy()
+        et = df["event_type"].astype(str).to_numpy()
+        d = pd.DataFrame(
+            {
+                "event_type": np.concatenate([et, et]),
+                "t": np.concatenate([t, t + hold_us]),
+                "net": np.concatenate(
+                    [np.ones(len(t), np.int64), -np.ones(len(t), np.int64)]
+                ),
+            }
+        )
+        return d.groupby(["event_type", "t"], as_index=False)["net"].sum()
+
+    merged = hash_combine(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["event_type", "t"],
+        lambda g: g.groupby(["event_type", "t"], as_index=False)["net"].sum(),
+    ).sort(["event_type", "t"])
+
+    def block_stats(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {
+                    "event_type": pd.Series([], dtype=str),
+                    "bsum": pd.Series([], dtype=np.int64),
+                    "bmax": pd.Series([], dtype=np.int64),
+                    "t_lo": pd.Series([], dtype=np.int64),
+                }
+            )
+        rows = []
+        # sorted blocks keep each type contiguous; <=|types| groups/block
+        for et, g in df.groupby("event_type", sort=True):
+            c = np.cumsum(g["net"].to_numpy(np.int64))
+            rows.append((et, int(c[-1]), int(c.max()), int(g["t"].iloc[0])))
+        return pd.DataFrame(
+            rows, columns=["event_type", "bsum", "bmax", "t_lo"]
+        )
+
+    parts = (
+        merged.map_batches(block_stats, batch_format="pandas")
+        .to_pandas()
+        .sort_values(["event_type", "t_lo"], kind="mergesort",
+                     ignore_index=True)
+    )
+    out = []
+    for et, g in parts.groupby("event_type", sort=True):
+        off = np.concatenate(
+            [[0], np.cumsum(g["bsum"].to_numpy(np.int64))[:-1]]
+        )
+        out.append((et, int((off + g["bmax"].to_numpy(np.int64)).max())))
+    res = pd.DataFrame(out, columns=["event_type", "peak_concurrent"])
+    res["peak_concurrent"] = res["peak_concurrent"].astype(np.int64)
+    return res.sort_values("event_type", ignore_index=True)

@@ -1037,3 +1037,52 @@ def ab_conversion(sf_dir: str) -> pd.DataFrame:
             ),
         }
     ).sort_values("arm", ignore_index=True)
+
+
+# -------------------------------------------------- first-seen cohorts
+def user_first_seen_daily(sf_dir: str) -> pd.DataFrame:
+    """New-user arrivals per epoch day plus the cumulative user count —
+    the acquisition-curve readout, and the distributed FIRST-OCCURRENCE
+    shape (the vocab_growth machinery keyed on users).
+
+    Shape: per-batch min(ts) per user partials -> one user hash exchange
+    taking the global min -> per-partition day histograms; only the
+    |days|-bounded histogram reaches the driver, where the running total
+    is a cumsum over the sorted day axis.  All times are int64
+    microseconds; the day is epoch_us // DAY_US."""
+    day_us = 24 * 3600 * US
+    ds = _events(sf_dir, ["user_id", "ts"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        t = df["ts"].astype("datetime64[us]").astype(np.int64)
+        return (
+            pd.DataFrame({"u": df["user_id"].to_numpy(np.int64), "t": t})
+            .groupby("u", as_index=False)["t"]
+            .min()
+        )
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        first = g.groupby("u", as_index=False)["t"].min()
+        day = first["t"].to_numpy(np.int64) // day_us
+        h = pd.Series(day).value_counts()
+        return pd.DataFrame(
+            {
+                "day": h.index.to_numpy(np.int64),
+                "new_users": h.to_numpy(np.int64),
+            }
+        )
+
+    hist = (
+        hash_combine(
+            ds.map_batches(partial, batch_format="pandas"), ["u"], combine,
+            num_partitions=8,
+        )
+        .to_pandas()
+        .groupby("day", as_index=False)["new_users"]
+        .sum()
+        .sort_values("day", ignore_index=True)
+    )
+    hist["day"] = hist["day"].astype(np.int64)
+    hist["new_users"] = hist["new_users"].astype(np.int64)
+    hist["cum_users"] = np.cumsum(hist["new_users"].to_numpy(np.int64))
+    return hist

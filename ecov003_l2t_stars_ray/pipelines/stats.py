@@ -563,3 +563,127 @@ def lattice_quantiles(sf_dir: str, ps=(0.25, 0.5, 0.75)) -> pd.DataFrame:
     return pd.DataFrame(
         rows, columns=["event_type", "p", "q_value"]
     ).sort_values(["event_type", "p"], ignore_index=True)
+
+
+# --------------------------------------------- lag-1 autocorrelation
+def autocorr_lag1_hourly(sf_dir: str) -> pd.DataFrame:
+    """Lag-1 autocorrelation of each event type's HOURLY count series on
+    the dense global hour axis (absent hours count 0) — the basic
+    seasonality/persistence readout, and the dense-axis lag-join shape.
+
+    Exactness: counts are ints, so every moment (n, sx, sy, sxx, syy,
+    sxy over the H-1 consecutive-hour pairs) accumulates in int64; the
+    correlation is ONE mirrored float chain — num = n*sxy - sx*sy stays
+    int64, the denominator multiplies the two int variance terms AS
+    DOUBLES (their int64 product can overflow past ~sf1) before one
+    IEEE sqrt, identical op-for-op in the oracle.
+    Shape: per-batch (type, hour) count partials -> one hash exchange;
+    the reduced table is |types| x |hours| (time-range bounded, NOT data
+    bounded), so the dense scatter + moment chain runs on the driver."""
+    ds = _events(sf_dir, ["event_type", "ts"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        hr = (
+            df["ts"].astype("datetime64[us]").astype(np.int64) // HOUR_US
+        )
+        return (
+            pd.DataFrame({"event_type": df["event_type"].astype(str),
+                          "hr": hr})
+            .groupby(["event_type", "hr"], sort=False)
+            .size()
+            .rename("c")
+            .reset_index()
+        )
+
+    h = (
+        hash_combine(
+            ds.map_batches(partial, batch_format="pandas"),
+            ["event_type", "hr"],
+            lambda g: g.groupby(["event_type", "hr"], as_index=False)[
+                "c"
+            ].sum(),
+            num_partitions=8,
+        )
+        .to_pandas()
+        .groupby(["event_type", "hr"], as_index=False)["c"]
+        .sum()
+    )
+    lo = int(h["hr"].min())
+    hi = int(h["hr"].max())
+    H = hi - lo + 1
+    rows = []
+    for t, g in h.groupby("event_type"):
+        dense = np.zeros(H, np.int64)
+        dense[g["hr"].to_numpy(np.int64) - lo] = g["c"].to_numpy(np.int64)
+        x, y = dense[:-1], dense[1:]
+        n = np.int64(H - 1)
+        sx, sy = int(x.sum()), int(y.sum())
+        sxx, syy = int((x * x).sum()), int((y * y).sum())
+        sxy = int((x * y).sum())
+        num = float(n * sxy - sx * sy)
+        den = np.sqrt(float(n * sxx - sx * sx) * float(n * syy - sy * sy))
+        rows.append((t, n, float(_r6away(num / den))))
+    return pd.DataFrame(
+        rows, columns=["event_type", "n_pairs", "autocorr"]
+    ).sort_values("event_type", ignore_index=True)
+
+
+# ------------------------------------------ Kolmogorov-Smirnov distance
+def ks_test_values(
+    sf_dir: str, type_a: str = "view", type_b: str = "purchase"
+) -> pd.DataFrame:
+    """EXACT two-sample Kolmogorov-Smirnov statistic between two event
+    types' value distributions: D = max |F_a - F_b| over the shared
+    2^10 value lattice — the max-ECDF-deviation companion to
+    ``mann_whitney_auc``'s rank-sum.
+
+    Exactness: D rides as the INTEGER max of |cum_a*N_b - cum_b*N_a|
+    (cross-multiplied ECDFs, no division inside the max); the statistic
+    itself is ONE division at the end. Same bounded-histogram exchange
+    shape as mann_whitney_auc."""
+    ds = _events(sf_dir, ["event_type", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        t = df["event_type"].astype(str)
+        m = t.isin([type_a, type_b])
+        d = df[m]
+        q = np.floor(d["value"].to_numpy(np.float64) * 1024.0 + 0.5).astype(
+            np.int64
+        )
+        isa = (t[m] == type_a).to_numpy()
+        return (
+            pd.DataFrame(
+                {
+                    "q": q,
+                    "n1": isa.astype(np.int64),
+                    "n2": (~isa).astype(np.int64),
+                }
+            )
+            .groupby("q", as_index=False)[["n1", "n2"]]
+            .sum()
+        )
+
+    h = (
+        hash_combine(
+            ds.map_batches(partial, batch_format="pandas"),
+            ["q"],
+            lambda g: g.groupby("q", as_index=False)[["n1", "n2"]].sum(),
+            num_partitions=8,
+        )
+        .to_pandas()
+        .groupby("q", as_index=False)[["n1", "n2"]]
+        .sum()
+        .sort_values("q", ignore_index=True)
+    )
+    c1 = np.cumsum(h["n1"].to_numpy(np.int64))
+    c2 = np.cumsum(h["n2"].to_numpy(np.int64))
+    N1, N2 = int(c1[-1]), int(c2[-1])
+    dn = int(np.abs(c1 * N2 - c2 * N1).max())
+    return pd.DataFrame(
+        {
+            "n_a": [np.int64(N1)],
+            "n_b": [np.int64(N2)],
+            "ks_num": [np.int64(dn)],
+            "ks_stat": [float(_r6away(dn / (N1 * N2)))],
+        }
+    )

@@ -590,14 +590,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # EXACT median/MAD on a bounded fixed-point lattice, day-over-day
         # deltas, PERCENT_RANK, per-source hapax vocabulary stats
         "gini_revenue": ST.gini_revenue,
-        "pareto_revenue_share": ST.pareto_revenue_share,
+        # round-4 wave 14: integer-carrier unigram-LM rarity scoring (the
+        # perplexity-filter shape with an exact bit-cost carrier) and the
+        # Q21 double-correlated EXISTS/NOT-EXISTS composite
+        # (pareto_revenue_share / q18_large_orders rotate to the tail —
+        # gini_revenue + q17's correlated threshold rep those shapes)
+        "doc_rarity_score": T.doc_rarity_score,
         "chi2_event_hour": ST.chi2_event_hour,
         "hapax_stats": ST.hapax_stats,
         # round-4 wave 10: TPC-H composites the r3 joins don't exercise —
-        # Q18 HAVING-aggregate -> fact re-join, Q16 COUNT(DISTINCT) over a
-        # broadcast-decorated scan, Q10 big-big join RE-KEYED into a
-        # second aggregation, Q7 two-broadcast-dimension fact-fact join
-        "q18_large_orders": J.q18_large_orders,
+        # Q16 COUNT(DISTINCT) over a broadcast-decorated scan, Q7
+        # two-broadcast-dimension fact-fact join
+        "q21_sole_late_supplier": J.q21_sole_late_supplier,
         "q16_supplier_cnt": J.q16_supplier_cnt,
         "q7_nation_volume": J.q7_nation_volume,
         # round-4 wave 12: new composite families — Q13 left-outer count
@@ -638,6 +642,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transition_matrix": G.transition_matrix,
         "ks_test_values": ST.ks_test_values,
         "user_first_seen_daily": G.user_first_seen_daily,
+        # wave 14 TPC-H tail: Q9 five-table star profit, Q11 HAVING vs a
+        # global-scalar subquery (int-exact threshold); rotated wave-10
+        # entries keep their oracles
+        "q9_nation_profit": J.q9_nation_profit,
+        "q11_concentrated_parts": J.q11_concentrated_parts,
+        "pareto_revenue_share": ST.pareto_revenue_share,
+        "q18_large_orders": J.q18_large_orders,
         "funnel_stages": G.funnel_stages,
         "path_signature": G.path_signature,
         "event_pmi": G.event_pmi,
@@ -1036,6 +1047,112 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(new_users) OVER (ORDER BY day
                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
             FROM h ORDER BY day
+        """,
+        # five-table star: profit carrier is int64 cents x (100 - disc%),
+        # ONE division on the |nations| x |years| result
+        "q9_nation_profit": """
+            WITH pr AS (
+                SELECT p_partkey FROM part WHERE p_name LIKE '%red%'
+            ), l AS (
+                SELECT l_orderkey, s_nationkey,
+                       CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
+                       * (100 - CAST(FLOOR(l_discount * 100 + 0.5)
+                                     AS BIGINT)) AS u
+                FROM lineitem
+                JOIN pr ON l_partkey = p_partkey
+                JOIN supplier ON l_suppkey = s_suppkey
+            ), j AS (
+                SELECT n_name AS nation,
+                       CAST(EXTRACT(year FROM o_orderdate) AS BIGINT)
+                           AS o_year,
+                       u
+                FROM l
+                JOIN orders ON l_orderkey = o_orderkey
+                JOIN nation ON s_nationkey = n_nationkey
+            )
+            SELECT nation, o_year,
+                   CAST(SUM(u) AS BIGINT) AS profit_u,
+                   CAST(SUM(u) AS BIGINT) / 10000.0 AS profit
+            FROM j GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        # HAVING vs global scalar, evaluated ENTIRELY in int64:
+        # value_u * denom > total  <=>  value_u > total // denom, because
+        # u > floor(t/d) <=> u >= floor(t/d)+1 <=> u*d >= (floor(t/d)+1)*d
+        # > t, and u = floor(t/d) gives u*d <= t
+        "q11_concentrated_parts": """
+            WITH v AS (
+                SELECT l_partkey AS partkey,
+                       CAST(SUM(
+                           CAST(FLOOR(l_extendedprice * 100 + 0.5)
+                                AS BIGINT)
+                           * (100 - CAST(FLOOR(l_discount * 100 + 0.5)
+                                         AS BIGINT))
+                       ) AS BIGINT) AS value_u
+                FROM lineitem GROUP BY 1
+            ), t AS (
+                SELECT CAST(SUM(value_u) AS BIGINT) AS total FROM v
+            )
+            SELECT partkey, value_u, value_u / 10000.0 AS part_value
+            FROM v, t WHERE value_u > t.total // 1600
+            ORDER BY value_u DESC, partkey
+        """,
+        # double-correlated EXISTS/NOT-EXISTS as a per-order grouped
+        # reduction: (n_supp > 1, n_late = 1) picks the sole late
+        # supplier; MAX over the single late row IS that supplier
+        "q21_sole_late_supplier": """
+            WITH ls AS (
+                SELECT l_orderkey AS okey, l_suppkey AS skey,
+                       MAX(epoch_us(l_shipdate)) AS max_ship
+                FROM lineitem GROUP BY 1, 2
+            ), j AS (
+                SELECT okey, skey,
+                       CASE WHEN max_ship > epoch_us(o_orderdate)
+                                           + 2592000000000
+                            THEN 1 ELSE 0 END AS late
+                FROM ls JOIN orders ON okey = o_orderkey
+            ), o AS (
+                SELECT okey, COUNT(*) AS n_supp, SUM(late) AS n_late,
+                       MAX(CASE WHEN late = 1 THEN skey END) AS late_skey
+                FROM j GROUP BY 1
+            ), w AS (
+                SELECT late_skey AS skey,
+                       CAST(COUNT(*) AS BIGINT) AS numwait
+                FROM o WHERE n_supp > 1 AND n_late = 1 GROUP BY 1
+            )
+            SELECT s_name, numwait
+            FROM w JOIN supplier ON skey = s_suppkey
+            ORDER BY numwait DESC, s_name
+        """,
+        # same space-split word axis as hapax_stats; rarity is the exact
+        # integer floor(log2(total // cnt)) (LENGTH(bin(q)) - 1 ==
+        # np.frexp exponent - 1 for q >= 1); the mean is ONE division
+        "doc_rarity_score": """
+            WITH w AS (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                FROM documents
+            ), tf AS (
+                SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+                FROM w GROUP BY 1, 2
+            ), c AS (
+                SELECT term, CAST(SUM(tf) AS BIGINT) AS cnt
+                FROM tf GROUP BY 1
+            ), t AS (
+                SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM c
+            ), b AS (
+                SELECT term,
+                       CAST(LENGTH(bin(t.total // c.cnt)) - 1 AS BIGINT)
+                           AS b
+                FROM c, t
+            ), d AS (
+                SELECT tf.doc_id,
+                       CAST(SUM(tf.tf) AS BIGINT) AS n_tokens,
+                       CAST(SUM(tf.tf * b.b) AS BIGINT) AS rarity_u
+                FROM tf JOIN b USING (term) GROUP BY 1
+            )
+            SELECT doc_id, n_tokens, rarity_u,
+                   ROUND(CAST(rarity_u AS DOUBLE) / n_tokens, 6)
+                       AS rarity_mean
+            FROM d ORDER BY doc_id
         """,
         # same space-split word axis as top_bigrams/hapax_stats; the
         # 4-gram build (ws[i]||' '||...) mirrors the engine's shifted join

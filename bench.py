@@ -259,6 +259,13 @@ def run_bench() -> dict:
         # round-4 wave 12 (Q13/Q17/Q15/Q19/Q8 composite shapes)
         "q13_custdist", "q17_small_qty_revenue", "q15_top_supplier",
         "q19_banded_revenue", "q8_market_share",
+        # round-4 wave 13 (sweep-line peak, dense-axis autocorr, KS,
+        # first-seen cohorts)
+        "peak_concurrency", "autocorr_lag1_hourly", "ks_test_values",
+        "user_first_seen_daily",
+        # round-4 wave 14 (Q9/Q11/Q21 composites, corpus rarity scoring)
+        "q9_nation_profit", "q11_concentrated_parts",
+        "q21_sole_late_supplier", "doc_rarity_score",
     ]
     q_steal: dict[str, float] = {}
     for name in q_list:

@@ -1341,3 +1341,318 @@ def q8_market_share(
             "total_revenue": agg["u"].to_numpy(np.int64) / 100000.0,
         }
     ).sort_values("o_year", ignore_index=True)
+
+
+# -------------------------------------------- Q9 profit by nation/year
+def q9_nation_profit(sf_dir: str, keyword: str = "red") -> pd.DataFrame:
+    """TPC-H Q9 shape (product-type profit): discounted revenue per
+    (supplier nation, order year) for parts whose name contains
+    ``keyword`` — the five-table star composite (part + supplier +
+    nation broadcast dimensions, lineitem x orders big-big fact join).
+    The testdata carries no partsupp/supplycost, so profit degenerates
+    to ep x (1 - discount); the SHAPE (two broadcast prunes feeding one
+    orderkey exchange) is the Q9 plan.
+    Reference parity: the reference composites dimension rasters onto a
+    date-keyed fact the same one-fact-exchange way
+    (ECOv003-L2T-STARS/L2T_STARS.py generate_STARS_inputs).
+
+    Determinism: profit accumulates as int64 cents x (100 - disc%);
+    ONE division on the |nations| x |years| driver table."""
+    part = pd.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name"]
+    )
+    pk = np.sort(
+        part.loc[
+            part["p_name"].astype(str).str.contains(keyword, regex=False),
+            "p_partkey",
+        ].to_numpy(np.int64)
+    )
+    pk_ref = ray.put(pk)
+
+    supp = pd.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    )
+    sk = supp["s_suppkey"].to_numpy(np.int64)
+    so = np.argsort(sk)
+    supp_ref = ray.put((sk[so], supp["s_nationkey"].to_numpy(np.int64)[so]))
+    nation = pd.read_parquet(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    )
+    nname = dict(
+        zip(nation["n_nationkey"].astype(np.int64), nation["n_name"].astype(str))
+    )
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice",
+                 "l_discount"],
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderdate"]
+    )
+
+    def li_prep(df: pd.DataFrame) -> pd.DataFrame:
+        parts = ray.get(pk_ref)
+        pv = df["l_partkey"].to_numpy(np.int64)
+        idx = np.clip(np.searchsorted(parts, pv), 0, max(len(parts) - 1, 0))
+        m = parts[idx] == pv if len(parts) else np.zeros(len(pv), dtype=bool)
+        d = df[m]
+        keys, nats = ray.get(supp_ref)
+        sv = d["l_suppkey"].to_numpy(np.int64)
+        si = np.searchsorted(keys, sv)
+        ep_c = np.floor(
+            d["l_extendedprice"].to_numpy(np.float64) * 100 + 0.5
+        ).astype(np.int64)
+        dc = np.floor(
+            d["l_discount"].to_numpy(np.float64) * 100 + 0.5
+        ).astype(np.int64)
+        return (
+            pd.DataFrame(
+                {
+                    "okey": d["l_orderkey"].to_numpy(np.int64),
+                    "snat": nats[si],
+                    "profit_u": ep_c * (100 - dc),
+                }
+            )
+            .groupby(["okey", "snat"], as_index=False)["profit_u"]
+            .sum()
+        )
+
+    def o_prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "okey": df["o_orderkey"].to_numpy(np.int64),
+                "o_year": df["o_orderdate"].dt.year.to_numpy(np.int64),
+            }
+        )
+
+    joined = hash_join(
+        li.map_batches(li_prep, batch_format="pandas"),
+        orders.map_batches(o_prep, batch_format="pandas"),
+        on=["okey"],
+    )
+
+    EMPTY = pd.DataFrame(
+        {
+            "snat": pd.Series([], dtype=np.int64),
+            "o_year": pd.Series([], dtype=np.int64),
+            "profit_u": pd.Series([], dtype=np.int64),
+        }
+    )
+
+    def part_agg(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "snat" not in df.columns:
+            return EMPTY.copy()
+        d = df[df["profit_u"].notna()]
+        return d.groupby(["snat", "o_year"], as_index=False)["profit_u"].sum()
+
+    agg = (
+        pd.concat(
+            [EMPTY,
+             joined.map_batches(part_agg, batch_format="pandas").to_pandas()]
+        )
+        .groupby(["snat", "o_year"], as_index=False)["profit_u"]
+        .sum()
+    )
+    return pd.DataFrame(
+        {
+            "nation": agg["snat"].map(nname).astype(str),
+            "o_year": agg["o_year"].astype(np.int64),
+            "profit_u": agg["profit_u"].astype(np.int64),
+            "profit": agg["profit_u"].to_numpy(np.int64) / 10000.0,
+        }
+    ).sort_values(["nation", "o_year"], ignore_index=True)
+
+
+# --------------------------------------- Q11 global-share concentration
+def q11_concentrated_parts(sf_dir: str, denom: int = 1_600) -> pd.DataFrame:
+    """TPC-H Q11 shape (important stock): parts whose total discounted
+    lineitem value exceeds 1/``denom`` (default: 1.25x the mean part share) of the GLOBAL total — the
+    HAVING-against-a-global-scalar-subquery composite.  The testdata has
+    no partsupp, so "stock value" is the part's lineitem revenue; the
+    plan shape (grouped aggregate filtered by a second, global aggregate
+    of the same stream) is Q11's.
+
+    Exactness: value_u > total/denom is evaluated ENTIRELY in int64 —
+    value_u > total // denom is equivalent for integer value_u (proof in
+    oracle comment), so no float threshold ever exists.  Shape: one
+    partkey hash exchange builds the bounded per-part table ONCE
+    (materialized — it is the reduced output, |parts| rows, not the
+    fact stream); the global total reduces from the same table; the
+    filter is a broadcast-scalar map."""
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_extendedprice", "l_discount"],
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        ep_c = np.floor(
+            df["l_extendedprice"].to_numpy(np.float64) * 100 + 0.5
+        ).astype(np.int64)
+        dc = np.floor(
+            df["l_discount"].to_numpy(np.float64) * 100 + 0.5
+        ).astype(np.int64)
+        return (
+            pd.DataFrame(
+                {
+                    "partkey": df["l_partkey"].to_numpy(np.int64),
+                    "value_u": ep_c * (100 - dc),
+                }
+            )
+            .groupby("partkey", as_index=False)["value_u"]
+            .sum()
+        )
+
+    per_part = hash_combine(
+        li.map_batches(partial, batch_format="pandas"),
+        ["partkey"],
+        lambda g: g.groupby("partkey", as_index=False)["value_u"].sum(),
+    ).materialize()  # bounded: |parts| rows (the REDUCED table, reused twice)
+
+    total = int(
+        per_part.map_batches(
+            lambda df: pd.DataFrame({"s": [np.int64(df["value_u"].sum())]}),
+            batch_format="pandas",
+        )
+        .to_pandas()["s"]
+        .sum()
+    )
+    thr = total // denom  # value_u*denom > total  <=>  value_u > thr (ints)
+
+    out = (
+        per_part.map_batches(
+            lambda df: df[df["value_u"].to_numpy(np.int64) > thr],
+            batch_format="pandas",
+        )
+        .to_pandas()
+        .sort_values(["value_u", "partkey"], ascending=[False, True],
+                     ignore_index=True)
+    )
+    out["partkey"] = out["partkey"].astype(np.int64)
+    out["value_u"] = out["value_u"].astype(np.int64)
+    out["part_value"] = out["value_u"].to_numpy(np.int64) / 10000.0
+    return out
+
+
+# ------------------------------------------- Q21 sole-late supplier
+def q21_sole_late_supplier(sf_dir: str, grace_days: int = 30) -> pd.DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting): for
+    multi-supplier orders where EXACTLY ONE supplier shipped any line
+    more than ``grace_days`` after the order date, count such orders per
+    offending supplier — the EXISTS(other supplier) AND NOT
+    EXISTS(other LATE supplier) double-correlated composite, rewritten
+    as a per-order grouped reduction (n_suppliers, n_late, the sole
+    late suppkey) so each order crosses the exchange as one row per
+    (order, supplier) instead of a per-line semi-join probe.  The
+    testdata has no commit/receipt dates, so "late" is shipdate >
+    orderdate + grace (the Q4 lateness convention).
+
+    Shape: per-(okey, skey) max-shipdate partials -> ONE orderkey hash
+    exchange joined with the orders date stream; each partition reduces
+    its orders to per-supplier wait counts (|suppliers|-bounded), the
+    driver sums and decorates names from the broadcast supplier table."""
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_shipdate"],
+    )
+
+    def li_prep(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            pd.DataFrame(
+                {
+                    "okey": df["l_orderkey"].to_numpy(np.int64),
+                    "skey": df["l_suppkey"].to_numpy(np.int64),
+                    "max_ship": df["l_shipdate"]
+                    .astype("datetime64[us]")
+                    .astype(np.int64),
+                }
+            )
+            .groupby(["okey", "skey"], as_index=False)["max_ship"]
+            .max()
+        )
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderdate"]
+    )
+
+    def o_prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "okey": df["o_orderkey"].to_numpy(np.int64),
+                "odate": df["o_orderdate"]
+                .astype("datetime64[us]")
+                .astype(np.int64),
+            }
+        )
+
+    joined = hash_join(
+        li.map_batches(li_prep, batch_format="pandas"),
+        orders.map_batches(o_prep, batch_format="pandas"),
+        on=["okey"],
+    )
+    grace_us = grace_days * 24 * 3600 * 1_000_000
+
+    EMPTY = pd.DataFrame(
+        {
+            "skey": pd.Series([], dtype=np.int64),
+            "numwait": pd.Series([], dtype=np.int64),
+        }
+    )
+
+    def part_counts(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "max_ship" not in df.columns:
+            return EMPTY.copy()
+        # li_prep emits per-BATCH maxima: finish the per-(okey, skey) max
+        # first, then reduce each order to (n_supp, n_late, sole suppkey)
+        g = df.groupby(["okey", "odate", "skey"], as_index=False)[
+            "max_ship"
+        ].max()
+        g["late"] = (
+            g["max_ship"].to_numpy(np.int64)
+            > g["odate"].to_numpy(np.int64) + grace_us
+        ).astype(np.int64)
+        o = g.groupby("okey").agg(
+            n_supp=("skey", "size"),
+            n_late=("late", "sum"),
+            late_skey=("skey", "first"),  # placeholder, fixed below
+        )
+        # the sole late suppkey: max over late rows only (exactly one
+        # late row when the filter keeps the order, so max == that key)
+        lk = (
+            g[g["late"] == 1]
+            .groupby("okey")["skey"]
+            .max()
+            .reindex(o.index, fill_value=-1)
+        )
+        hit = o[(o["n_supp"] > 1) & (o["n_late"] == 1)]
+        w = lk.loc[hit.index].value_counts()
+        return pd.DataFrame(
+            {
+                "skey": w.index.to_numpy(np.int64),
+                "numwait": w.to_numpy(np.int64),
+            }
+        )
+
+    agg = (
+        pd.concat(
+            [EMPTY,
+             joined.map_batches(part_counts, batch_format="pandas").to_pandas()]
+        )
+        .groupby("skey", as_index=False)["numwait"]
+        .sum()
+    )
+    supp = pd.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"]
+    )
+    sname = dict(
+        zip(supp["s_suppkey"].astype(np.int64), supp["s_name"].astype(str))
+    )
+    out = pd.DataFrame(
+        {
+            "s_name": agg["skey"].map(sname).astype(str),
+            "numwait": agg["numwait"].astype(np.int64),
+        }
+    )
+    return out.sort_values(
+        ["numwait", "s_name"], ascending=[False, True], ignore_index=True
+    )

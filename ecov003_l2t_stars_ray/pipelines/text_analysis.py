@@ -826,3 +826,114 @@ def cross_source_ngram_matrix(sf_dir: str, k: int = 4) -> pd.DataFrame:
     out = out.groupby(["src_a", "src_b"], as_index=False)["n_shared"].sum()
     out["n_shared"] = out["n_shared"].astype(np.int64)
     return out.sort_values(["src_a", "src_b"], ignore_index=True)
+
+
+# ------------------------------------------------- corpus rarity score
+def doc_rarity_score(sf_dir: str) -> pd.DataFrame:
+    """Unigram-LM-flavoured document quality score: each token's rarity
+    is the INTEGER floor(log2(total_tokens / corpus_count(term))) —
+    the bit-cost of the term under the corpus's own unigram model — and
+    a document scores the token-weighted mean.  High-rarity docs are
+    OCR damage / codes / boilerplate-free prose; near-zero docs are
+    repetition.  The classic perplexity filter with the float log-sum
+    replaced by an exact integer carrier (order-free at any scale).
+
+    Exactness: q = total // cnt in int64; floor(log2(q)) ==
+    floor(log2(total/cnt)) because floor crosses powers of two with its
+    argument; the engine takes the exponent from ``np.frexp`` (exact for
+    q < 2^53), the oracle from LENGTH(bin(q)) - 1.  The per-doc mean is
+    ONE int/int division.
+
+    Shape: three exchanges, no vocabulary broadcast — (1) term-hash
+    combine builds the reduced (term, cnt) table once (materialized:
+    it is reused for the global total and the join); (2) term-hash join
+    decorates (doc_id, term, tf) partials with b; (3) doc-hash combine
+    sums the per-doc integer moments.  The vocabulary never leaves the
+    cluster and never lands on the driver."""
+    from .stats import _r6away
+    from ..functions.shuffle import hash_combine, hash_join
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def tf_partial(df: pd.DataFrame) -> pd.DataFrame:
+        ex = df.set_index("doc_id")["text"].str.split(" ").explode()
+        c = ex.groupby([ex.index, ex.values]).size()
+        out = c.rename("tf").reset_index()
+        out.columns = ["doc_id", "term", "tf"]
+        out["tf"] = out["tf"].astype(np.int64)
+        return out
+
+    tf = ds.map_batches(tf_partial, batch_format="pandas")
+
+    # lazy: consumed once here (pass A) and once by the join (pass B)
+    tc = hash_combine(
+        tf.map_batches(
+            lambda df: df.groupby("term", as_index=False)["tf"]
+            .sum()
+            .rename(columns={"tf": "cnt"}),
+            batch_format="pandas",
+        ),
+        ["term"],
+        lambda g: g.groupby("term", as_index=False)["cnt"].sum(),
+    ).materialize()  # reduced |vocab| table, reused twice
+
+    total = int(
+        tc.map_batches(
+            lambda df: pd.DataFrame({"s": [np.int64(df["cnt"].sum())]}),
+            batch_format="pandas",
+        )
+        .to_pandas()["s"]
+        .sum()
+    )
+
+    def add_bits(df: pd.DataFrame) -> pd.DataFrame:
+        q = total // df["cnt"].to_numpy(np.int64)
+        b = (np.frexp(q.astype(np.float64))[1] - 1).astype(np.int64)
+        return pd.DataFrame({"term": df["term"], "b": b})
+
+    joined = hash_join(
+        tf, tc.map_batches(add_bits, batch_format="pandas"), on=["term"]
+    )
+
+    EMPTY = pd.DataFrame(
+        {
+            "doc_id": pd.Series([], dtype=np.int64),
+            "n_tokens": pd.Series([], dtype=np.int64),
+            "rarity_u": pd.Series([], dtype=np.int64),
+        }
+    )
+
+    def doc_partial(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "tf" not in df.columns:
+            return EMPTY.copy()
+        t = df["tf"].to_numpy(np.int64)
+        return (
+            pd.DataFrame(
+                {
+                    "doc_id": df["doc_id"].to_numpy(np.int64),
+                    "n_tokens": t,
+                    "rarity_u": t * df["b"].to_numpy(np.int64),
+                }
+            )
+            .groupby("doc_id", as_index=False)[["n_tokens", "rarity_u"]]
+            .sum()
+        )
+
+    out = (
+        hash_combine(
+            joined.map_batches(doc_partial, batch_format="pandas"),
+            ["doc_id"],
+            lambda g: g.groupby("doc_id", as_index=False)[
+                ["n_tokens", "rarity_u"]
+            ].sum(),
+        )
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    out["doc_id"] = out["doc_id"].astype(np.int64)
+    out["n_tokens"] = out["n_tokens"].astype(np.int64)
+    out["rarity_u"] = out["rarity_u"].astype(np.int64)
+    out["rarity_mean"] = _r6away(
+        out["rarity_u"].to_numpy(np.int64) / out["n_tokens"].to_numpy(np.int64)
+    )
+    return out

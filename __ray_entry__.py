@@ -509,7 +509,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # trailing range-window count, fixed-bin histogram, rolling
         # z-score anomaly, distributed argmax, JSON props extraction
         "counter_rate_1h": A.counter_rate_1h,
-        "band_count_5m": A.band_count_5m,
         "value_histogram_1h": A.value_histogram_1h,
         "zscore_anomaly_24h": A.zscore_anomaly_24h,
         "argmax_per_user": A.argmax_per_user,
@@ -597,7 +596,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # gini_revenue + q17's correlated threshold rep those shapes)
         "doc_rarity_score": T.doc_rarity_score,
         "chi2_event_hour": ST.chi2_event_hour,
-        "hapax_stats": ST.hapax_stats,
+        # round-4 wave 15: the last three TPC-H query shapes — Q2
+        # argmin-per-part supplier with all-tie retention, Q12 ship-delay
+        # priority split, Q20 two-aggregate correlated-threshold semi-join
+        # (band_count_5m / hapax_stats / blend_two_source rotate to the
+        # tail — value_histogram + rolling_median_24h rep the range-window
+        # shapes, doc_rarity_score reps the word axis, and blend was
+        # driver-green in CORRECTNESS_r03)
+        "q2_min_cost_supplier": J.q2_min_cost_supplier,
+        "q12_delay_priority": J.q12_delay_priority,
+        "q20_excess_suppliers": J.q20_excess_suppliers,
         # round-4 wave 10: TPC-H composites the r3 joins don't exercise —
         # Q16 COUNT(DISTINCT) over a broadcast-decorated scan, Q7
         # two-broadcast-dimension fact-fact join
@@ -613,12 +621,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q13_custdist": J.q13_custdist,
         "q17_small_qty_revenue": J.q17_small_qty_revenue,
         "q8_market_share": J.q8_market_share,
-        # ---- slot 50: core SQL-oracled surface ----
-        # two-source blend (M10; r3 verdict item, kept driver-visible)
-        "blend_two_source": A.blend_two_source,
         # ---- past the 50-slot gate cap ----
         # rotated r3-driver-green core entries (all green in
         # CORRECTNESS_r03; oracle_sql retained, local gate covers them)
+        "blend_two_source": A.blend_two_source,
+        "band_count_5m": A.band_count_5m,
+        "hapax_stats": ST.hapax_stats,
         "gap_fill_1m": A.gap_fill_1m,
         "corpus_prune_exact": _corpus_prune,
         "embedding_near_dups": _embedding_near_dups,
@@ -1236,6 +1244,79 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(cnt AS BIGINT) AS c_count,
                    CAST(COUNT(*) AS BIGINT) AS custdist
             FROM a GROUP BY 1
+        """,
+        # Q2 shape: correlated argmin-per-part with all ties kept; cost
+        # is MIN price cents (int), ONE division at output; the total
+        # order (acctbal DESC, n_name, s_name, partkey) is unique so the
+        # LIMIT is stable
+        "q2_min_cost_supplier": """
+            WITH rs AS (
+                SELECT s_suppkey, s_name, s_acctbal, n_name
+                FROM supplier
+                JOIN nation ON s_nationkey = n_nationkey
+                JOIN region ON n_regionkey = r_regionkey
+                WHERE r_name = 'EUROPE'
+            ), pp AS (
+                SELECT p_partkey FROM part WHERE p_size <= 10
+            ), ps AS (
+                SELECT l_partkey AS partkey, l_suppkey AS sk,
+                       MIN(CAST(FLOOR(l_extendedprice * 100 + 0.5)
+                                AS BIGINT)) AS cost_u
+                FROM lineitem
+                JOIN pp ON l_partkey = p_partkey
+                JOIN rs ON l_suppkey = s_suppkey
+                GROUP BY 1, 2
+            ), m AS (
+                SELECT partkey, MIN(cost_u) AS mc FROM ps GROUP BY 1
+            )
+            SELECT s_acctbal, s_name, n_name, ps.partkey AS partkey,
+                   cost_u / 100.0 AS min_cost
+            FROM ps
+            JOIN m ON ps.partkey = m.partkey AND ps.cost_u = m.mc
+            JOIN rs ON ps.sk = rs.s_suppkey
+            ORDER BY s_acctbal DESC, n_name, s_name, ps.partkey
+            LIMIT 100
+        """,
+        # Q12 shape: ship-delay band replaces l_shipmode (absent from the
+        # testdata); pure int64 day arithmetic, floor division both sides
+        "q12_delay_priority": """
+            WITH j AS (
+                SELECT (epoch_us(l_shipdate) - epoch_us(o_orderdate))
+                       // 86400000000 AS d,
+                       CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END AS high
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            )
+            SELECT CASE WHEN d <= 30 THEN '00-30d'
+                        WHEN d <= 90 THEN '31-90d'
+                        ELSE '91d+' END AS band,
+                   CAST(SUM(high) AS BIGINT) AS high_line_count,
+                   CAST(SUM(1 - high) AS BIGINT) AS low_line_count
+            FROM j GROUP BY 1 ORDER BY 1
+        """,
+        # Q20 shape: two-aggregate correlated threshold (recent > tot/2
+        # as integer 2*recent > tot) over name-prefix parts, then a
+        # distinct semi-join up to supplier/nation
+        "q20_excess_suppliers": """
+            WITH pp AS (
+                SELECT p_partkey FROM part WHERE p_name LIKE 'small%'
+            ), q AS (
+                SELECT l_suppkey AS sk,
+                       CAST(SUM(CAST(FLOOR(l_quantity + 0.5) AS BIGINT))
+                            AS BIGINT) AS tot,
+                       CAST(SUM(CASE WHEN l_shipdate >=
+                                          TIMESTAMP '1999-01-01'
+                                THEN CAST(FLOOR(l_quantity + 0.5) AS BIGINT)
+                                ELSE 0 END) AS BIGINT) AS recent
+                FROM lineitem JOIN pp ON l_partkey = p_partkey
+                GROUP BY l_suppkey, l_partkey
+            )
+            SELECT DISTINCT s_name, n_name
+            FROM q
+            JOIN supplier ON sk = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE 2 * recent > tot
+            ORDER BY s_name, n_name
         """,
         # integer predicate 5*qty*n < s <=> qty < 0.2*avg(qty) — no float
         # enters the correlated threshold

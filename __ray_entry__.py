@@ -510,12 +510,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # z-score anomaly, distributed argmax, JSON props extraction
         "counter_rate_1h": A.counter_rate_1h,
         "value_histogram_1h": A.value_histogram_1h,
-        "zscore_anomaly_24h": A.zscore_anomaly_24h,
-        "argmax_per_user": A.argmax_per_user,
         "props_json_stats": A.props_json_stats,
+        # round-4 wave 16: distributed 2-D skyline (Pareto frontier via
+        # sort + block-prefix-min sweep), per-user Shannon entropy of the
+        # event mix, inverted-index posting stats (per-term df/cf/argmax
+        # doc).  (zscore_anomaly_24h / argmax_per_user / bottomk_sample
+        # rotate to the tail — rolling_median_24h + autocorr rep rolling
+        # windows, mode_per_user reps the argmax family,
+        # stratified_sample + source_mixture_sample rep hash-rank
+        # sampling; all three are bit-exact-probed and in the local gate)
+        "pareto_frontier_events": ST.pareto_frontier_events,
+        "user_event_entropy": G.user_event_entropy,
+        "term_postings": T.term_postings,
         # sketches / sampling (bounded-memory family)
         "heavy_hitters": SK.heavy_hitters,
-        "bottomk_sample": SK.bottomk_sample,
         "stratified_sample": SK.stratified_sample,
         # within-doc repetition quality signals
         "doc_repetition": T.doc_repetition,
@@ -627,6 +635,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "blend_two_source": A.blend_two_source,
         "band_count_5m": A.band_count_5m,
         "hapax_stats": ST.hapax_stats,
+        "zscore_anomaly_24h": A.zscore_anomaly_24h,
+        "argmax_per_user": A.argmax_per_user,
+        "bottomk_sample": SK.bottomk_sample,
         "gap_fill_1m": A.gap_fill_1m,
         "corpus_prune_exact": _corpus_prune,
         "embedding_near_dups": _embedding_near_dups,
@@ -1317,6 +1328,61 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation ON s_nationkey = n_nationkey
             WHERE 2 * recent > tot
             ORDER BY s_name, n_name
+        """,
+        # skyline: no arithmetic — DISTINCT pairs, strict prefix-min
+        # dominance over the (value DESC, ts ASC) order
+        "pareto_frontier_events": """
+            WITH d AS (SELECT DISTINCT value, ts FROM events),
+            w AS (
+                SELECT value, ts,
+                       MIN(ts) OVER (
+                           ORDER BY value DESC, ts ASC
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING
+                       ) AS pm
+                FROM d
+            )
+            SELECT value, ts FROM w WHERE pm IS NULL OR ts < pm
+            ORDER BY value DESC, ts ASC
+        """,
+        # entropy terms are O(1)-magnitude transcendentals: ROUND(6)
+        # absorbs last-ulp log2 differences (time_features precedent)
+        "user_event_entropy": """
+            WITH c AS (
+                SELECT user_id, event_type,
+                       CAST(COUNT(*) AS BIGINT) AS cnt
+                FROM events GROUP BY 1, 2
+            )
+            SELECT user_id,
+                   CAST(SUM(cnt) AS BIGINT) AS n_events,
+                   ROUND(LOG2(CAST(SUM(cnt) AS DOUBLE))
+                         - SUM(cnt * LOG2(CAST(cnt AS DOUBLE)))
+                           / SUM(cnt), 6) AS entropy
+            FROM c GROUP BY 1 ORDER BY 1
+        """,
+        # inverted-index stats: same space tokenizer as tfidf_topk;
+        # argmax posting via ROW_NUMBER with the total (tf DESC, doc ASC)
+        # tiebreak
+        "term_postings": """
+            WITH tok AS (
+                SELECT doc_id, UNNEST(string_split(text, ' ')) AS term
+                FROM documents
+            ), tf AS (
+                SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+                FROM tok GROUP BY 1, 2
+            ), agg AS (
+                SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+                       CAST(SUM(tf) AS BIGINT) AS cf
+                FROM tf GROUP BY 1
+            ), top AS (
+                SELECT term, doc_id AS top_doc_id, tf AS top_tf FROM tf
+                QUALIFY ROW_NUMBER() OVER (
+                    PARTITION BY term ORDER BY tf DESC, doc_id ASC) = 1
+            )
+            SELECT a.term, a.df, a.cf, t.top_doc_id, t.top_tf
+            FROM agg a JOIN top t USING (term)
+            WHERE a.df >= 5
+            ORDER BY a.term
         """,
         # integer predicate 5*qty*n < s <=> qty < 0.2*avg(qty) — no float
         # enters the correlated threshold

@@ -266,6 +266,10 @@ def run_bench() -> dict:
         # round-4 wave 14 (Q9/Q11/Q21 composites, corpus rarity scoring)
         "q9_nation_profit", "q11_concentrated_parts",
         "q21_sole_late_supplier", "doc_rarity_score",
+        # round-4 wave 15 (Q2/Q12/Q20 composite shapes)
+        "q2_min_cost_supplier", "q12_delay_priority", "q20_excess_suppliers",
+        # round-4 wave 16 (skyline, entropy, inverted-index stats)
+        "pareto_frontier_events", "user_event_entropy", "term_postings",
     ]
     q_steal: dict[str, float] = {}
     for name in q_list:

@@ -1086,3 +1086,60 @@ def user_first_seen_daily(sf_dir: str) -> pd.DataFrame:
     hist["new_users"] = hist["new_users"].astype(np.int64)
     hist["cum_users"] = np.cumsum(hist["new_users"].to_numpy(np.int64))
     return hist
+
+
+# -------------------------------------------------------------- entropy
+def user_event_entropy(sf_dir: str) -> pd.DataFrame:
+    """Per-user Shannon entropy (bits) of the event-type mix — the
+    behavioral-diversity readout; at corpus scale the identical shape
+    over (doc, term) counts is the token-distribution entropy quality
+    signal training-data filters use.
+
+    Shape: (user, type) count partials -> ONE user-hash exchange ->
+    per-partition vectorized entropy over ALL the partition's users at
+    once (pivot to a users x vocabulary count matrix; the vocabulary is
+    tiny and fixed) — never a per-user Python call (CLAUDE.md
+    map_groups-granularity invariant).
+
+    Determinism: counts are exact int64; H = log2(n) - sum(c*log2(c))/n
+    is a per-user chain over <= |vocab| transcendental terms at O(1)
+    magnitude, so a last-ulp log2 difference between numpy and DuckDB is
+    absorbed by ROUND(x, 6) — the ``time_features`` trig precedent, not
+    the banned 1e9-magnitude float accumulation.
+    Reference parity: the reference's QA summaries keep per-tile class
+    mix statistics the same way (ECOv003-L2T-STARS QA rollup)."""
+    ds = _events(sf_dir, ["user_id", "event_type"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            df.groupby(["user_id", "event_type"], sort=False)
+            .size()
+            .rename("cnt")
+            .reset_index()
+        )
+        out["user_id"] = out["user_id"].astype(np.int64)
+        out["event_type"] = out["event_type"].astype(str)
+        return out
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        c = g.groupby(["user_id", "event_type"], as_index=False)["cnt"].sum()
+        piv = c.pivot_table(
+            index="user_id", columns="event_type", values="cnt",
+            aggfunc="sum", fill_value=0,
+        )
+        m = piv.to_numpy(np.float64)
+        n = m.sum(axis=1)
+        terms = np.where(m > 0, m * np.log2(np.maximum(m, 1.0)), 0.0)
+        h = np.log2(n) - terms.sum(axis=1) / n
+        return pd.DataFrame(
+            {
+                "user_id": piv.index.to_numpy(np.int64),
+                "n_events": n.astype(np.int64),
+                "entropy": _r6away(h),
+            }
+        )
+
+    out = hash_combine(
+        ds.map_batches(partial, batch_format="pandas"), ["user_id"], combine
+    ).to_pandas()
+    return out.sort_values("user_id", ignore_index=True)

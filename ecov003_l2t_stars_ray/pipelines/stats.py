@@ -687,3 +687,121 @@ def ks_test_values(
             "ks_stat": [float(_r6away(dn / (N1 * N2)))],
         }
     )
+
+
+# ------------------------------------------------------- Pareto frontier
+def pareto_frontier_events(sf_dir: str) -> pd.DataFrame:
+    """2-D skyline (Pareto frontier) of the DISTINCT (value, ts) event
+    set: the points maximizing value while minimizing ts — no other pair
+    has value >= AND ts <= with at least one strict ("earliest
+    high-value events", the classic block-nested-loop skyline query).
+
+    Shape: bit-pattern dedup partials -> ONE (vbits, ts)-hash exchange ->
+    ``Dataset.sort`` on (value DESC, ts ASC) (one range exchange) -> a
+    per-BLOCK strict prefix-min sweep emitting {local candidates,
+    first-row key, block min ts}; the driver orders the O(blocks)
+    partials by the sort key (valid: ranges never interleave, and
+    first-row keys are unique after dedup) and re-tests each block's
+    candidates against the prefix min of preceding block minima.  Only
+    frontier CANDIDATES reach the driver — O(log n) expected points on
+    independent axes — never the row stream.
+
+    Determinism: value/ts are compared, never combined — no float
+    arithmetic anywhere; the strict ``<`` sweep over the sorted distinct
+    stream is exactly the NOT EXISTS dominance test.
+    Reference parity: the reference's best-pixel composite keeps the
+    (quality DESC, acquisition-age ASC) frontier per tile the same way
+    (ECOv003-L2T-STARS L2T_STARS.py composite source selection)."""
+    ds = _events(sf_dir, ["ts", "value"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        v = df["value"].to_numpy(np.float64)
+        t = df["ts"].astype("datetime64[us]").astype(np.int64).to_numpy()
+        return pd.DataFrame(
+            {"vbits": v.view(np.int64), "ts_us": t}
+        ).drop_duplicates()
+
+    distinct = hash_combine(
+        ds.map_batches(prep, batch_format="pandas"),
+        ["vbits", "ts_us"],
+        lambda g: g.drop_duplicates(),
+    )
+
+    def to_sortable(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "value": df["vbits"].to_numpy(np.int64).view(np.float64),
+                "ts_us": df["ts_us"].to_numpy(np.int64),
+            }
+        )
+
+    s = distinct.map_batches(to_sortable, batch_format="pandas").sort(
+        ["value", "ts_us"], descending=[True, False]
+    )
+
+    EMPTY = pd.DataFrame(
+        {
+            "value": pd.Series([], dtype=np.float64),
+            "ts_us": pd.Series([], dtype=np.int64),
+            "v0": pd.Series([], dtype=np.float64),
+            "t0": pd.Series([], dtype=np.int64),
+            "tmin": pd.Series([], dtype=np.int64),
+        }
+    )
+
+    def sweep(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return EMPTY.copy()
+        v = df["value"].to_numpy(np.float64)
+        t = df["ts_us"].to_numpy(np.int64)
+        prev_min = np.concatenate(
+            [[np.iinfo(np.int64).max], np.minimum.accumulate(t)[:-1]]
+        )
+        cand = t < prev_min
+        k = int(cand.sum())
+        return pd.DataFrame(
+            {
+                "value": v[cand],
+                "ts_us": t[cand],
+                "v0": np.full(k, v[0]),
+                "t0": np.full(k, t[0]),
+                "tmin": np.full(k, t.min()),
+            }
+        )
+
+    parts = s.map_batches(sweep, batch_format="pandas").to_pandas()
+    empty_out = pd.DataFrame(
+        {
+            "value": pd.Series([], dtype=np.float64),
+            "ts": pd.Series([], dtype="datetime64[us]"),
+        }
+    )
+    if len(parts) == 0:
+        return empty_out
+    parts = parts.sort_values(
+        ["v0", "t0"], ascending=[False, True], kind="mergesort",
+        ignore_index=True,
+    )
+    blk = parts[["v0", "t0", "tmin"]].drop_duplicates(["v0", "t0"])
+    pm = np.concatenate(
+        [[np.iinfo(np.int64).max],
+         np.minimum.accumulate(blk["tmin"].to_numpy(np.int64))[:-1]]
+    )
+    idx = pd.MultiIndex.from_frame(blk[["v0", "t0"]])
+    thresh = (
+        pd.Series(pm, index=idx)
+        .reindex(pd.MultiIndex.from_frame(parts[["v0", "t0"]]))
+        .to_numpy(np.int64)
+    )
+    out = parts[parts["ts_us"].to_numpy(np.int64) < thresh]
+    if len(out) == 0:
+        return empty_out
+    out = out.sort_values(
+        ["value", "ts_us"], ascending=[False, True], ignore_index=True
+    )
+    return pd.DataFrame(
+        {
+            "value": out["value"].to_numpy(np.float64),
+            "ts": out["ts_us"].to_numpy(np.int64).astype("datetime64[us]"),
+        }
+    )

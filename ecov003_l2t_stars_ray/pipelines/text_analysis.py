@@ -937,3 +937,82 @@ def doc_rarity_score(sf_dir: str) -> pd.DataFrame:
         out["rarity_u"].to_numpy(np.int64) / out["n_tokens"].to_numpy(np.int64)
     )
     return out
+
+
+def term_postings(sf_dir: str, min_df: int = 5) -> pd.DataFrame:
+    """Inverted-index construction stats: per TERM document frequency,
+    collection frequency, and the top posting (doc with max tf, ties ->
+    min doc_id) — the per-term dual of :func:`tfidf_topk`'s per-doc
+    view, i.e. the build step of a posting-list index over the corpus.
+
+    Shape: documents are row-contained, so per-(term, doc) tf partials
+    are GLOBALLY unique already (a doc is one row and never spans
+    batches) -> ONE term-hash exchange -> per-partition vectorized
+    reduce: df/cf via one groupby, the argmax posting via ONE
+    (term, tf DESC, doc ASC) sort + group-head over ALL the partition's
+    terms (never per-term Python).  Output is vocabulary-sized and
+    min_df-pruned inside the combine, so only surviving terms leave the
+    partition.
+
+    Determinism: all counts int64; the argmax tiebreak (tf DESC, doc_id
+    ASC) is a total order.  Tokenizer is the shared space-split (same as
+    ``tfidf_topk``/``top_bigrams``), mirrored by ``string_split`` in the
+    oracle."""
+    from ..functions.shuffle import hash_combine
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        ex = df["text"].astype(str).str.split(" ").explode()
+        tf = (
+            pd.DataFrame(
+                {
+                    "doc_id": df["doc_id"]
+                    .reindex(ex.index)
+                    .to_numpy(np.int64),
+                    "term": ex.to_numpy(),
+                }
+            )
+            .groupby(["term", "doc_id"], sort=False)
+            .size()
+            .rename("tf")
+            .reset_index()
+        )
+        tf["term"] = tf["term"].astype(str)
+        tf["tf"] = tf["tf"].astype(np.int64)
+        return tf
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.copy()
+        g["term"] = g["term"].astype(str)
+        agg = g.groupby("term", as_index=False).agg(
+            df=("tf", "size"), cf=("tf", "sum")
+        )
+        top = (
+            g.sort_values(
+                ["term", "tf", "doc_id"],
+                ascending=[True, False, True],
+                kind="mergesort",
+            )
+            .groupby("term", as_index=False)
+            .first()
+            .rename(columns={"doc_id": "top_doc_id", "tf": "top_tf"})
+        )
+        out = agg.merge(top, on="term")
+        out = out[out["df"].to_numpy(np.int64) >= min_df]
+        return pd.DataFrame(
+            {
+                "term": out["term"].astype(str),
+                "df": out["df"].to_numpy(np.int64),
+                "cf": out["cf"].to_numpy(np.int64),
+                "top_doc_id": out["top_doc_id"].to_numpy(np.int64),
+                "top_tf": out["top_tf"].to_numpy(np.int64),
+            }
+        )
+
+    out = hash_combine(
+        _docs(sf_dir, ["doc_id", "text"]).map_batches(
+            partial, batch_format="pandas"
+        ),
+        ["term"],
+        combine,
+    ).to_pandas()
+    return out.sort_values("term", ignore_index=True)

@@ -510,7 +510,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # z-score anomaly, distributed argmax, JSON props extraction
         "counter_rate_1h": A.counter_rate_1h,
         "value_histogram_1h": A.value_histogram_1h,
-        "props_json_stats": A.props_json_stats,
         # round-4 wave 16: distributed 2-D skyline (Pareto frontier via
         # sort + block-prefix-min sweep), per-user Shannon entropy of the
         # event mix, inverted-index posting stats (per-term df/cf/argmax
@@ -522,11 +521,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pareto_frontier_events": ST.pareto_frontier_events,
         "user_event_entropy": G.user_event_entropy,
         "term_postings": T.term_postings,
+        # round-4 wave 17: IQR-winsorized robust mean straight off the
+        # lattice histogram, exact presence-mask Venn segmentation over
+        # (user, day) activity cells, CDC latest-wins compaction.
+        # (props_json_stats / heavy_hitters / doc_repetition rotate to
+        # the tail — scrub_props reps the RE2 family, mode_per_user the
+        # count-argmax family, doc_rarity_score + tfidf_topk the word
+        # statistics; all in the committed local gate)
+        "winsorized_mean_by_type": ST.winsorized_mean_by_type,
+        "daily_mix_segments": G.daily_mix_segments,
+        "latest_event_state": G.latest_event_state,
         # sketches / sampling (bounded-memory family)
-        "heavy_hitters": SK.heavy_hitters,
         "stratified_sample": SK.stratified_sample,
-        # within-doc repetition quality signals
-        "doc_repetition": T.doc_repetition,
         # distributed joins: big-big shuffle hash join (TPC-H Q3 shape),
         # Bloom-pruned exact semi-join
         "join_topk_revenue": J.join_topk_revenue,
@@ -638,6 +644,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zscore_anomaly_24h": A.zscore_anomaly_24h,
         "argmax_per_user": A.argmax_per_user,
         "bottomk_sample": SK.bottomk_sample,
+        "props_json_stats": A.props_json_stats,
+        "heavy_hitters": SK.heavy_hitters,
+        "doc_repetition": T.doc_repetition,
         "gap_fill_1m": A.gap_fill_1m,
         "corpus_prune_exact": _corpus_prune,
         "embedding_near_dups": _embedding_near_dups,
@@ -1383,6 +1392,60 @@ def oracle_sql() -> dict[str, str]:
             FROM agg a JOIN top t USING (term)
             WHERE a.df >= 5
             ORDER BY a.term
+        """,
+        # winsorized mean on the 4x lattice: quantile_cont at binary
+        # fractions lands on exact quarter-lattice points; SUM over
+        # exact-integer doubles is order-independent
+        "winsorized_mean_by_type": """
+            WITH s AS (
+                SELECT event_type,
+                       CAST(FLOOR(value * 1024 + 0.5) AS BIGINT) AS q
+                FROM events
+            ), b AS (
+                SELECT event_type,
+                       quantile_cont(q, 0.25) AS lo,
+                       quantile_cont(q, 0.75) AS hi
+                FROM s GROUP BY 1
+            )
+            SELECT s.event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   ROUND(SUM(LEAST(GREATEST(CAST(4 * q AS DOUBLE), 4 * lo),
+                                   4 * hi))
+                         / COUNT(*) / 4096.0, 6) AS wmean
+            FROM s JOIN b USING (event_type)
+            GROUP BY 1 ORDER BY 1
+        """,
+        # presence-mask Venn over (user, day) cells: bit i = sorted type
+        # order, pure integer set algebra
+        "daily_mix_segments": """
+            WITH m AS (
+                SELECT user_id,
+                       CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+                       MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                       + 2 * MAX(CASE WHEN event_type = 'error'
+                                 THEN 1 ELSE 0 END)
+                       + 4 * MAX(CASE WHEN event_type = 'purchase'
+                                 THEN 1 ELSE 0 END)
+                       + 8 * MAX(CASE WHEN event_type = 'signup'
+                                 THEN 1 ELSE 0 END)
+                       + 16 * MAX(CASE WHEN event_type = 'view'
+                                  THEN 1 ELSE 0 END) AS mask
+                FROM events GROUP BY 1, 2
+            )
+            SELECT CAST(mask AS BIGINT) AS mask,
+                   CAST(COUNT(*) AS BIGINT) AS n_cells
+            FROM m WHERE mask > 0 GROUP BY 1 ORDER BY 1
+        """,
+        # CDC latest-wins compaction: total (ts DESC, event_id DESC)
+        # tiebreak; carried columns compared, never combined
+        "latest_event_state": """
+            SELECT user_id, event_type, ts AS last_ts, value AS last_value,
+                   event_id AS last_event_id
+            FROM events
+            QUALIFY ROW_NUMBER() OVER (
+                PARTITION BY user_id, event_type
+                ORDER BY ts DESC, event_id DESC) = 1
+            ORDER BY user_id, event_type
         """,
         # integer predicate 5*qty*n < s <=> qty < 0.2*avg(qty) — no float
         # enters the correlated threshold

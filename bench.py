@@ -270,6 +270,9 @@ def run_bench() -> dict:
         "q2_min_cost_supplier", "q12_delay_priority", "q20_excess_suppliers",
         # round-4 wave 16 (skyline, entropy, inverted-index stats)
         "pareto_frontier_events", "user_event_entropy", "term_postings",
+        # round-4 wave 17 (winsorized mean, Venn segments, CDC compaction)
+        "winsorized_mean_by_type", "daily_mix_segments",
+        "latest_event_state",
     ]
     q_steal: dict[str, float] = {}
     for name in q_list:

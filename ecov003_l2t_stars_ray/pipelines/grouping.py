@@ -1143,3 +1143,132 @@ def user_event_entropy(sf_dir: str) -> pd.DataFrame:
         ds.map_batches(partial, batch_format="pandas"), ["user_id"], combine
     ).to_pandas()
     return out.sort_values("user_id", ignore_index=True)
+
+
+# ---------------------------------------------------- latest-wins state
+def latest_event_state(sf_dir: str) -> pd.DataFrame:
+    """CDC latest-wins compaction: the most recent event per
+    (user, event_type) key — ties on ts broken by the highest event_id
+    (arrival order), i.e. the upsert/compaction read a change-stream
+    table needs before serving point lookups.
+
+    Shape: per-batch vectorized argmax partials (ONE sort + group-head
+    over all the batch's keys) -> ONE user-hash exchange of the
+    key-cardinality-sized partials -> the identical reduce per
+    partition.  The payload (value, event_id) rides the partial rows, so
+    compaction never re-reads the fact stream.
+
+    Determinism: the (ts DESC, event_id DESC) tiebreak is a total order;
+    the carried value is compared, never combined — no float math."""
+    ds = _events(sf_dir, ["user_id", "event_type", "ts", "value", "event_id"])
+
+    def reduce_(df: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            df.sort_values(
+                ["user_id", "event_type", "ts_us", "event_id"],
+                ascending=[True, True, False, False],
+                kind="mergesort",
+            )
+            .groupby(["user_id", "event_type"], as_index=False, sort=False)
+            .first()
+        )
+        return out
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame(
+            {
+                "user_id": df["user_id"].to_numpy(np.int64),
+                "event_type": df["event_type"].astype(str),
+                "ts_us": df["ts"]
+                .astype("datetime64[us]")
+                .astype(np.int64)
+                .to_numpy(),
+                "value": df["value"].to_numpy(np.float64),
+                "event_id": df["event_id"].to_numpy(np.int64),
+            }
+        )
+        return reduce_(d)
+
+    out = hash_combine(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["user_id"],
+        reduce_,
+    ).to_pandas()
+    out = out.sort_values(["user_id", "event_type"], ignore_index=True)
+    return pd.DataFrame(
+        {
+            "user_id": out["user_id"].to_numpy(np.int64),
+            "event_type": out["event_type"].astype(str),
+            "last_ts": out["ts_us"].to_numpy(np.int64).astype("datetime64[us]"),
+            "last_value": out["value"].to_numpy(np.float64),
+            "last_event_id": out["event_id"].to_numpy(np.int64),
+        }
+    )
+
+
+# ------------------------------------------------- presence-mask segments
+def daily_mix_segments(
+    sf_dir: str,
+    types: tuple = ("click", "error", "purchase", "signup", "view"),
+) -> pd.DataFrame:
+    """Exact presence-mask Venn segmentation: for every (user, day)
+    activity cell, the BITMASK of event types present (bit i = sorted
+    type order), and the cell count per mask region — the behavioral
+    segmentation readout ("how many user-days are view-only vs
+    view+click vs full-funnel"), i.e. an exact Venn diagram over a
+    fixed tiny set family.
+
+    Shape: per-batch DISTINCT (user, day, type-bit) partials -> ONE
+    (user, day)-hash exchange -> per-partition combine: distinct pairs
+    again, OR = SUM of distinct power-of-two bits per cell (fully
+    vectorized), then the mask histogram — each cell lives wholly in one
+    partition, so histograms are additive and only <= 2^|types| rows
+    reach the driver.
+
+    Determinism: pure integer set algebra, no floats anywhere."""
+    bit_of = {t: np.int64(1 << i) for i, t in enumerate(types)}
+    ds = _events(sf_dir, ["user_id", "ts", "event_type"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        day = (
+            df["ts"].astype("datetime64[us]").astype(np.int64).to_numpy()
+            // (24 * HOUR_US)
+        )
+        out = pd.DataFrame(
+            {
+                "user_id": df["user_id"].to_numpy(np.int64),
+                "day": day,
+                "bit": df["event_type"]
+                .astype(str)
+                .map(bit_of)
+                .fillna(0)
+                .astype(np.int64)
+                .to_numpy(),
+            }
+        ).drop_duplicates()
+        return out[out["bit"] > 0]
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates(["user_id", "day", "bit"])
+        mask = d.groupby(["user_id", "day"], sort=False)["bit"].sum()
+        h = mask.value_counts()
+        return pd.DataFrame(
+            {
+                "mask": h.index.to_numpy(np.int64),
+                "n_cells": h.to_numpy(np.int64),
+            }
+        )
+
+    out = (
+        hash_combine(
+            ds.map_batches(partial, batch_format="pandas"),
+            ["user_id", "day"],
+            combine,
+        )
+        .to_pandas()
+        .groupby("mask", as_index=False)["n_cells"]
+        .sum()
+    )
+    out["mask"] = out["mask"].astype(np.int64)
+    out["n_cells"] = out["n_cells"].astype(np.int64)
+    return out.sort_values("mask", ignore_index=True)

@@ -805,3 +805,69 @@ def pareto_frontier_events(sf_dir: str) -> pd.DataFrame:
             "ts": out["ts_us"].to_numpy(np.int64).astype("datetime64[us]"),
         }
     )
+
+
+# ------------------------------------------------------ winsorized mean
+def winsorized_mean_by_type(sf_dir: str) -> pd.DataFrame:
+    """IQR-winsorized robust mean per event type: values are clipped to
+    the exact [q25, q75] lattice quantiles before averaging — the
+    outlier-robust center training-data quality filters use.
+
+    Shape: the same bounded 2^10-lattice histogram as
+    ``median_mad_by_type`` (ONE (type, q)-hash exchange); BOTH the
+    quantile bounds and the clipped sum then come from the histogram
+    itself (sum of cnt * clip(q)), so no second data pass exists at all
+    — the whole reduce runs on the |types| x |lattice| table.
+
+    Exactness: q25/q75 at binary fractions interpolate to exact QUARTER
+    lattice points, so the clip runs on the 4x lattice where bounds and
+    values are all int64; the mean is ONE mirrored division chain
+    (sum4 / n / 4096).  DuckDB's SUM over exact-integer doubles (< 2^53)
+    is order-independent, matching the int64 engine sum."""
+    ds = _events(sf_dir, ["event_type", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        q = np.floor(df["value"].to_numpy(np.float64) * 1024.0 + 0.5).astype(
+            np.int64
+        )
+        return (
+            pd.DataFrame({"event_type": df["event_type"].astype(str), "q": q})
+            .groupby(["event_type", "q"], sort=False)
+            .size()
+            .rename("cnt")
+            .reset_index()
+        )
+
+    hist = (
+        hash_combine(
+            ds.map_batches(partial, batch_format="pandas"),
+            ["event_type", "q"],
+            lambda g: g.groupby(["event_type", "q"], as_index=False)[
+                "cnt"
+            ].sum(),
+        )
+        .to_pandas()
+        .groupby(["event_type", "q"], as_index=False)["cnt"]
+        .sum()
+    )
+    rows = []
+    for t, g in hist.groupby("event_type"):
+        g = g.sort_values("q")
+        v = g["q"].to_numpy(np.int64)
+        c = g["cnt"].to_numpy(np.int64)
+        cum = np.cumsum(c)
+        n = int(cum[-1])
+        bounds4 = []
+        for p_num in (1, 3):  # p = 1/4, 3/4 — binary fractions
+            idx4 = (n - 1) * p_num  # 4*(n-1)*p, an exact int
+            lo = idx4 // 4
+            frac4 = idx4 - 4 * lo  # 4*frac in {0,1,2,3}
+            v_lo = int(v[np.searchsorted(cum, lo + 1)])
+            v_hi = int(v[np.searchsorted(cum, min(lo + 1, n - 1) + 1)])
+            bounds4.append(4 * v_lo + (v_hi - v_lo) * frac4)
+        lo4, hi4 = bounds4
+        s4 = int((c * np.clip(4 * v, lo4, hi4)).sum())
+        rows.append((t, n, float(_r6away(s4 / n / 4096.0))))
+    out = pd.DataFrame(rows, columns=["event_type", "n", "wmean"])
+    out["n"] = out["n"].astype(np.int64)
+    return out.sort_values("event_type", ignore_index=True)

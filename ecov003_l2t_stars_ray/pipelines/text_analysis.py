@@ -1016,3 +1016,4 @@ def term_postings(sf_dir: str, min_df: int = 5) -> pd.DataFrame:
         combine,
     ).to_pandas()
     return out.sort_values("term", ignore_index=True)
+

@@ -499,6 +499,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from ecov003_l2t_stars_ray.pipelines import analytics as A
     from ecov003_l2t_stars_ray.pipelines import grouping as G
     from ecov003_l2t_stars_ray.pipelines import joins as J
+    from ecov003_l2t_stars_ray.pipelines import similarity as SIM
     from ecov003_l2t_stars_ray.pipelines import sketches as SK
     from ecov003_l2t_stars_ray.pipelines import stats as ST
     from ecov003_l2t_stars_ray.pipelines import text_analysis as T
@@ -533,17 +534,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "latest_event_state": G.latest_event_state,
         # sketches / sampling (bounded-memory family)
         "stratified_sample": SK.stratified_sample,
-        # distributed joins: big-big shuffle hash join (TPC-H Q3 shape),
-        # Bloom-pruned exact semi-join
-        "join_topk_revenue": J.join_topk_revenue,
-        "bloom_semijoin": J.bloom_semijoin,
+        # round-4 wave 18: two-pass broadcast feature normalizations
+        # (z-score via int64 moment lanes — bit-identical chain;
+        # PERCENT_RANK via a broadcast lattice CDF) and per-label
+        # embedding compactness (centroid broadcast + map-only cosine).
+        # (join_topk_revenue / bloom_semijoin / top_bigrams rotate to the
+        # tail — the nine in-window TPC-H composites rep the join
+        # families, q20/q22 the semi-joins, term_postings + tfidf_topk
+        # the n-gram counts; all in the committed local gate)
+        "value_zscore_by_type": ST.value_zscore_by_type,
+        "value_percentile_transform": ST.value_percentile_transform,
+        "label_compactness": SIM.label_compactness,
         # SQL window-function family + SQL-oracled OLS trend
         "window_rank": A.window_rank,
         "trend_ols_1h": A.trend_ols_1h,
         # 100 TB shuffle shape: spans ride as dual uint64 hashes; the
         # SQL-comparable output is the duplicate-span histogram
         "span_dedup_hashed": T.span_dedup_hashed,
-        "top_bigrams": T.top_bigrams,
         "scrub_props": T.scrub_props,
         "transcript_latency_1m": _transcript_latency_1m,
         # round-4 operators: single-pass GROUPING SETS cube, trailing
@@ -647,6 +654,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "props_json_stats": A.props_json_stats,
         "heavy_hitters": SK.heavy_hitters,
         "doc_repetition": T.doc_repetition,
+        "join_topk_revenue": J.join_topk_revenue,
+        "bloom_semijoin": J.bloom_semijoin,
+        "top_bigrams": T.top_bigrams,
         "gap_fill_1m": A.gap_fill_1m,
         "corpus_prune_exact": _corpus_prune,
         "embedding_near_dups": _embedding_near_dups,
@@ -1446,6 +1456,66 @@ def oracle_sql() -> dict[str, str]:
                 PARTITION BY user_id, event_type
                 ORDER BY ts DESC, event_id DESC) = 1
             ORDER BY user_id, event_type
+        """,
+        # z-score: int64 moment lanes (n, s1, s2) on the lattice; the
+        # mean/std/z chain is IEEE exact-rounded ops mirrored op-for-op,
+        # so the match is bit-identical, not just ROUND-close
+        "value_zscore_by_type": """
+            WITH s AS (
+                SELECT event_id, event_type,
+                       CAST(FLOOR(value * 1024 + 0.5) AS BIGINT) AS q
+                FROM events
+            ), m AS (
+                SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+                       CAST(SUM(q) AS BIGINT) AS s1,
+                       CAST(SUM(q * q) AS BIGINT) AS s2
+                FROM s GROUP BY 1
+            )
+            SELECT event_id, s.event_type,
+                   ROUND((CAST(q AS DOUBLE) - CAST(s1 AS DOUBLE) / n)
+                         / SQRT((CAST(s2 AS DOUBLE)
+                                 - CAST(s1 AS DOUBLE)
+                                   * CAST(s1 AS DOUBLE) / n)
+                                / (n - 1)), 6) AS z
+            FROM s JOIN m USING (event_type)
+            ORDER BY event_id
+        """,
+        # percent rank: (#strictly-smaller)/(n-1), both exact int64, ONE
+        # division — PERCENT_RANK's min-rank tie rule on the lattice
+        "value_percentile_transform": """
+            WITH s AS (
+                SELECT event_id, event_type,
+                       CAST(FLOOR(value * 1024 + 0.5) AS BIGINT) AS q
+                FROM events
+            )
+            SELECT event_id, event_type,
+                   ROUND(PERCENT_RANK() OVER (
+                       PARTITION BY event_type ORDER BY q), 6) AS pr
+            FROM s ORDER BY event_id
+        """,
+        # embedding compactness: float32 widened to DOUBLE before any
+        # arithmetic (CLAUDE.md list_cosine_similarity caveat); dims are
+        # the testdata's fixed 64
+        "label_compactness": """
+            WITH dims AS (SELECT UNNEST(range(1, 65)) AS dim),
+            u AS (
+                SELECT label, vec_id, dim,
+                       CAST(embedding[dim] AS DOUBLE) AS x
+                FROM embeddings CROSS JOIN dims
+            ), c AS (
+                SELECT label, dim, AVG(x) AS cx FROM u GROUP BY 1, 2
+            ), d AS (
+                SELECT u.label, u.vec_id,
+                       SUM(u.x * c.cx) AS dot,
+                       SUM(u.x * u.x) AS nv,
+                       SUM(c.cx * c.cx) AS nc
+                FROM u JOIN c ON u.label = c.label AND u.dim = c.dim
+                GROUP BY 1, 2
+            )
+            SELECT CAST(label AS BIGINT) AS label,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   ROUND(AVG(dot / (SQRT(nv) * SQRT(nc))), 6) AS mean_cos
+            FROM d GROUP BY 1 ORDER BY 1
         """,
         # integer predicate 5*qty*n < s <=> qty < 0.2*avg(qty) — no float
         # enters the correlated threshold

@@ -273,6 +273,9 @@ def run_bench() -> dict:
         # round-4 wave 17 (winsorized mean, Venn segments, CDC compaction)
         "winsorized_mean_by_type", "daily_mix_segments",
         "latest_event_state",
+        # round-4 wave 18 (broadcast normalizations, label compactness)
+        "value_zscore_by_type", "value_percentile_transform",
+        "label_compactness",
     ]
     q_steal: dict[str, float] = {}
     for name in q_list:

@@ -410,3 +410,92 @@ def kmeans_embed(sf_dir: str, k: int = 8, iters: int = 8) -> pd.DataFrame:
         .to_pandas()
         .sort_values("vec_id", ignore_index=True)
     )
+
+
+def label_compactness(sf_dir: str) -> pd.DataFrame:
+    """Per-label embedding compactness: the mean cosine similarity of
+    each vector to its own label centroid — the cluster-quality /
+    class-separability readout embedding-curation pipelines run after
+    labeling (a one-sided silhouette).
+
+    Shape: two passes, both streaming — (1) per-batch per-label vector
+    SUMS (a labels x dims partial, label-cardinality sized) reduced on
+    the driver into centroids; (2) the tiny centroid matrix broadcast
+    via ``ray.put`` and a map-only batched cosine (one matmul per batch),
+    then label-sized mean partials.  The embedding stream never
+    shuffles.
+
+    Determinism: float32 inputs are widened to float64 BEFORE any
+    arithmetic on both sides; centroid sums and per-vector dots are
+    ~O(n_label)- and dims-term float chains at O(1) magnitude, absorbed
+    by ROUND(x, 6) (the entropy/trig precedent — not the banned 1e9
+    accumulation).  The oracle mirrors via UNNEST WITH ORDINALITY."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding", "label"]
+    )
+
+    def sums(df: pd.DataFrame) -> pd.DataFrame:
+        m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        lab = df["label"].to_numpy(np.int64)
+        out = []
+        for l in np.unique(lab):
+            sel = m[lab == l]
+            out.append((int(l), int(sel.shape[0]), sel.sum(axis=0)))
+        return pd.DataFrame(
+            {
+                "label": [o[0] for o in out],
+                "n": [o[1] for o in out],
+                "svec": [o[2] for o in out],
+            }
+        )
+
+    parts = ds.map_batches(sums, batch_format="pandas").to_pandas()
+    agg = parts.groupby("label")
+    labels = np.array(sorted(parts["label"].unique()), dtype=np.int64)
+    cent = {}
+    for l in labels:
+        g = agg.get_group(l)
+        n = int(g["n"].sum())
+        s = np.sum(np.stack(g["svec"].to_numpy()), axis=0)
+        cent[int(l)] = s / float(n)
+    cent_ref = ray.put(cent)
+
+    def cos_partial(df: pd.DataFrame) -> pd.DataFrame:
+        c = ray.get(cent_ref)
+        m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        lab = df["label"].to_numpy(np.int64)
+        out = []
+        for l in np.unique(lab):
+            sel = m[lab == l]
+            cv = c[int(l)]
+            dots = sel @ cv
+            cs = dots / (
+                np.sqrt((sel * sel).sum(axis=1)) * np.sqrt((cv * cv).sum())
+            )
+            out.append((int(l), int(sel.shape[0]), float(cs.sum())))
+        return pd.DataFrame(
+            {
+                "label": [o[0] for o in out],
+                "n": [o[1] for o in out],
+                "cs_sum": [o[2] for o in out],
+            }
+        )
+
+    red = (
+        ds.map_batches(cos_partial, batch_format="pandas")
+        .to_pandas()
+        .groupby("label", as_index=False)[["n", "cs_sum"]]
+        .sum()
+    )
+    red = red.sort_values("label", ignore_index=True)
+    sgn = red["cs_sum"].to_numpy(np.float64)
+    n = red["n"].to_numpy(np.int64)
+    return pd.DataFrame(
+        {
+            "label": red["label"].to_numpy(np.int64),
+            "n": n,
+            "mean_cos": np.sign(sgn / n)
+            * np.floor(np.abs(sgn / n) * 1e6 + 0.5)
+            / 1e6,
+        }
+    )

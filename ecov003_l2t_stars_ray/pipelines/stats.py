@@ -871,3 +871,124 @@ def winsorized_mean_by_type(sf_dir: str) -> pd.DataFrame:
     out = pd.DataFrame(rows, columns=["event_type", "n", "wmean"])
     out["n"] = out["n"].astype(np.int64)
     return out.sort_values("event_type", ignore_index=True)
+
+
+# ------------------------------------------------- feature normalization
+def value_zscore_by_type(sf_dir: str) -> pd.DataFrame:
+    """Per-event z-score standardization within its event type — the
+    map-only feature-scaling transform (two-pass: tiny moment table
+    broadcast, then a streaming normalize that never shuffles the fact
+    stream).
+
+    Exactness: values snap to the 2^10 lattice so the per-type moments
+    (n, s1 = sum q, s2 = sum q^2) accumulate order-free in int64 (s2
+    overflows past ~sf100 on this value range — document two-lane split
+    there); mean/std/z is ONE float chain of IEEE exact-rounded ops
+    mirrored op-for-op in the oracle, so the result is bit-identical, not
+    just ROUND-close."""
+    ds = _events(sf_dir, ["event_id", "event_type", "value"])
+
+    def moments(df: pd.DataFrame) -> pd.DataFrame:
+        q = np.floor(df["value"].to_numpy(np.float64) * 1024.0 + 0.5).astype(
+            np.int64
+        )
+        g = pd.DataFrame({"event_type": df["event_type"].astype(str), "q": q})
+        out = g.groupby("event_type", sort=False)["q"].agg(
+            n="size", s1="sum", s2=lambda x: int((x.to_numpy() ** 2).sum())
+        )
+        return out.reset_index()
+
+    m = (
+        ds.map_batches(moments, batch_format="pandas")
+        .to_pandas()
+        .groupby("event_type", as_index=False)[["n", "s1", "s2"]]
+        .sum()
+    )
+    # mirrored chain: mean = s1/n; var = (s2 - s1*s1/n)/(n-1)
+    nd = m["n"].to_numpy(np.int64).astype(np.float64)
+    s1 = m["s1"].to_numpy(np.int64).astype(np.float64)
+    s2 = m["s2"].to_numpy(np.int64).astype(np.float64)
+    m["mean_"] = s1 / nd
+    m["std_"] = np.sqrt((s2 - s1 * s1 / nd) / (nd - 1.0))
+    mom_ref = ray.put(m.set_index("event_type")[["mean_", "std_"]])
+
+    def transform(df: pd.DataFrame) -> pd.DataFrame:
+        mm = ray.get(mom_ref)
+        et = df["event_type"].astype(str)
+        q = np.floor(df["value"].to_numpy(np.float64) * 1024.0 + 0.5).astype(
+            np.int64
+        )
+        mean = mm["mean_"].reindex(et).to_numpy(np.float64)
+        std = mm["std_"].reindex(et).to_numpy(np.float64)
+        return pd.DataFrame(
+            {
+                "event_id": df["event_id"].to_numpy(np.int64),
+                "event_type": et.to_numpy(),
+                "z": _r6away((q.astype(np.float64) - mean) / std),
+            }
+        )
+
+    out = ds.map_batches(transform, batch_format="pandas").to_pandas()
+    return out.sort_values("event_id", ignore_index=True)
+
+
+def value_percentile_transform(sf_dir: str) -> pd.DataFrame:
+    """Per-event PERCENT_RANK within its event type — quantile
+    normalization, the other standard feature transform: a broadcast
+    per-type lattice CDF (vocabulary x lattice sized), then a map-only
+    searchsorted rank lookup; the fact stream never shuffles.
+
+    Exactness: pr = (#strictly-smaller)/(n-1) — both factors exact
+    int64, ONE division, mirrored by SQL PERCENT_RANK's min-rank
+    tie rule on the snapped lattice."""
+    ds = _events(sf_dir, ["event_id", "event_type", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        q = np.floor(df["value"].to_numpy(np.float64) * 1024.0 + 0.5).astype(
+            np.int64
+        )
+        return (
+            pd.DataFrame({"event_type": df["event_type"].astype(str), "q": q})
+            .groupby(["event_type", "q"], sort=False)
+            .size()
+            .rename("cnt")
+            .reset_index()
+        )
+
+    hist = (
+        ds.map_batches(partial, batch_format="pandas")
+        .to_pandas()
+        .groupby(["event_type", "q"], as_index=False)["cnt"]
+        .sum()
+        .sort_values(["event_type", "q"], ignore_index=True)
+    )
+    cdf = {}
+    for t, g in hist.groupby("event_type"):
+        q = g["q"].to_numpy(np.int64)
+        c = g["cnt"].to_numpy(np.int64)
+        below = np.concatenate([[0], np.cumsum(c)[:-1]])
+        cdf[str(t)] = (q, below, int(c.sum()))
+    cdf_ref = ray.put(cdf)
+
+    def transform(df: pd.DataFrame) -> pd.DataFrame:
+        tbl = ray.get(cdf_ref)
+        et = df["event_type"].astype(str).to_numpy()
+        q = np.floor(df["value"].to_numpy(np.float64) * 1024.0 + 0.5).astype(
+            np.int64
+        )
+        pr = np.empty(len(q), dtype=np.float64)
+        for t in np.unique(et):
+            lat, below, n = tbl[t]
+            m = et == t
+            idx = np.searchsorted(lat, q[m])
+            pr[m] = below[idx].astype(np.float64) / (n - 1.0)
+        return pd.DataFrame(
+            {
+                "event_id": df["event_id"].to_numpy(np.int64),
+                "event_type": et,
+                "pr": _r6away(pr),
+            }
+        )
+
+    out = ds.map_batches(transform, batch_format="pandas").to_pandas()
+    return out.sort_values("event_id", ignore_index=True)

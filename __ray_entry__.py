@@ -545,12 +545,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_zscore_by_type": ST.value_zscore_by_type,
         "value_percentile_transform": ST.value_percentile_transform,
         "label_compactness": SIM.label_compactness,
-        # SQL window-function family + SQL-oracled OLS trend
-        "window_rank": A.window_rank,
-        "trend_ols_1h": A.trend_ols_1h,
-        # 100 TB shuffle shape: spans ride as dual uint64 hashes; the
-        # SQL-comparable output is the duplicate-span histogram
-        "span_dedup_hashed": T.span_dedup_hashed,
+        # round-4 wave 19: per-user step-function time-weighted average,
+        # signup->purchase conversion latency, data-quality assertion
+        # audit (null/range/dup-key/FK-orphan counts).
+        # (window_rank / trend_ols_1h / span_dedup_hashed rotate to the
+        # tail — value_percentile_transform reps the rank-window family,
+        # corr_value_props + autocorr_lag1_hourly the moment-chain
+        # regressions, decontaminate + cross_source_ngram_matrix the
+        # hashed-shingle exchanges; all in the committed local gate)
+        "time_weighted_avg_value": G.time_weighted_avg_value,
+        "signup_to_purchase_lag": G.signup_to_purchase_lag,
+        "dq_audit": A.dq_audit,
         "scrub_props": T.scrub_props,
         "transcript_latency_1m": _transcript_latency_1m,
         # round-4 operators: single-pass GROUPING SETS cube, trailing
@@ -657,6 +662,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_topk_revenue": J.join_topk_revenue,
         "bloom_semijoin": J.bloom_semijoin,
         "top_bigrams": T.top_bigrams,
+        "window_rank": A.window_rank,
+        "trend_ols_1h": A.trend_ols_1h,
+        "span_dedup_hashed": T.span_dedup_hashed,
         "gap_fill_1m": A.gap_fill_1m,
         "corpus_prune_exact": _corpus_prune,
         "embedding_near_dups": _embedding_near_dups,
@@ -1516,6 +1524,74 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n,
                    ROUND(AVG(dot / (SQRT(nv) * SQRT(nc))), 6) AS mean_cos
             FROM d GROUP BY 1 ORDER BY 1
+        """,
+        # step-function TWA: lattice values x whole-second gaps — both
+        # sums order-free int64, ONE mirrored division chain
+        "time_weighted_avg_value": """
+            WITH o AS (
+                SELECT user_id,
+                       CAST(FLOOR(value * 1024 + 0.5) AS BIGINT) AS q,
+                       epoch_us(ts) AS us,
+                       LEAD(epoch_us(ts)) OVER (
+                           PARTITION BY user_id
+                           ORDER BY ts, event_id) AS nxt
+                FROM events
+            ), seg AS (
+                SELECT user_id, q, (nxt - us) // 1000000 AS gap_s
+                FROM o WHERE nxt IS NOT NULL
+            )
+            SELECT user_id, CAST(SUM(gap_s) AS BIGINT) AS dwell_s,
+                   ROUND(CAST(SUM(q * gap_s) AS DOUBLE)
+                         / SUM(gap_s) / 1024.0, 6) AS twa
+            FROM seg GROUP BY 1 HAVING SUM(gap_s) > 0 ORDER BY 1
+        """,
+        # conversion latency: first purchase AT-OR-AFTER the first
+        # signup; pure int64 selections + floor division
+        "signup_to_purchase_lag": """
+            WITH s AS (
+                SELECT user_id, MIN(ts) AS signup_ts FROM events
+                WHERE event_type = 'signup' GROUP BY 1
+            ), p AS (
+                SELECT e.user_id, MIN(e.ts) AS first_purchase_ts
+                FROM events e JOIN s USING (user_id)
+                WHERE e.event_type = 'purchase' AND e.ts >= s.signup_ts
+                GROUP BY 1
+            )
+            SELECT s.user_id, s.signup_ts, p.first_purchase_ts,
+                   CAST((epoch_us(p.first_purchase_ts)
+                         - epoch_us(s.signup_ts)) // 3600000000 AS BIGINT)
+                   AS lag_hours
+            FROM s JOIN p USING (user_id) ORDER BY 1
+        """,
+        # DQ audit: pure integer counts; zeros assert the corpus clean
+        "dq_audit": """
+            SELECT * FROM (
+                SELECT 'events_dup_event_id' AS rule,
+                       CAST(COUNT(*) - COUNT(DISTINCT event_id) AS BIGINT)
+                       AS n_violations
+                FROM events
+                UNION ALL
+                SELECT 'events_null_props',
+                       CAST(COALESCE(SUM(CASE WHEN props IS NULL
+                                              OR props = '' THEN 1
+                                         ELSE 0 END), 0) AS BIGINT)
+                FROM events
+                UNION ALL
+                SELECT 'events_value_out_of_range',
+                       CAST(COALESCE(SUM(CASE WHEN value < 0
+                                              OR value > 480.0 THEN 1
+                                         ELSE 0 END), 0) AS BIGINT)
+                FROM events
+                UNION ALL
+                SELECT 'lineitem_orphan_orderkey',
+                       CAST(COUNT(*) AS BIGINT)
+                FROM lineitem
+                WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+                UNION ALL
+                SELECT 'orders_orphan_custkey', CAST(COUNT(*) AS BIGINT)
+                FROM orders
+                WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+            ) ORDER BY rule
         """,
         # integer predicate 5*qty*n < s <=> qty < 0.2*avg(qty) — no float
         # enters the correlated threshold

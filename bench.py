@@ -276,6 +276,8 @@ def run_bench() -> dict:
         # round-4 wave 18 (broadcast normalizations, label compactness)
         "value_zscore_by_type", "value_percentile_transform",
         "label_compactness",
+        # round-4 wave 19 (TWA, conversion latency, DQ audit)
+        "time_weighted_avg_value", "signup_to_purchase_lag", "dq_audit",
     ]
     q_steal: dict[str, float] = {}
     for name in q_list:

@@ -1898,3 +1898,126 @@ def peak_concurrency(sf_dir: str, hold_s: int = 300) -> pd.DataFrame:
     res = pd.DataFrame(out, columns=["event_type", "peak_concurrent"])
     res["peak_concurrent"] = res["peak_concurrent"].astype(np.int64)
     return res.sort_values("event_type", ignore_index=True)
+
+
+# ------------------------------------------------------ data-quality audit
+def dq_audit(sf_dir: str, value_hi: float = 480.0) -> pd.DataFrame:
+    """Data-quality assertion audit: per-rule violation counts over the
+    fact tables — null/blank checks, configured range bounds (the M7
+    range-clamp config reused as an assertion), duplicate-key detection
+    and referential-integrity orphans.  The pre-ingest gate a 100 TB
+    pipeline runs before committing an epoch; a clean corpus reports
+    zeros, which is the assertion passing, not a degenerate readout.
+
+    Shape: everything map-side except the duplicate-key check —
+    per-batch violation counts reduce to one row per rule; FK orphan
+    checks run against BROADCAST sorted key arrays (`ray.put` once, read
+    per task — at 100 TB swap in the Bloom side of `bloom_semijoin`,
+    same contract); the duplicate check ships per-batch (event_id,
+    count) partials through ONE id-hash exchange where per-partition
+    `sum - nunique` lanes are additive.
+
+    Determinism: pure integer counts."""
+    orders_k = np.sort(
+        pd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey"])[
+            "o_orderkey"
+        ].to_numpy(np.int64)
+    )
+    cust_k = np.sort(
+        pd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey"])[
+            "c_custkey"
+        ].to_numpy(np.int64)
+    )
+    ok_ref = ray.put(orders_k)
+    ck_ref = ray.put(cust_k)
+
+    def _orphans(sorted_keys: np.ndarray, vals: np.ndarray) -> int:
+        if len(sorted_keys) == 0:
+            return int(len(vals))
+        idx = np.clip(
+            np.searchsorted(sorted_keys, vals), 0, len(sorted_keys) - 1
+        )
+        return int((sorted_keys[idx] != vals).sum())
+
+    def li_count(df: pd.DataFrame) -> pd.DataFrame:
+        n = _orphans(ray.get(ok_ref), df["l_orderkey"].to_numpy(np.int64))
+        return pd.DataFrame({"n": [np.int64(n)]})
+
+    def o_count(df: pd.DataFrame) -> pd.DataFrame:
+        n = _orphans(ray.get(ck_ref), df["o_custkey"].to_numpy(np.int64))
+        return pd.DataFrame({"n": [np.int64(n)]})
+
+    def ev_counts(df: pd.DataFrame) -> pd.DataFrame:
+        v = df["value"].to_numpy(np.float64)
+        p = df["props"]
+        return pd.DataFrame(
+            {
+                "oob": [np.int64(((v < 0) | (v > value_hi)).sum())],
+                "nullp": [np.int64((p.isna() | (p == "")).sum())],
+            }
+        )
+
+    li_orphans = int(
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet", columns=["l_orderkey"]
+        )
+        .map_batches(li_count, batch_format="pandas")
+        .to_pandas()["n"]
+        .sum()
+    )
+    o_orphans = int(
+        ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet", columns=["o_custkey"]
+        )
+        .map_batches(o_count, batch_format="pandas")
+        .to_pandas()["n"]
+        .sum()
+    )
+    ev = (
+        _events(sf_dir, ["value", "props"])
+        .map_batches(ev_counts, batch_format="pandas")
+        .to_pandas()
+        .sum()
+    )
+
+    def id_partial(df: pd.DataFrame) -> pd.DataFrame:
+        c = df.groupby("event_id", sort=False).size()
+        return pd.DataFrame(
+            {"event_id": c.index.to_numpy(np.int64),
+             "cnt": c.to_numpy(np.int64)}
+        )
+
+    def id_combine(g: pd.DataFrame) -> pd.DataFrame:
+        a = g.groupby("event_id")["cnt"].sum()
+        return pd.DataFrame(
+            {"dups": [np.int64(int(a.sum()) - len(a))]}
+        )
+
+    dup = int(
+        hash_combine(
+            _events(sf_dir, ["event_id"]).map_batches(
+                id_partial, batch_format="pandas"
+            ),
+            ["event_id"],
+            id_combine,
+        )
+        .to_pandas()["dups"]
+        .sum()
+    )
+    out = pd.DataFrame(
+        {
+            "rule": [
+                "events_dup_event_id",
+                "events_null_props",
+                "events_value_out_of_range",
+                "lineitem_orphan_orderkey",
+                "orders_orphan_custkey",
+            ],
+            "n_violations": np.array(
+                [dup, int(ev["nullp"]), int(ev["oob"]), li_orphans,
+                 o_orphans],
+                dtype=np.int64,
+            ),
+        }
+    )
+    return out.sort_values("rule", ignore_index=True)

@@ -1272,3 +1272,156 @@ def daily_mix_segments(
     out["mask"] = out["mask"].astype(np.int64)
     out["n_cells"] = out["n_cells"].astype(np.int64)
     return out.sort_values("mask", ignore_index=True)
+
+
+# ------------------------------------------------- time-weighted average
+def time_weighted_avg_value(sf_dir: str) -> pd.DataFrame:
+    """Per-user TIME-weighted average value: each event's value holds
+    until the user's next event (step-function semantics, last event
+    holds nothing) — the irregular-sampling average a tier store needs
+    when samples arrive unevenly (arithmetic means over-weight bursts).
+
+    Shape: the :func:`interarrival_stats` contract — a 4-column
+    projection rides ONE user-hash exchange, the combine sorts each
+    partition once and derives all segments from two shifted views.
+
+    Exactness: values snap to the 2^10 lattice and gaps floor to whole
+    seconds, so weight x value products and both sums are order-free
+    int64 (q <= ~6e5, user span <= 2.6e6 s -> per-user sums <= ~1.5e12);
+    the TWA is ONE mirrored division chain."""
+    ds = _events(sf_dir, ["user_id", "ts", "event_id", "value"])
+
+    def project(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": df["user_id"].to_numpy(np.int64),
+                "ts_us": df["ts"].astype("datetime64[us]").astype(np.int64),
+                "event_id": df["event_id"].to_numpy(np.int64),
+                "q": np.floor(
+                    df["value"].to_numpy(np.float64) * 1024.0 + 0.5
+                ).astype(np.int64),
+            }
+        )
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "user_id": pd.Series(dtype=np.int64),
+                "dwell_s": pd.Series(dtype=np.int64),
+                "swq": pd.Series(dtype=np.int64),
+            }
+        )
+        if len(g) < 2:
+            return empty
+        g = g.sort_values(["user_id", "ts_us", "event_id"], kind="mergesort")
+        u = g["user_id"].to_numpy(np.int64)
+        t = g["ts_us"].to_numpy(np.int64)
+        q = g["q"].to_numpy(np.int64)
+        same = u[1:] == u[:-1]
+        gap_s = (t[1:] - t[:-1])[same] // 1_000_000
+        d = pd.DataFrame(
+            {
+                "user_id": u[:-1][same],
+                "dwell_s": gap_s,
+                "swq": q[:-1][same] * gap_s,
+            }
+        )
+        return d.groupby("user_id", as_index=False)[["dwell_s", "swq"]].sum()
+
+    out = (
+        hash_combine(
+            ds.map_batches(project, batch_format="pandas"),
+            ["user_id"],
+            combine,
+        )
+        .to_pandas()
+        .groupby("user_id", as_index=False)[["dwell_s", "swq"]]
+        .sum()
+    )
+    out = out[out["dwell_s"] > 0].sort_values("user_id", ignore_index=True)
+    return pd.DataFrame(
+        {
+            "user_id": out["user_id"].to_numpy(np.int64),
+            "dwell_s": out["dwell_s"].to_numpy(np.int64),
+            "twa": _r6away(
+                out["swq"].to_numpy(np.int64).astype(np.float64)
+                / out["dwell_s"].to_numpy(np.int64)
+                / 1024.0
+            ),
+        }
+    )
+
+
+# --------------------------------------------------- conversion latency
+def signup_to_purchase_lag(sf_dir: str) -> pd.DataFrame:
+    """Conversion LATENCY per user: the first signup timestamp and the
+    first purchase AT-OR-AFTER it, with the lag in whole hours — the
+    time-to-convert readout that complements :func:`funnel_conversion`'s
+    reach counts.
+
+    Shape: map-side prune to the two event types (column+row pruning
+    before the exchange), ONE user-hash exchange; the combine computes
+    per-user min signup with one groupby, filters purchases against it
+    via a broadcast-aligned lookup, and min-reduces — all vectorized.
+
+    Determinism: pure int64 timestamp selections and floor division —
+    no floats anywhere."""
+    ds = _events(sf_dir, ["user_id", "ts", "event_type"])
+
+    def project(df: pd.DataFrame) -> pd.DataFrame:
+        m = df["event_type"].isin(["signup", "purchase"])
+        d = df[m]
+        return pd.DataFrame(
+            {
+                "user_id": d["user_id"].to_numpy(np.int64),
+                "ts_us": d["ts"].astype("datetime64[us]").astype(np.int64),
+                "is_signup": (d["event_type"] == "signup")
+                .to_numpy()
+                .astype(np.int8),
+            }
+        )
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        s = (
+            g[g["is_signup"] == 1]
+            .groupby("user_id")["ts_us"]
+            .min()
+            .rename("signup_us")
+        )
+        p = g[g["is_signup"] == 0].copy()
+        p["signup_us"] = p["user_id"].map(s)
+        p = p[p["signup_us"].notna() & (p["ts_us"] >= p["signup_us"])]
+        if len(p) == 0:
+            return pd.DataFrame(
+                {
+                    "user_id": pd.Series(dtype=np.int64),
+                    "signup_us": pd.Series(dtype=np.int64),
+                    "purchase_us": pd.Series(dtype=np.int64),
+                }
+            )
+        out = p.groupby("user_id", as_index=False).agg(
+            signup_us=("signup_us", "first"), purchase_us=("ts_us", "min")
+        )
+        out["signup_us"] = out["signup_us"].astype(np.int64)
+        return out
+
+    out = hash_combine(
+        ds.map_batches(project, batch_format="pandas"), ["user_id"], combine
+    ).to_pandas()
+    out = out.sort_values("user_id", ignore_index=True)
+    lag_h = (
+        out["purchase_us"].to_numpy(np.int64)
+        - out["signup_us"].to_numpy(np.int64)
+    ) // (3600 * US)
+    return pd.DataFrame(
+        {
+            "user_id": out["user_id"].to_numpy(np.int64),
+            "signup_ts": out["signup_us"]
+            .to_numpy(np.int64)
+            .astype("datetime64[us]"),
+            "first_purchase_ts": out["purchase_us"]
+            .to_numpy(np.int64)
+            .astype("datetime64[us]"),
+            "lag_hours": lag_h,
+        }
+    )

@@ -510,7 +510,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # trailing range-window count, fixed-bin histogram, rolling
         # z-score anomaly, distributed argmax, JSON props extraction
         "counter_rate_1h": A.counter_rate_1h,
-        "value_histogram_1h": A.value_histogram_1h,
+        # round-4 wave 20: market-basket co-purchase pairs (within-group
+        # pair explosion) and per-nation revenue HHI concentration.
+        # (value_histogram_1h / grouping_sets_day rotate to the tail —
+        # the lattice-histogram family reps fixed-bin histograms,
+        # rollup_grouping_sets reps multi-grain cubes; both in the
+        # committed local gate)
+        "copurchase_pairs": J.copurchase_pairs,
+        "nation_revenue_hhi": ST.nation_revenue_hhi,
         # round-4 wave 16: distributed 2-D skyline (Pareto frontier via
         # sort + block-prefix-min sweep), per-user Shannon entropy of the
         # event mix, inverted-index posting stats (per-term df/cf/argmax
@@ -558,10 +565,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dq_audit": A.dq_audit,
         "scrub_props": T.scrub_props,
         "transcript_latency_1m": _transcript_latency_1m,
-        # round-4 operators: single-pass GROUPING SETS cube, trailing
-        # 30-minute range (interval) join, ordered-sequence funnel,
-        # TPC-H Q5-shaped 6-table join
-        "grouping_sets_day": A.grouping_sets_day,
+        # round-4 operators: trailing 30-minute range (interval) join,
+        # ordered-sequence funnel, TPC-H Q5-shaped 6-table join
         "attribution_window_30m": A.attribution_window_30m,
         "funnel_conversion": A.funnel_conversion,
         "q5_local_supplier": J.q5_local_supplier,
@@ -665,6 +670,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_rank": A.window_rank,
         "trend_ols_1h": A.trend_ols_1h,
         "span_dedup_hashed": T.span_dedup_hashed,
+        "value_histogram_1h": A.value_histogram_1h,
+        "grouping_sets_day": A.grouping_sets_day,
         "gap_fill_1m": A.gap_fill_1m,
         "corpus_prune_exact": _corpus_prune,
         "embedding_near_dups": _embedding_near_dups,
@@ -1592,6 +1599,43 @@ def oracle_sql() -> dict[str, str]:
                 FROM orders
                 WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
             ) ORDER BY rule
+        """,
+        # market basket: distinct (order, part), strict (pa < pb) pairs,
+        # exact counts; (n DESC, pa, pb) is a total order so LIMIT is
+        # stable
+        "copurchase_pairs": """
+            WITH d AS (
+                SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+            ), p AS (
+                SELECT a.l_partkey AS pa, b.l_partkey AS pb
+                FROM d a JOIN d b
+                ON a.l_orderkey = b.l_orderkey
+                AND a.l_partkey < b.l_partkey
+            )
+            SELECT pa, pb, CAST(COUNT(*) AS BIGINT) AS n
+            FROM p GROUP BY 1, 2
+            ORDER BY n DESC, pa, pb LIMIT 20
+        """,
+        # HHI: three exact int64 lanes per nation, ONE mirrored float
+        # chain sq / (s * s)
+        "nation_revenue_hhi": """
+            WITH c AS (
+                SELECT o_custkey,
+                       CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5)
+                                     AS BIGINT)) AS BIGINT) AS cents
+                FROM orders GROUP BY 1
+            ), j AS (
+                SELECT n_name, cents
+                FROM c
+                JOIN customer ON o_custkey = c_custkey
+                JOIN nation ON c_nationkey = n_nationkey
+            )
+            SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_customers,
+                   CAST(SUM(cents) AS BIGINT) AS total_cents,
+                   ROUND(CAST(SUM(cents * cents) AS DOUBLE)
+                         / (CAST(SUM(cents) AS DOUBLE) * SUM(cents)), 6)
+                   AS hhi
+            FROM j GROUP BY 1 ORDER BY 1
         """,
         # integer predicate 5*qty*n < s <=> qty < 0.2*avg(qty) — no float
         # enters the correlated threshold

@@ -278,6 +278,8 @@ def run_bench() -> dict:
         "label_compactness",
         # round-4 wave 19 (TWA, conversion latency, DQ audit)
         "time_weighted_avg_value", "signup_to_purchase_lag", "dq_audit",
+        # round-4 wave 20 (market basket, HHI concentration)
+        "copurchase_pairs", "nation_revenue_hhi",
     ]
     q_steal: dict[str, float] = {}
     for name in q_list:

@@ -1955,3 +1955,86 @@ def q20_excess_suppliers(
         {"s_name": out["s_name"].astype(str),
          "n_name": out["n_name"].astype(str)}
     ).sort_values(["s_name", "n_name"], ignore_index=True)
+
+
+def copurchase_pairs(sf_dir: str, k: int = 20) -> pd.DataFrame:
+    """Market-basket co-purchase pairs: the top-k (part_a, part_b) pairs
+    by the number of orders containing BOTH — the
+    frequently-bought-together readout, and the within-group PAIR
+    EXPLOSION shape (a self-join inside each order) no other operator
+    exercises.
+
+    Shape: distinct (order, part) partials -> ONE orderkey-hash exchange
+    -> per-partition vectorized pair generation (orders sorted, parts
+    strictly increasing inside each order, the (i<j) pairs built with
+    repeat/arange segment arithmetic — no per-order Python) -> pair
+    counts ride a second (pa, pb)-hash exchange -> per-partition top-k
+    candidates (each pair's count is complete inside one partition) ->
+    tiny driver merge.  The explosion is bounded by max-lines-per-order
+    (k*(k-1)/2 per order, ~13 lines max in this schema).
+
+    Determinism: integer counts; the (n DESC, pa, pb) tiebreak is a
+    total order, so LIMIT k is stable.
+    Reference parity: the reference's coincident-observation pairing
+    (VNP43/GEOS same-tile matchups in the calibration step,
+    ECOv003-L2T-STARS L2T_STARS.py) is the same within-key pairing."""
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    )
+
+    def dedup(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "okey": df["l_orderkey"].to_numpy(np.int64),
+                "pkey": df["l_partkey"].to_numpy(np.int64),
+            }
+        ).drop_duplicates()
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates(["okey", "pkey"]).sort_values(
+            ["okey", "pkey"], kind="mergesort"
+        )
+        o = d["okey"].to_numpy(np.int64)
+        p = d["pkey"].to_numpy(np.int64)
+        n = len(o)
+        if n < 2:
+            return pd.DataFrame(
+                {"pa": pd.Series(dtype=np.int64),
+                 "pb": pd.Series(dtype=np.int64),
+                 "n": pd.Series(dtype=np.int64)}
+            )
+        # segment arithmetic: for row i with local index l in a segment
+        # of size s, emit (s - l - 1) pairs (i, i+1..end-of-segment)
+        new = np.concatenate([[True], o[1:] != o[:-1]])
+        seg_id = np.cumsum(new) - 1
+        seg_sizes = np.bincount(seg_id)
+        starts = np.concatenate([[0], np.cumsum(seg_sizes)[:-1]])
+        loc = np.arange(n) - starts[seg_id]
+        reps = seg_sizes[seg_id] - loc - 1
+        a_idx = np.repeat(np.arange(n), reps)
+        # offset 1..reps within each repeat group
+        cum = np.concatenate([[0], np.cumsum(reps)[:-1]])
+        off = np.arange(reps.sum()) - np.repeat(cum, reps) + 1
+        b_idx = a_idx + off
+        pp = pd.DataFrame({"pa": p[a_idx], "pb": p[b_idx]})
+        c = pp.groupby(["pa", "pb"], sort=False).size().rename("n")
+        return c.reset_index()
+
+    pair_counts = hash_combine(
+        li.map_batches(dedup, batch_format="pandas"), ["okey"], pairs
+    )
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        c = g.groupby(["pa", "pb"], as_index=False)["n"].sum()
+        return c.sort_values(
+            ["n", "pa", "pb"], ascending=[False, True, True]
+        ).head(k)
+
+    cand = hash_combine(pair_counts, ["pa", "pb"], topk).to_pandas()
+    out = cand.sort_values(
+        ["n", "pa", "pb"], ascending=[False, True, True], ignore_index=True
+    ).head(k)
+    out["pa"] = out["pa"].astype(np.int64)
+    out["pb"] = out["pb"].astype(np.int64)
+    out["n"] = out["n"].astype(np.int64)
+    return out.reset_index(drop=True)

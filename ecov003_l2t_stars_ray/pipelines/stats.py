@@ -992,3 +992,65 @@ def value_percentile_transform(sf_dir: str) -> pd.DataFrame:
 
     out = ds.map_batches(transform, batch_format="pandas").to_pandas()
     return out.sort_values("event_id", ignore_index=True)
+
+
+# ------------------------------------------------------ HHI concentration
+def nation_revenue_hhi(sf_dir: str) -> pd.DataFrame:
+    """Herfindahl-Hirschman concentration index of customer revenue per
+    nation: HHI = sum(share_i^2) over each nation's customers — the
+    market-concentration readout complementing the global ``gini``
+    (per-GROUP sum-of-squares concentration, a different moment).
+
+    Shape: per-customer cents ride the :func:`_per_customer_cents`
+    exchange; the customer->nation map is BROADCAST (customer-dimension
+    sized — at true 100 TB customer cardinality this becomes a Bloom-led
+    join, same contract as ``dq_audit``); per-nation (n, sum, sum-of-
+    squares) int64 lanes reduce to a nation-sized table.
+
+    Exactness: cents^2 sums stay below 2^63 through ~sf1 on this schema
+    (documented two-lane split past that); the HHI is ONE mirrored
+    float chain over three exact int64 lanes."""
+    cust = pd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    nation = pd.read_parquet(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    )
+    nmap = cust.merge(
+        nation, left_on="c_nationkey", right_on="n_nationkey"
+    ).set_index("c_custkey")["n_name"].astype(str)
+    nmap_ref = ray.put(nmap)
+
+    def lanes(df: pd.DataFrame) -> pd.DataFrame:
+        nm = ray.get(nmap_ref)
+        c = df["cents"].to_numpy(np.int64)
+        d = pd.DataFrame(
+            {
+                "n_name": nm.reindex(df["cust"].to_numpy(np.int64)).to_numpy(),
+                "n_customers": np.ones(len(c), dtype=np.int64),
+                "total_cents": c,
+                "sq": c * c,
+            }
+        )
+        return d.groupby("n_name", as_index=False).sum()
+
+    out = (
+        _per_customer_cents(sf_dir)
+        .map_batches(lanes, batch_format="pandas")
+        .to_pandas()
+        .groupby("n_name", as_index=False)[
+            ["n_customers", "total_cents", "sq"]
+        ]
+        .sum()
+        .sort_values("n_name", ignore_index=True)
+    )
+    s = out["total_cents"].to_numpy(np.int64).astype(np.float64)
+    sq = out["sq"].to_numpy(np.int64).astype(np.float64)
+    return pd.DataFrame(
+        {
+            "n_name": out["n_name"].astype(str),
+            "n_customers": out["n_customers"].astype(np.int64),
+            "total_cents": out["total_cents"].astype(np.int64),
+            "hhi": _r6away(sq / (s * s)),
+        }
+    )

@@ -462,6 +462,14 @@ def _ngram_jaccard_pairs(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+def _sorted_neighborhood_pairs(sf_dir: str) -> pd.DataFrame:
+    from ecov003_l2t_stars_ray.pipelines.dedup import (
+        sorted_neighborhood_pairs,
+    )
+
+    return sorted_neighborhood_pairs(sf_dir, w=3)
+
+
 def _levenshtein_pairs(sf_dir: str) -> pd.DataFrame:
     """Bounded edit-distance pairs over a fixed customer-name slice
     (c_custkey < 2000 mirrored in the oracle keeps the EXACT contract's
@@ -539,8 +547,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winsorized_mean_by_type": ST.winsorized_mean_by_type,
         "daily_mix_segments": G.daily_mix_segments,
         "latest_event_state": G.latest_event_state,
-        # sketches / sampling (bounded-memory family)
-        "stratified_sample": SK.stratified_sample,
+        # round-4 wave 21: sorted-neighborhood blocking (sort + boundary
+        # stream stitch) and per-source Pareto coverage curve.
+        # (stratified_sample / levenshtein_pairs rotate to the tail —
+        # source_mixture_sample reps per-class hash sampling, the new
+        # blocking generator + ngram_jaccard family rep the fuzzy-dedup
+        # candidate/verify pipeline; both in the committed local gate)
+        "sorted_neighborhood_pairs": _sorted_neighborhood_pairs,
+        "coverage_curve_by_source": T.coverage_curve_by_source,
         # round-4 wave 18: two-pass broadcast feature normalizations
         # (z-score via int64 moment lanes — bit-identical chain;
         # PERCENT_RANK via a broadcast lattice CDF) and per-label
@@ -579,7 +593,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # so the canonical k=8 hygiene setting would make the check vacuous
         # (0 rows); k=4 yields real overlap to hash-compare
         "decontaminate": lambda sf: T.decontaminate(sf, k=4),
-        "levenshtein_pairs": _levenshtein_pairs,
         # round-4 wave 3: grouped-shape operators — per-group mode,
         # fixed-vocabulary long->wide pivot, SQL-NTILE decile table,
         # deterministic weighted mixture sample, trailing-24h RANGE-window
@@ -672,6 +685,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "span_dedup_hashed": T.span_dedup_hashed,
         "value_histogram_1h": A.value_histogram_1h,
         "grouping_sets_day": A.grouping_sets_day,
+        "stratified_sample": SK.stratified_sample,
+        "levenshtein_pairs": _levenshtein_pairs,
         "gap_fill_1m": A.gap_fill_1m,
         "corpus_prune_exact": _corpus_prune,
         "embedding_near_dups": _embedding_near_dups,
@@ -1636,6 +1651,43 @@ def oracle_sql() -> dict[str, str]:
                          / (CAST(SUM(cents) AS DOUBLE) * SUM(cents)), 6)
                    AS hhi
             FROM j GROUP BY 1 ORDER BY 1
+        """,
+        # sorted-neighborhood blocking: per-lang ROW_NUMBER self-join at
+        # rank distance 1..3; (lang, doc_a, doc_b) is a total order
+        "sorted_neighborhood_pairs": """
+            WITH r AS (
+                SELECT doc_id, lang, n_chars,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY lang
+                           ORDER BY n_chars, doc_id) AS rn
+                FROM documents
+            )
+            SELECT a.lang AS lang, a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(b.n_chars - a.n_chars AS BIGINT) AS char_diff
+            FROM r a JOIN r b
+            ON a.lang = b.lang AND b.rn - a.rn BETWEEN 1 AND 3
+            ORDER BY lang, doc_a, doc_b
+        """,
+        # per-source Pareto coverage: tie-order-invariant exclusive
+        # prefix threshold counts, all int64
+        "coverage_curve_by_source": """
+            WITH r AS (
+                SELECT source, n_chars,
+                       COALESCE(SUM(n_chars) OVER (
+                           PARTITION BY source
+                           ORDER BY n_chars DESC, doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING), 0) AS excl,
+                       SUM(n_chars) OVER (PARTITION BY source) AS tot
+                FROM documents
+            )
+            SELECT source,
+                   CAST(COUNT(*) FILTER (WHERE excl * 100 < 50 * tot)
+                        AS BIGINT) AS n_docs_50pct,
+                   CAST(COUNT(*) FILTER (WHERE excl * 100 < 80 * tot)
+                        AS BIGINT) AS n_docs_80pct,
+                   CAST(MAX(tot) AS BIGINT) AS total_chars
+            FROM r GROUP BY 1 ORDER BY 1
         """,
         # integer predicate 5*qty*n < s <=> qty < 0.2*avg(qty) — no float
         # enters the correlated threshold

@@ -280,6 +280,8 @@ def run_bench() -> dict:
         "time_weighted_avg_value", "signup_to_purchase_lag", "dq_audit",
         # round-4 wave 20 (market basket, HHI concentration)
         "copurchase_pairs", "nation_revenue_hhi",
+        # round-4 wave 21 (sorted-neighborhood blocking, coverage curve)
+        "sorted_neighborhood_pairs", "coverage_curve_by_source",
     ]
     q_steal: dict[str, float] = {}
     for name in q_list:

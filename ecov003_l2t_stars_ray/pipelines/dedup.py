@@ -1169,3 +1169,165 @@ def levenshtein_pairs(
                              "s_b": pd.Series(dtype=object),
                              "dist": pd.Series(dtype="int64")})
     return out.sort_values(["s_a", "s_b"], ignore_index=True)
+
+
+def sorted_neighborhood_pairs(sf_dir: str, w: int = 3) -> pd.DataFrame:
+    """Sorted-neighborhood blocking (the classic record-linkage
+    alternative to LSH banding): order the corpus by a blocking key
+    (lang, n_chars, doc_id) and emit every candidate pair within a
+    sliding window of ``w`` positions inside the same lang — the
+    candidate generator a fuzzy-dedup pass feeds to an exact verifier
+    (:func:`levenshtein_pairs` shape).
+
+    Shape: ONE range exchange (``Dataset.sort`` on the blocking key) ->
+    per-BLOCK pairs from ``w`` shifted views (vectorized) -> cross-block
+    pairs from a BOUNDARY STREAM: each block ships only its first/last
+    ``w`` rows plus its size; the driver orders blocks by first key
+    (ranges never interleave, keys unique), rebases intra-block
+    positions to global positions with a size cumsum, and generates the
+    missing cross-block pairs — O(blocks x w) driver work, never the
+    row stream.
+
+    Determinism: pure integer comparisons; within one lang the global
+    position distance equals the per-lang rank distance (langs are
+    contiguous under the sort), matching the oracle's ROW_NUMBER
+    self-join."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"]
+    )
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "lang": df["lang"].astype(str),
+                "n_chars": df["n_chars"].to_numpy(np.int64),
+                "doc_id": df["doc_id"].to_numpy(np.int64),
+            }
+        )
+
+    s = ds.map_batches(prep, batch_format="pandas").sort(
+        ["lang", "n_chars", "doc_id"]
+    )
+
+    PAIR_EMPTY = {
+        "lang": pd.Series(dtype=str),
+        "doc_a": pd.Series(dtype=np.int64),
+        "doc_b": pd.Series(dtype=np.int64),
+        "char_diff": pd.Series(dtype=np.int64),
+        "kind": pd.Series(dtype=np.int8),
+        "pos": pd.Series(dtype=np.int64),
+        "bsize": pd.Series(dtype=np.int64),
+        "b0_lang": pd.Series(dtype=str),
+        "b0_chars": pd.Series(dtype=np.int64),
+        "b0_doc": pd.Series(dtype=np.int64),
+    }
+
+    def block_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        n = len(df)
+        if n == 0:
+            return pd.DataFrame(PAIR_EMPTY)
+        lang = df["lang"].astype(str).to_numpy()
+        ch = df["n_chars"].to_numpy(np.int64)
+        did = df["doc_id"].to_numpy(np.int64)
+        outs = []
+        for d in range(1, w + 1):
+            if n <= d:
+                break
+            m = lang[d:] == lang[:-d]
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "lang": lang[:-d][m],
+                        "doc_a": did[:-d][m],
+                        "doc_b": did[d:][m],
+                        "char_diff": (ch[d:] - ch[:-d])[m],
+                    }
+                )
+            )
+        pairs = (
+            pd.concat(outs, ignore_index=True)
+            if outs
+            else pd.DataFrame(
+                {k: PAIR_EMPTY[k] for k in
+                 ["lang", "doc_a", "doc_b", "char_diff"]}
+            )
+        )
+        pairs["kind"] = np.int8(0)
+        # boundary rows: first/last w rows with intra positions + size +
+        # the block's first key (orders blocks on the driver)
+        idx = np.unique(np.concatenate(
+            [np.arange(min(w, n)), np.arange(max(0, n - w), n)]
+        ))
+        bnd = pd.DataFrame(
+            {
+                "lang": lang[idx],
+                "doc_a": did[idx],
+                "doc_b": np.int64(0),
+                "char_diff": ch[idx],  # carries n_chars for boundary rows
+                "kind": np.int8(1),
+                "pos": idx.astype(np.int64),
+                "bsize": np.int64(n),
+                "b0_lang": lang[0],
+                "b0_chars": ch[0],
+                "b0_doc": did[0],
+            }
+        )
+        pairs["pos"] = np.int64(0)
+        pairs["bsize"] = np.int64(0)
+        pairs["b0_lang"] = ""
+        pairs["b0_chars"] = np.int64(0)
+        pairs["b0_doc"] = np.int64(0)
+        return pd.concat([pairs, bnd], ignore_index=True)
+
+    raw = s.map_batches(block_pairs, batch_format="pandas").to_pandas()
+    pairs = raw[raw["kind"] == 0][["lang", "doc_a", "doc_b", "char_diff"]]
+    bnd = raw[raw["kind"] == 1].copy()
+    if len(bnd):
+        blocks = (
+            bnd[["b0_lang", "b0_chars", "b0_doc", "bsize"]]
+            .drop_duplicates()
+            .sort_values(["b0_lang", "b0_chars", "b0_doc"],
+                         kind="mergesort", ignore_index=True)
+        )
+        blocks["off"] = np.concatenate(
+            [[0], np.cumsum(blocks["bsize"].to_numpy(np.int64))[:-1]]
+        )
+        blocks["bid"] = np.arange(len(blocks), dtype=np.int64)
+        key = ["b0_lang", "b0_chars", "b0_doc"]
+        bnd = bnd.merge(blocks[key + ["off", "bid"]], on=key)
+        bnd["gpos"] = bnd["pos"].to_numpy(np.int64) + bnd["off"].to_numpy(
+            np.int64
+        )
+        bnd = bnd.sort_values("gpos", kind="mergesort", ignore_index=True)
+        g = bnd["gpos"].to_numpy(np.int64)
+        lang = bnd["lang"].astype(str).to_numpy()
+        did = bnd["doc_a"].to_numpy(np.int64)
+        ch = bnd["char_diff"].to_numpy(np.int64)
+        bid = bnd["bid"].to_numpy(np.int64)
+        cross = []
+        for d in range(1, w + 1):
+            if len(g) <= d:
+                break
+            m = (
+                (g[d:] - g[:-d] == d)
+                & (lang[d:] == lang[:-d])
+                & (bid[d:] != bid[:-d])
+            )
+            cross.append(
+                pd.DataFrame(
+                    {
+                        "lang": lang[:-d][m],
+                        "doc_a": did[:-d][m],
+                        "doc_b": did[d:][m],
+                        "char_diff": (ch[d:] - ch[:-d])[m],
+                    }
+                )
+            )
+        if cross:
+            pairs = pd.concat([pairs] + cross, ignore_index=True)
+    pairs["doc_a"] = pairs["doc_a"].astype(np.int64)
+    pairs["doc_b"] = pairs["doc_b"].astype(np.int64)
+    pairs["char_diff"] = pairs["char_diff"].astype(np.int64)
+    return pairs.sort_values(
+        ["lang", "doc_a", "doc_b"], ignore_index=True
+    )

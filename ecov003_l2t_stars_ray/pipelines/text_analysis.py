@@ -1017,3 +1017,65 @@ def term_postings(sf_dir: str, min_df: int = 5) -> pd.DataFrame:
     ).to_pandas()
     return out.sort_values("term", ignore_index=True)
 
+
+
+def coverage_curve_by_source(sf_dir: str) -> pd.DataFrame:
+    """Per-source Pareto coverage curve: the smallest number of (largest)
+    documents whose characters reach 50% / 80% of the source's total —
+    the heavy-tail readout that decides per-source sampling quotas when
+    mixing corpora (:func:`sketches.source_mixture_sample`'s sizing
+    input); the per-GROUP variant of ``stats.pareto_revenue_share``.
+
+    Shape: a 3-column projection rides ONE source-hash exchange; the
+    combine sorts its partition once ((source, n_chars DESC, doc_id))
+    and derives every source's exclusive prefix + threshold counts from
+    grouped cumsums — all sources of a partition in one vectorized pass.
+
+    Determinism: counting rows with excl_prefix*100 < pct*total is
+    tie-order invariant (equal sizes contribute identical prefix
+    multisets), all int64."""
+    from ..functions.shuffle import hash_combine
+
+    ds = _docs(sf_dir, ["doc_id", "source", "n_chars"])
+
+    def project(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "source": df["source"].astype(str),
+                "n_chars": df["n_chars"].to_numpy(np.int64),
+                "doc_id": df["doc_id"].to_numpy(np.int64),
+            }
+        )
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["source", "n_chars", "doc_id"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        ch = g["n_chars"].to_numpy(np.int64)
+        grp = g.groupby("source", sort=False)
+        incl = grp["n_chars"].cumsum().to_numpy()
+        excl = incl - ch
+        tot = grp["n_chars"].transform("sum").to_numpy()
+        d = pd.DataFrame(
+            {
+                "source": g["source"].to_numpy(),
+                "c50": (excl * 100 < 50 * tot).astype(np.int64),
+                "c80": (excl * 100 < 80 * tot).astype(np.int64),
+                "n_chars": ch,
+            }
+        )
+        out = d.groupby("source", as_index=False).agg(
+            n_docs_50pct=("c50", "sum"),
+            n_docs_80pct=("c80", "sum"),
+            total_chars=("n_chars", "sum"),
+        )
+        return out
+
+    out = hash_combine(
+        ds.map_batches(project, batch_format="pandas"), ["source"], combine
+    ).to_pandas()
+    for c in ["n_docs_50pct", "n_docs_80pct", "total_chars"]:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("source", ignore_index=True)

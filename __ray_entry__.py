@@ -517,7 +517,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round-3 stream operators: counter rate w/ reset detection,
         # trailing range-window count, fixed-bin histogram, rolling
         # z-score anomaly, distributed argmax, JSON props extraction
-        "counter_rate_1h": A.counter_rate_1h,
+        # round-4 wave 22: event debouncing (raw-predecessor LAG rule),
+        # per-dimension embedding moment profile, brand price
+        # realization over the broadcast catalog.
+        # (counter_rate_1h / cohort_retention / tfidf_topk rotate to the
+        # tail — debounce_events + state_duration rep the streaming
+        # lead-gap family, signup_to_purchase_lag the cohort/conversion
+        # axis, term_postings + doc_rarity_score the term weighting; all
+        # in the committed local gate)
+        "debounce_events": A.debounce_events,
+        "embedding_dim_variance": SIM.embedding_dim_variance,
+        "brand_price_realization": J.brand_price_realization,
         # round-4 wave 20: market-basket co-purchase pairs (within-group
         # pair explosion) and per-nation revenue HHI concentration.
         # (value_histogram_1h / grouping_sets_day rotate to the tail —
@@ -606,10 +616,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mann_whitney_auc": ST.mann_whitney_auc,
         "cross_source_ngram_matrix": T.cross_source_ngram_matrix,
         "rolling_median_24h": G.rolling_median_24h,
-        # round-4 wave 4: event-type Markov transition matrix, weekly
-        # cohort-retention triangle, M4 chart downsampling (min/max/
-        # first/last per pixel bucket), top-k TF-IDF terms per doc
-        "cohort_retention": G.cohort_retention,
         # round-4 wave 13: sweep-line peak concurrency (block-offset
         # prefix over a signed delta series) and dense-axis lag-1
         # autocorrelation of hourly counts (transition_matrix /
@@ -617,7 +623,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # mann_whitney_auc's lattice rep those shapes)
         "peak_concurrency": A.peak_concurrency,
         "autocorr_lag1_hourly": ST.autocorr_lag1_hourly,
-        "tfidf_topk": T.tfidf_topk,
         # round-4 wave 5: seasonal-naive forecast backtest, per-user
         # inter-arrival cadence stats, TPC-H Q22-shaped scalar-subquery +
         # distributed anti-join
@@ -687,6 +692,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouping_sets_day": A.grouping_sets_day,
         "stratified_sample": SK.stratified_sample,
         "levenshtein_pairs": _levenshtein_pairs,
+        "counter_rate_1h": A.counter_rate_1h,
+        "cohort_retention": G.cohort_retention,
+        "tfidf_topk": T.tfidf_topk,
         "gap_fill_1m": A.gap_fill_1m,
         "corpus_prune_exact": _corpus_prune,
         "embedding_near_dups": _embedding_near_dups,
@@ -1688,6 +1696,56 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS n_docs_80pct,
                    CAST(MAX(tot) AS BIGINT) AS total_chars
             FROM r GROUP BY 1 ORDER BY 1
+        """,
+        # debounce: raw-predecessor LAG rule, pure int64 gap compare
+        # (literal stays in int64 range — INT32 overflow caveat)
+        "debounce_events": """
+            WITH l AS (
+                SELECT event_type,
+                       epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                           PARTITION BY user_id, event_type
+                           ORDER BY ts, event_id) AS gap
+                FROM events
+            )
+            SELECT event_type,
+                   CAST(SUM(CASE WHEN gap IS NOT NULL
+                                 AND gap <= 300000000 THEN 0
+                            ELSE 1 END) AS BIGINT) AS n_kept,
+                   CAST(SUM(CASE WHEN gap IS NOT NULL
+                                 AND gap <= 300000000 THEN 1
+                            ELSE 0 END) AS BIGINT) AS n_dropped
+            FROM l GROUP BY 1 ORDER BY 1
+        """,
+        # dim profile: float32 -> DOUBLE before arithmetic; mirrored
+        # (s2 - s1*s1/n)/(n-1) chain, O(1) magnitudes under ROUND(6)
+        "embedding_dim_variance": """
+            WITH dims AS (SELECT UNNEST(range(1, 65)) AS dim),
+            u AS (
+                SELECT dim, CAST(embedding[dim] AS DOUBLE) AS x
+                FROM embeddings CROSS JOIN dims
+            )
+            SELECT CAST(dim AS BIGINT) AS dim,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   ROUND(SUM(x) / COUNT(*), 6) AS mean_x,
+                   ROUND((SUM(x * x) - SUM(x) * SUM(x) / COUNT(*))
+                         / (COUNT(*) - 1), 6) AS var_x
+            FROM u GROUP BY 1 ORDER BY 1
+        """,
+        # price realization: three exact int64 lanes, ONE division
+        "brand_price_realization": """
+            WITH j AS (
+                SELECT p_brand,
+                       CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
+                       AS ext_c,
+                       CAST(FLOOR(l_quantity + 0.5) AS BIGINT)
+                       * CAST(FLOOR(p_retailprice * 100 + 0.5) AS BIGINT)
+                       AS qr_c
+                FROM lineitem JOIN part ON l_partkey = p_partkey
+            )
+            SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n_lines,
+                   ROUND(CAST(SUM(ext_c) AS DOUBLE) / SUM(qr_c), 6)
+                   AS realized_ratio
+            FROM j GROUP BY 1 ORDER BY 1
         """,
         # integer predicate 5*qty*n < s <=> qty < 0.2*avg(qty) — no float
         # enters the correlated threshold

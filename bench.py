@@ -282,6 +282,9 @@ def run_bench() -> dict:
         "copurchase_pairs", "nation_revenue_hhi",
         # round-4 wave 21 (sorted-neighborhood blocking, coverage curve)
         "sorted_neighborhood_pairs", "coverage_curve_by_source",
+        # round-4 wave 22 (debounce, dim profile, price realization)
+        "debounce_events", "embedding_dim_variance",
+        "brand_price_realization",
     ]
     q_steal: dict[str, float] = {}
     for name in q_list:

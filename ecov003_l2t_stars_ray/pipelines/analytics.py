@@ -2021,3 +2021,72 @@ def dq_audit(sf_dir: str, value_hi: float = 480.0) -> pd.DataFrame:
         }
     )
     return out.sort_values("rule", ignore_index=True)
+
+
+# ----------------------------------------------------- event debouncing
+def debounce_events(sf_dir: str, window_s: int = 300) -> pd.DataFrame:
+    """Streaming debounce accounting: an event is DROPPED when the same
+    (user, event_type) fired within the preceding ``window_s`` seconds
+    (raw-predecessor rule, i.e. SQL LAG — not previous-kept) — the
+    duplicate-suppression hygiene stage ingest pipelines run in front of
+    counters; output is the kept/dropped split per event type.
+
+    Shape: 4-column projection rides ONE user-hash exchange; the combine
+    sorts each partition once ((user, type, ts, event_id)) and derives
+    every predecessor gap from one shifted view — vocabulary-sized
+    count partials leave the partition.
+
+    Determinism: pure int64 timestamp comparisons."""
+    ds = _events(sf_dir, ["user_id", "event_type", "ts", "event_id"])
+
+    def project(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": df["user_id"].to_numpy(np.int64),
+                "event_type": df["event_type"].astype(str),
+                "ts_us": df["ts"].astype("datetime64[us]").astype(np.int64),
+                "event_id": df["event_id"].to_numpy(np.int64),
+            }
+        )
+
+    win_us = np.int64(window_s) * US
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["user_id", "event_type", "ts_us", "event_id"], kind="mergesort"
+        )
+        u = g["user_id"].to_numpy(np.int64)
+        et = g["event_type"].astype(str).to_numpy()
+        t = g["ts_us"].to_numpy(np.int64)
+        same = np.zeros(len(g), dtype=bool)
+        if len(g) > 1:
+            same[1:] = (u[1:] == u[:-1]) & (et[1:] == et[:-1])
+        gap_ok = np.zeros(len(g), dtype=bool)
+        if len(g) > 1:
+            gap_ok[1:] = (t[1:] - t[:-1]) <= win_us
+        dropped = same & gap_ok
+        d = pd.DataFrame(
+            {
+                "event_type": et,
+                "n_dropped": dropped.astype(np.int64),
+                "n_kept": (~dropped).astype(np.int64),
+            }
+        )
+        return d.groupby("event_type", as_index=False)[
+            ["n_kept", "n_dropped"]
+        ].sum()
+
+    out = (
+        hash_combine(
+            ds.map_batches(project, batch_format="pandas"),
+            ["user_id"],
+            combine,
+        )
+        .to_pandas()
+        .groupby("event_type", as_index=False)[["n_kept", "n_dropped"]]
+        .sum()
+        .sort_values("event_type", ignore_index=True)
+    )
+    out["n_kept"] = out["n_kept"].astype(np.int64)
+    out["n_dropped"] = out["n_dropped"].astype(np.int64)
+    return out

@@ -2038,3 +2038,85 @@ def copurchase_pairs(sf_dir: str, k: int = 20) -> pd.DataFrame:
     out["pb"] = out["pb"].astype(np.int64)
     out["n"] = out["n"].astype(np.int64)
     return out.reset_index(drop=True)
+
+
+def brand_price_realization(sf_dir: str) -> pd.DataFrame:
+    """Price realization per part brand: the aggregate ratio of realized
+    line revenue to quantity x catalog retail price — the
+    markup/discount readout over the one catalog column no other
+    operator exercises (p_retailprice).
+
+    Shape: the part catalog's (brand, retail cents) columns are
+    BROADCAST once (`ray.put`); map-side int64 lanes (count, extended
+    cents, quantity x retail cents) pre-aggregate per brand before a
+    brand-sized driver reduce — the fact stream never shuffles.
+
+    Determinism: all three lanes exact int64 (qty x retail_cents <=
+    ~5e8 per line; sums < 2^63 through ~sf10); the ratio is ONE
+    mirrored division."""
+    part = pd.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand",
+                                           "p_retailprice"]
+    )
+    pmap = pd.DataFrame(
+        {
+            "brand": part["p_brand"].astype(str),
+            "retail_c": np.floor(
+                part["p_retailprice"].to_numpy(np.float64) * 100 + 0.5
+            ).astype(np.int64),
+        },
+        index=part["p_partkey"].to_numpy(np.int64),
+    )
+    pref = ray.put(pmap)
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity", "l_extendedprice"],
+    )
+
+    def lanes(df: pd.DataFrame) -> pd.DataFrame:
+        pm = ray.get(pref)
+        pk = df["l_partkey"].to_numpy(np.int64)
+        sel = pm.reindex(pk)
+        ext_c = np.floor(
+            df["l_extendedprice"].to_numpy(np.float64) * 100 + 0.5
+        ).astype(np.int64)
+        qty = np.floor(df["l_quantity"].to_numpy(np.float64) + 0.5).astype(
+            np.int64
+        )
+        d = pd.DataFrame(
+            {
+                "brand": sel["brand"].to_numpy(),
+                "n_lines": np.ones(len(pk), dtype=np.int64),
+                "ext_c": ext_c,
+                "qr_c": qty * sel["retail_c"].to_numpy(np.int64),
+            }
+        )
+        return d.groupby("brand", as_index=False).sum()
+
+    out = (
+        li.map_batches(lanes, batch_format="pandas")
+        .to_pandas()
+        .groupby("brand", as_index=False)[["n_lines", "ext_c", "qr_c"]]
+        .sum()
+        .sort_values("brand", ignore_index=True)
+    )
+    return pd.DataFrame(
+        {
+            "p_brand": out["brand"].astype(str),
+            "n_lines": out["n_lines"].astype(np.int64),
+            "realized_ratio": np.sign(
+                out["ext_c"].to_numpy(np.float64)
+                / out["qr_c"].to_numpy(np.int64)
+            )
+            * np.floor(
+                np.abs(
+                    out["ext_c"].to_numpy(np.int64).astype(np.float64)
+                    / out["qr_c"].to_numpy(np.int64)
+                )
+                * 1e6
+                + 0.5
+            )
+            / 1e6,
+        }
+    )

@@ -499,3 +499,52 @@ def label_compactness(sf_dir: str) -> pd.DataFrame:
             / 1e6,
         }
     )
+
+
+def embedding_dim_variance(sf_dir: str) -> pd.DataFrame:
+    """Per-DIMENSION mean/variance profile of the embedding space — the
+    feature-selection readout (dead or dominating dimensions) embedding
+    pipelines check before indexing.
+
+    Shape: map-side per-batch dimension-axis moment partials (three
+    length-d vectors per batch: n, sum, sum-of-squares), a dims-sized
+    driver reduce, no shuffle at all.
+
+    Determinism: float32 widened to DOUBLE before arithmetic; sums are
+    O(corpus) chains at O(1) magnitude, absorbed by ROUND(x, 6) (the
+    entropy/compactness precedent); the variance is the same mirrored
+    (s2 - s1*s1/n)/(n-1) chain as ``stats.value_zscore_by_type``."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["embedding"]
+    )
+
+    def moments(df: pd.DataFrame) -> pd.DataFrame:
+        m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        return pd.DataFrame(
+            {
+                "dim": np.arange(1, m.shape[1] + 1, dtype=np.int64),
+                "n": np.full(m.shape[1], m.shape[0], dtype=np.int64),
+                "s1": m.sum(axis=0),
+                "s2": (m * m).sum(axis=0),
+            }
+        )
+
+    agg = (
+        ds.map_batches(moments, batch_format="pandas")
+        .to_pandas()
+        .groupby("dim", as_index=False)[["n", "s1", "s2"]]
+        .sum()
+        .sort_values("dim", ignore_index=True)
+    )
+    n = agg["n"].to_numpy(np.int64).astype(np.float64)
+    s1 = agg["s1"].to_numpy(np.float64)
+    s2 = agg["s2"].to_numpy(np.float64)
+    r6 = lambda x: np.sign(x) * np.floor(np.abs(x) * 1e6 + 0.5) / 1e6
+    return pd.DataFrame(
+        {
+            "dim": agg["dim"].to_numpy(np.int64),
+            "n": agg["n"].astype(np.int64),
+            "mean_x": r6(s1 / n),
+            "var_x": r6((s2 - s1 * s1 / n) / (n - 1.0)),
+        }
+    )

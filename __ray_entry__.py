@@ -614,8 +614,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (pivot_event_counts and ntile_event_buckets rotate to the tail —
         # chi2_event_hour / percentile_rank_users represent those shapes)
         "mann_whitney_auc": ST.mann_whitney_auc,
-        "cross_source_ngram_matrix": T.cross_source_ngram_matrix,
-        "rolling_median_24h": G.rolling_median_24h,
+        # round-4 wave 23: integer CUSUM change-point over the dense
+        # hourly axis (prefix-min identity, recursive-CTE oracle) and a
+        # k-anonymity quasi-identifier audit.
+        # (cross_source_ngram_matrix / rolling_median_24h rotate to the
+        # tail — decontaminate reps hashed-shingle cross-source scans,
+        # attribution_window_30m the trailing RANGE windows; both in the
+        # committed local gate)
+        "cusum_changepoint": ST.cusum_changepoint,
+        "k_anonymity_audit": T.k_anonymity_audit,
         # round-4 wave 13: sweep-line peak concurrency (block-offset
         # prefix over a signed delta series) and dense-axis lag-1
         # autocorrelation of hourly counts (transition_matrix /
@@ -695,6 +702,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "counter_rate_1h": A.counter_rate_1h,
         "cohort_retention": G.cohort_retention,
         "tfidf_topk": T.tfidf_topk,
+        "cross_source_ngram_matrix": T.cross_source_ngram_matrix,
+        "rolling_median_24h": G.rolling_median_24h,
         "gap_fill_1m": A.gap_fill_1m,
         "corpus_prune_exact": _corpus_prune,
         "embedding_near_dups": _embedding_near_dups,
@@ -1746,6 +1755,73 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(CAST(SUM(ext_c) AS DOUBLE) / SUM(qr_c), 6)
                    AS realized_ratio
             FROM j GROUP BY 1 ORDER BY 1
+        """,
+        # CUSUM: all-int recurrence (counts, floor drift) replayed by a
+        # recursive CTE over the dense hour grid — bit-exact
+        "cusum_changepoint": """
+            WITH RECURSIVE bounds AS (
+                SELECT CAST(epoch_us(MIN(ts)) // 3600000000 AS BIGINT)
+                           AS h0,
+                       CAST(epoch_us(MAX(ts)) // 3600000000 AS BIGINT)
+                           AS h1
+                FROM events
+            ), hours AS (
+                SELECT UNNEST(range(h0, h1 + 1)) AS h FROM bounds
+            ), types AS (
+                SELECT DISTINCT event_type FROM events
+            ), c AS (
+                SELECT event_type,
+                       CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS h,
+                       CAST(COUNT(*) AS BIGINT) AS x
+                FROM events GROUP BY 1, 2
+            ), grid AS (
+                SELECT t.event_type, hours.h,
+                       COALESCE(c.x, 0) AS x,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY t.event_type
+                           ORDER BY hours.h) AS rn
+                FROM types t CROSS JOIN hours
+                LEFT JOIN c
+                ON c.event_type = t.event_type AND c.h = hours.h
+            ), drift AS (
+                SELECT event_type,
+                       (SUM(x) + COUNT(*) - 1) // COUNT(*) AS k
+                FROM grid GROUP BY 1
+            ), r AS (
+                SELECT g.event_type, g.h, g.rn,
+                       GREATEST(0, g.x - d.k) AS s
+                FROM grid g JOIN drift d USING (event_type)
+                WHERE g.rn = 1
+                UNION ALL
+                SELECT g.event_type, g.h, g.rn,
+                       GREATEST(0, r.s + g.x - d.k)
+                FROM grid g
+                JOIN r ON g.event_type = r.event_type
+                      AND g.rn = r.rn + 1
+                JOIN drift d ON d.event_type = g.event_type
+            ), mx AS (
+                SELECT event_type, MAX(s) AS m FROM r GROUP BY 1
+            )
+            SELECT r.event_type,
+                   CAST(mx.m AS BIGINT) AS max_cusum,
+                   CAST(MIN(r.h) AS BIGINT) AS first_hour
+            FROM r JOIN mx
+            ON r.event_type = mx.event_type AND r.s = mx.m
+            GROUP BY 1, 2 ORDER BY 1
+        """,
+        # k-anonymity: pure integer group-size lanes
+        "k_anonymity_audit": """
+            WITH g AS (
+                SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS c
+                FROM documents GROUP BY 1, 2
+            )
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+                   CAST(MIN(c) AS BIGINT) AS min_group_size,
+                   CAST(SUM(CASE WHEN c < 10 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_groups_below_k,
+                   CAST(SUM(CASE WHEN c < 10 THEN c ELSE 0 END)
+                        AS BIGINT) AS n_docs_below_k
+            FROM g
         """,
         # integer predicate 5*qty*n < s <=> qty < 0.2*avg(qty) — no float
         # enters the correlated threshold

@@ -285,6 +285,8 @@ def run_bench() -> dict:
         # round-4 wave 22 (debounce, dim profile, price realization)
         "debounce_events", "embedding_dim_variance",
         "brand_price_realization",
+        # round-4 wave 23 (CUSUM change-point, k-anonymity audit)
+        "cusum_changepoint", "k_anonymity_audit",
     ]
     q_steal: dict[str, float] = {}
     for name in q_list:

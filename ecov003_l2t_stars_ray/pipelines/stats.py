@@ -1054,3 +1054,67 @@ def nation_revenue_hhi(sf_dir: str) -> pd.DataFrame:
             "hhi": _r6away(sq / (s * s)),
         }
     )
+
+
+# --------------------------------------------------------------- CUSUM
+def cusum_changepoint(sf_dir: str) -> pd.DataFrame:
+    """CUSUM change-point statistic per event type over the dense global
+    hourly axis (absent hours count 0): S_t = max(0, S_{t-1} + x_t - k)
+    with integer drift k = CEIL(mean hourly count) — the upward-shift
+    detector; reported is the max excursion and the FIRST hour achieving
+    it.  Ceil (not floor) keeps k >= mean so S decays between bursts
+    even for sparse types (floor gives k = 0 below one event/hour and S
+    degenerates to the running total).
+
+    Shape: the ``autocorr_lag1_hourly`` contract — per-batch (type,
+    hour) count partials, one hash exchange, and the recurrence runs on
+    the |types| x |hours| table (time-range bounded, NOT data bounded).
+    The recurrence itself is VECTORIZED via the prefix identity
+    S_t = P_t - min(P_0..P_t), P = cumsum(x - k), P_0 = 0 — no per-step
+    Python.
+
+    Determinism: pure int64 throughout (counts, floor drift, prefix
+    sums), so the oracle's recursive-CTE replay matches bit-exactly."""
+    ds = _events(sf_dir, ["event_type", "ts"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        hr = df["ts"].astype("datetime64[us]").astype(np.int64) // HOUR_US
+        return (
+            pd.DataFrame({"event_type": df["event_type"].astype(str),
+                          "h": hr})
+            .groupby(["event_type", "h"], sort=False)
+            .size()
+            .rename("x")
+            .reset_index()
+        )
+
+    cnt = (
+        hash_combine(
+            ds.map_batches(partial, batch_format="pandas"),
+            ["event_type", "h"],
+            lambda g: g.groupby(["event_type", "h"], as_index=False)[
+                "x"
+            ].sum(),
+            num_partitions=8,
+        )
+        .to_pandas()
+        .groupby(["event_type", "h"], as_index=False)["x"]
+        .sum()
+    )
+    h0, h1 = int(cnt["h"].min()), int(cnt["h"].max())
+    H = h1 - h0 + 1
+    rows = []
+    for t, g in cnt.groupby("event_type"):
+        x = np.zeros(H, dtype=np.int64)
+        x[g["h"].to_numpy(np.int64) - h0] = g["x"].to_numpy(np.int64)
+        k = (int(x.sum()) + H - 1) // H
+        p = np.cumsum(x - k)
+        # S_t = P_t - min(P_0..P_t); the accumulate includes P_0 = 0
+        s = p - np.minimum.accumulate(np.concatenate([[0], p]))[1:]
+        i = int(np.argmax(s))
+        rows.append((t, int(s[i]), h0 + i))
+    out = pd.DataFrame(rows,
+                       columns=["event_type", "max_cusum", "first_hour"])
+    out["max_cusum"] = out["max_cusum"].astype(np.int64)
+    out["first_hour"] = out["first_hour"].astype(np.int64)
+    return out.sort_values("event_type", ignore_index=True)

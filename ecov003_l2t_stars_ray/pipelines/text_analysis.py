@@ -1079,3 +1079,48 @@ def coverage_curve_by_source(sf_dir: str) -> pd.DataFrame:
     for c in ["n_docs_50pct", "n_docs_80pct", "total_chars"]:
         out[c] = out[c].astype(np.int64)
     return out.sort_values("source", ignore_index=True)
+
+
+def k_anonymity_audit(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """k-anonymity audit over the (lang, source) quasi-identifier tuple:
+    group count, smallest group, and how many groups / documents fall
+    below the anonymity threshold ``k`` — the privacy-hygiene gate a
+    corpus release runs before publishing per-slice statistics.
+
+    Shape: per-batch (lang, source) count partials (the tuple space is
+    bounded), a tuple-sized driver reduce, then four scalar lanes — no
+    shuffle at all.
+
+    Determinism: pure integer counts."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            pd.DataFrame(
+                {
+                    "lang": df["lang"].astype(str),
+                    "source": df["source"].astype(str),
+                }
+            )
+            .groupby(["lang", "source"], sort=False)
+            .size()
+            .rename("c")
+            .reset_index()
+        )
+
+    g = (
+        _docs(sf_dir, ["lang", "source"])
+        .map_batches(partial, batch_format="pandas")
+        .to_pandas()
+        .groupby(["lang", "source"], as_index=False)["c"]
+        .sum()
+    )
+    c = g["c"].to_numpy(np.int64)
+    below = c < k
+    return pd.DataFrame(
+        {
+            "n_groups": [np.int64(len(c))],
+            "min_group_size": [np.int64(c.min())],
+            "n_groups_below_k": [np.int64(below.sum())],
+            "n_docs_below_k": [np.int64(c[below].sum())],
+        }
+    )

@@ -629,11 +629,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # median_mad_by_type rotate to the tail — funnel_conversion and
         # mann_whitney_auc's lattice rep those shapes)
         "peak_concurrency": A.peak_concurrency,
-        "autocorr_lag1_hourly": ST.autocorr_lag1_hourly,
+        # round-4 wave 24: Theil-Sen robust slope per user (pairwise
+        # slope median, quantile_cont-mirrored interpolation) and the
+        # type-pair Pearson co-movement matrix on the dense hour axis.
+        # (autocorr_lag1_hourly / interarrival_stats rotate to the tail
+        # — type_cross_correlation reps the dense-axis moment chain,
+        # theil_sen + time_weighted_avg_value the per-user shifted-view
+        # family; both in the committed local gate)
+        "theil_sen_slope_per_user": G.theil_sen_slope_per_user,
+        "type_cross_correlation": ST.type_cross_correlation,
         # round-4 wave 5: seasonal-naive forecast backtest, per-user
         # inter-arrival cadence stats, TPC-H Q22-shaped scalar-subquery +
         # distributed anti-join
-        "interarrival_stats": G.interarrival_stats,
         "q22_no_orders": J.q22_no_orders,
         # round-4 wave 6: one-pass ROLLUP grouping sets, exact
         # distributed Pearson moments
@@ -704,6 +711,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_topk": T.tfidf_topk,
         "cross_source_ngram_matrix": T.cross_source_ngram_matrix,
         "rolling_median_24h": G.rolling_median_24h,
+        "autocorr_lag1_hourly": ST.autocorr_lag1_hourly,
+        "interarrival_stats": G.interarrival_stats,
         "gap_fill_1m": A.gap_fill_1m,
         "corpus_prune_exact": _corpus_prune,
         "embedding_near_dups": _embedding_near_dups,
@@ -1822,6 +1831,65 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CASE WHEN c < 10 THEN c ELSE 0 END)
                         AS BIGINT) AS n_docs_below_k
             FROM g
+        """,
+        # Theil-Sen: identical IEEE slope per pair on both sides;
+        # quantile_cont(0.5) mirrored by lo + (hi - lo) * 0.5; equal-ts
+        # pairs excluded (a.us < b.us)
+        "theil_sen_slope_per_user": """
+            WITH p AS (
+                SELECT user_id, epoch_us(ts) AS us, value FROM events
+            ), s AS (
+                SELECT a.user_id,
+                       (b.value - a.value) * 3600000000.0
+                       / (b.us - a.us) AS slope
+                FROM p a JOIN p b
+                ON a.user_id = b.user_id AND a.us < b.us
+            )
+            SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                   ROUND(quantile_cont(slope, 0.5), 6) AS slope_per_hour
+            FROM s GROUP BY 1 ORDER BY 1
+        """,
+        # type-pair Pearson: all-int64 moment lanes over the dense hour
+        # grid; the autocorr denominator contract (int variances
+        # multiplied AS DOUBLES before one sqrt)
+        "type_cross_correlation": """
+            WITH bounds AS (
+                SELECT CAST(epoch_us(MIN(ts)) // 3600000000 AS BIGINT)
+                           AS h0,
+                       CAST(epoch_us(MAX(ts)) // 3600000000 AS BIGINT)
+                           AS h1
+                FROM events
+            ), hours AS (
+                SELECT UNNEST(range(h0, h1 + 1)) AS h FROM bounds
+            ), types AS (
+                SELECT DISTINCT event_type FROM events
+            ), c AS (
+                SELECT event_type,
+                       CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS h,
+                       CAST(COUNT(*) AS BIGINT) AS x
+                FROM events GROUP BY 1, 2
+            ), grid AS (
+                SELECT t.event_type, hours.h, COALESCE(c.x, 0) AS x
+                FROM types t CROSS JOIN hours
+                LEFT JOIN c
+                ON c.event_type = t.event_type AND c.h = hours.h
+            ), m AS (
+                SELECT a.event_type AS type_a, b.event_type AS type_b,
+                       CAST(COUNT(*) AS BIGINT) AS n,
+                       CAST(SUM(a.x) AS BIGINT) AS sx,
+                       CAST(SUM(b.x) AS BIGINT) AS sy,
+                       CAST(SUM(a.x * a.x) AS BIGINT) AS sxx,
+                       CAST(SUM(b.x * b.x) AS BIGINT) AS syy,
+                       CAST(SUM(a.x * b.x) AS BIGINT) AS sxy
+                FROM grid a JOIN grid b
+                ON a.h = b.h AND a.event_type < b.event_type
+                GROUP BY 1, 2
+            )
+            SELECT type_a, type_b,
+                   ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                         / SQRT(CAST(n * sxx - sx * sx AS DOUBLE)
+                                * (n * syy - sy * sy)), 6) AS corr
+            FROM m ORDER BY type_a, type_b
         """,
         # integer predicate 5*qty*n < s <=> qty < 0.2*avg(qty) — no float
         # enters the correlated threshold

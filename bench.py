@@ -287,6 +287,8 @@ def run_bench() -> dict:
         "brand_price_realization",
         # round-4 wave 23 (CUSUM change-point, k-anonymity audit)
         "cusum_changepoint", "k_anonymity_audit",
+        # round-4 wave 24 (Theil-Sen slope, type cross-correlation)
+        "theil_sen_slope_per_user", "type_cross_correlation",
     ]
     q_steal: dict[str, float] = {}
     for name in q_list:

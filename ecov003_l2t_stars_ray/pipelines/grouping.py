@@ -1425,3 +1425,94 @@ def signup_to_purchase_lag(sf_dir: str) -> pd.DataFrame:
             "lag_hours": lag_h,
         }
     )
+
+
+# ------------------------------------------------------------ Theil-Sen
+def theil_sen_slope_per_user(sf_dir: str) -> pd.DataFrame:
+    """Theil-Sen robust trend per user: the MEDIAN of all pairwise
+    slopes (value change per hour) over the user's event series — the
+    outlier-immune alternative to OLS (``trend_ols_1h``), and a second
+    within-group pair-explosion shape (time-ordered pairs rather than
+    ``copurchase_pairs``' unordered sets).
+
+    Shape: 4-column projection rides ONE user-hash exchange; the combine
+    sorts each partition once, builds every (earlier, later) pair with
+    the segment repeat/arange arithmetic (no per-user Python), computes
+    slopes vectorized, then takes per-user medians via one more sort +
+    grouped middle-index gather.  Pair count is quadratic in events/user
+    (bounded ~66 here — document sampling past ~1k events/user).
+
+    Determinism: each slope is the same IEEE division on both sides;
+    the median interpolation mirrors DuckDB quantile_cont's
+    lo + (hi - lo) * 0.5 formula; pairs with equal timestamps are
+    excluded (slope undefined) on both sides."""
+    ds = _events(sf_dir, ["user_id", "ts", "event_id", "value"])
+
+    def project(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": df["user_id"].to_numpy(np.int64),
+                "us": df["ts"].astype("datetime64[us]").astype(np.int64),
+                "event_id": df["event_id"].to_numpy(np.int64),
+                "value": df["value"].to_numpy(np.float64),
+            }
+        )
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "user_id": pd.Series(dtype=np.int64),
+                "n_pairs": pd.Series(dtype=np.int64),
+                "slope_per_hour": pd.Series(dtype=np.float64),
+            }
+        )
+        g = g.sort_values(["user_id", "us", "event_id"], kind="mergesort")
+        u = g["user_id"].to_numpy(np.int64)
+        t = g["us"].to_numpy(np.int64)
+        v = g["value"].to_numpy(np.float64)
+        n = len(g)
+        if n < 2:
+            return empty
+        new = np.concatenate([[True], u[1:] != u[:-1]])
+        seg_id = np.cumsum(new) - 1
+        seg_sizes = np.bincount(seg_id)
+        starts = np.concatenate([[0], np.cumsum(seg_sizes)[:-1]])
+        loc = np.arange(n) - starts[seg_id]
+        reps = seg_sizes[seg_id] - loc - 1
+        a = np.repeat(np.arange(n), reps)
+        cum = np.concatenate([[0], np.cumsum(reps)[:-1]])
+        b = a + (np.arange(int(reps.sum())) - np.repeat(cum, reps) + 1)
+        keep = t[b] > t[a]  # equal-timestamp pairs have no slope
+        a, b = a[keep], b[keep]
+        if len(a) == 0:
+            return empty
+        slope = (v[b] - v[a]) * 3600000000.0 / (t[b] - t[a])
+        d = pd.DataFrame({"user_id": u[a], "slope": slope}).sort_values(
+            ["user_id", "slope"], kind="mergesort", ignore_index=True
+        )
+        uu = d["user_id"].to_numpy(np.int64)
+        ss = d["slope"].to_numpy(np.float64)
+        first = np.concatenate([[True], uu[1:] != uu[:-1]])
+        st = np.flatnonzero(first)
+        cnt = np.diff(np.concatenate([st, [len(uu)]]))
+        lo = ss[st + (cnt - 1) // 2]
+        hi = ss[st + cnt // 2]
+        med = lo + (hi - lo) * 0.5  # quantile_cont's formula at p = 0.5
+        return pd.DataFrame(
+            {
+                "user_id": uu[st],
+                "n_pairs": cnt.astype(np.int64),
+                "slope_per_hour": med,
+            }
+        )
+
+    out = hash_combine(
+        ds.map_batches(project, batch_format="pandas"), ["user_id"], combine
+    ).to_pandas()
+    out = out.sort_values("user_id", ignore_index=True)
+    out["slope_per_hour"] = _r6away(
+        out["slope_per_hour"].to_numpy(np.float64)
+    )
+    out["user_id"] = out["user_id"].astype(np.int64)
+    out["n_pairs"] = out["n_pairs"].astype(np.int64)
+    return out

@@ -1118,3 +1118,69 @@ def cusum_changepoint(sf_dir: str) -> pd.DataFrame:
     out["max_cusum"] = out["max_cusum"].astype(np.int64)
     out["first_hour"] = out["first_hour"].astype(np.int64)
     return out.sort_values("event_type", ignore_index=True)
+
+
+# ------------------------------------------------- cross correlation
+def type_cross_correlation(sf_dir: str) -> pd.DataFrame:
+    """Pairwise Pearson correlation between the HOURLY count series of
+    every event-type pair on the dense global hour axis (absent hours
+    count 0) — the co-movement matrix ("do errors spike with clicks?")
+    complementing ``autocorr_lag1_hourly``'s within-series view.
+
+    Shape: the same (type, hour) count partials and ONE hash exchange;
+    the pair moments run on the |types|^2 x |hours| grid at the driver
+    (time-range and vocabulary bounded, NOT data bounded), every moment
+    an order-free int64 lane.
+
+    Exactness: the ``autocorr`` contract — num = n*sxy - sx*sy stays
+    int64; the denominator multiplies the two int variance terms AS
+    DOUBLES before one IEEE sqrt, identical op-for-op in the oracle."""
+    ds = _events(sf_dir, ["event_type", "ts"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        hr = df["ts"].astype("datetime64[us]").astype(np.int64) // HOUR_US
+        return (
+            pd.DataFrame({"event_type": df["event_type"].astype(str),
+                          "h": hr})
+            .groupby(["event_type", "h"], sort=False)
+            .size()
+            .rename("x")
+            .reset_index()
+        )
+
+    cnt = (
+        hash_combine(
+            ds.map_batches(partial, batch_format="pandas"),
+            ["event_type", "h"],
+            lambda g: g.groupby(["event_type", "h"], as_index=False)[
+                "x"
+            ].sum(),
+            num_partitions=8,
+        )
+        .to_pandas()
+        .groupby(["event_type", "h"], as_index=False)["x"]
+        .sum()
+    )
+    h0, h1 = int(cnt["h"].min()), int(cnt["h"].max())
+    H = h1 - h0 + 1
+    types = sorted(cnt["event_type"].unique())
+    dense = {}
+    for t, g in cnt.groupby("event_type"):
+        x = np.zeros(H, dtype=np.int64)
+        x[g["h"].to_numpy(np.int64) - h0] = g["x"].to_numpy(np.int64)
+        dense[t] = x
+    rows = []
+    for i, ta in enumerate(types):
+        for tb in types[i + 1:]:
+            xa, xb = dense[ta], dense[tb]
+            n = np.int64(H)
+            sx, sy = xa.sum(), xb.sum()
+            sxx = (xa * xa).sum()
+            syy = (xb * xb).sum()
+            sxy = (xa * xb).sum()
+            num = n * sxy - sx * sy
+            vx = float(n * sxx - sx * sx)
+            vy = float(n * syy - sy * sy)
+            r = float(num) / np.sqrt(vx * vy)
+            rows.append((ta, tb, float(_r6away(r))))
+    return pd.DataFrame(rows, columns=["type_a", "type_b", "corr"])

@@ -592,7 +592,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round-4 operators: trailing 30-minute range (interval) join,
         # ordered-sequence funnel, TPC-H Q5-shaped 6-table join
         "attribution_window_30m": A.attribution_window_30m,
-        "funnel_conversion": A.funnel_conversion,
+        # round-4 wave 25: gaps-and-islands run lengths over the event
+        # sequence and per-user weekly-cadence regularity moments.
+        # (funnel_conversion / mode_per_user rotate to the tail —
+        # funnel_stages reps staged funnels, latest_event_state the
+        # per-key argmax reduce; both in the committed local gate)
+        "event_run_lengths": G.event_run_lengths,
+        "weekly_regularity": G.weekly_regularity,
         "q5_local_supplier": J.q5_local_supplier,
         # round-4 wave 2: time-in-state accounting, interval union
         # (gaps-and-islands coverage), eval-set n-gram decontamination,
@@ -607,7 +613,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # fixed-vocabulary long->wide pivot, SQL-NTILE decile table,
         # deterministic weighted mixture sample, trailing-24h RANGE-window
         # median over a sparse bucket axis
-        "mode_per_user": G.mode_per_user,
         "source_mixture_sample": G.source_mixture_sample,
         # round-4 wave 11: tie-corrected Mann-Whitney U / AUC over the
         # value lattice; cross-source shared-k-gram contamination matrix
@@ -713,6 +718,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_median_24h": G.rolling_median_24h,
         "autocorr_lag1_hourly": ST.autocorr_lag1_hourly,
         "interarrival_stats": G.interarrival_stats,
+        "mode_per_user": G.mode_per_user,
+        "funnel_conversion": A.funnel_conversion,
         "gap_fill_1m": A.gap_fill_1m,
         "corpus_prune_exact": _corpus_prune,
         "embedding_near_dups": _embedding_near_dups,
@@ -1890,6 +1897,49 @@ def oracle_sql() -> dict[str, str]:
                          / SQRT(CAST(n * sxx - sx * sx AS DOUBLE)
                                 * (n * syy - sy * sy)), 6) AS corr
             FROM m ORDER BY type_a, type_b
+        """,
+        # gaps-and-islands runs: the classic rn - rn_per_type grouping,
+        # pure integer counts
+        "event_run_lengths": """
+            WITH o AS (
+                SELECT user_id, event_type,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY user_id
+                           ORDER BY ts, event_id) AS rn,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY user_id, event_type
+                           ORDER BY ts, event_id) AS rnt
+                FROM events
+            ), runs AS (
+                SELECT user_id, event_type, rn - rnt AS grp,
+                       COUNT(*) AS c
+                FROM o GROUP BY 1, 2, 3
+            )
+            SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_runs,
+                   CAST(MAX(c) AS BIGINT) AS max_run
+            FROM runs GROUP BY 1 ORDER BY 1
+        """,
+        # weekly regularity: int64 moment lanes, bit-identical mirrored
+        # mean/variance chains; single-week users report NULL variance
+        "weekly_regularity": """
+            WITH w AS (
+                SELECT user_id, epoch_us(ts) // 604800000000 AS wk,
+                       CAST(COUNT(*) AS BIGINT) AS c
+                FROM events GROUP BY 1, 2
+            ), m AS (
+                SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_weeks,
+                       CAST(SUM(c) AS BIGINT) AS s1,
+                       CAST(SUM(c * c) AS BIGINT) AS s2
+                FROM w GROUP BY 1
+            )
+            SELECT user_id, n_weeks,
+                   ROUND(CAST(s1 AS DOUBLE) / n_weeks, 6) AS mean_weekly,
+                   CASE WHEN n_weeks > 1
+                        THEN ROUND((CAST(s2 AS DOUBLE)
+                                    - CAST(s1 AS DOUBLE) * s1 / n_weeks)
+                                   / (n_weeks - 1), 6)
+                        ELSE NULL END AS var_weekly
+            FROM m ORDER BY 1
         """,
         # integer predicate 5*qty*n < s <=> qty < 0.2*avg(qty) — no float
         # enters the correlated threshold

@@ -289,6 +289,8 @@ def run_bench() -> dict:
         "cusum_changepoint", "k_anonymity_audit",
         # round-4 wave 24 (Theil-Sen slope, type cross-correlation)
         "theil_sen_slope_per_user", "type_cross_correlation",
+        # round-4 wave 25 (run lengths, weekly regularity)
+        "event_run_lengths", "weekly_regularity",
     ]
     q_steal: dict[str, float] = {}
     for name in q_list:

@@ -1516,3 +1516,128 @@ def theil_sen_slope_per_user(sf_dir: str) -> pd.DataFrame:
     out["user_id"] = out["user_id"].astype(np.int64)
     out["n_pairs"] = out["n_pairs"].astype(np.int64)
     return out
+
+
+# -------------------------------------------------------- run lengths
+def event_run_lengths(sf_dir: str) -> pd.DataFrame:
+    """Per-user RUN-LENGTH profile of the event-type sequence: the
+    number of maximal same-type runs and the longest run — the
+    burstiness readout, and the gaps-and-islands shape over VALUES
+    (``interval_coverage`` islands over time; this islands over the
+    sequence).
+
+    Shape: 4-column projection rides ONE user-hash exchange; the
+    combine sorts each partition once ((user, ts, event_id)), finds run
+    boundaries with one shifted view, and derives every run length from
+    boundary-index diffs — no per-user Python.
+
+    Determinism: pure integer counts; the (ts, event_id) sequence order
+    is total."""
+    ds = _events(sf_dir, ["user_id", "event_type", "ts", "event_id"])
+
+    def project(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": df["user_id"].to_numpy(np.int64),
+                "event_type": df["event_type"].astype(str),
+                "ts_us": df["ts"].astype("datetime64[us]").astype(np.int64),
+                "event_id": df["event_id"].to_numpy(np.int64),
+            }
+        )
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts_us", "event_id"],
+                          kind="mergesort")
+        u = g["user_id"].to_numpy(np.int64)
+        et = g["event_type"].astype(str).to_numpy()
+        n = len(g)
+        if n == 0:
+            return pd.DataFrame(
+                {"user_id": pd.Series(dtype=np.int64),
+                 "n_runs": pd.Series(dtype=np.int64),
+                 "max_run": pd.Series(dtype=np.int64)}
+            )
+        new_run = np.ones(n, dtype=bool)
+        new_run[1:] = (u[1:] != u[:-1]) | (et[1:] != et[:-1])
+        starts = np.flatnonzero(new_run)
+        lens = np.diff(np.concatenate([starts, [n]]))
+        d = pd.DataFrame({"user_id": u[starts], "len": lens})
+        out = d.groupby("user_id", as_index=False).agg(
+            n_runs=("len", "size"), max_run=("len", "max")
+        )
+        return out
+
+    out = hash_combine(
+        ds.map_batches(project, batch_format="pandas"), ["user_id"], combine
+    ).to_pandas()
+    out = out.sort_values("user_id", ignore_index=True)
+    out["user_id"] = out["user_id"].astype(np.int64)
+    out["n_runs"] = out["n_runs"].astype(np.int64)
+    out["max_run"] = out["max_run"].astype(np.int64)
+    return out
+
+
+# ---------------------------------------------------- weekly regularity
+def weekly_regularity(sf_dir: str) -> pd.DataFrame:
+    """Per-user weekly-activity regularity: number of DISTINCT active
+    weeks, mean events per active week, and the sample variance of the
+    per-week counts — the cadence-stability readout retention models
+    feature on.
+
+    Shape: (user, week) count partials -> ONE user-hash exchange ->
+    per-partition vectorized moments over each user's weekly counts
+    (int64 lanes n, s1, s2).
+
+    Determinism: counts are exact int64; mean and variance are ONE
+    mirrored float chain each (the ``value_zscore_by_type`` contract) —
+    bit-identical, not just ROUND-close.  Single-week users report
+    variance NULL (n-1 = 0) on both sides."""
+    ds = _events(sf_dir, ["user_id", "ts"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        wk = (
+            df["ts"].astype("datetime64[us]").astype(np.int64).to_numpy()
+            // WEEK_US
+        )
+        return (
+            pd.DataFrame(
+                {"user_id": df["user_id"].to_numpy(np.int64), "wk": wk}
+            )
+            .groupby(["user_id", "wk"], sort=False)
+            .size()
+            .rename("c")
+            .reset_index()
+        )
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        w = g.groupby(["user_id", "wk"], as_index=False)["c"].sum()
+        w["c2"] = w["c"].to_numpy(np.int64) ** 2
+        out = w.groupby("user_id", as_index=False).agg(
+            n_weeks=("c", "size"), s1=("c", "sum"), s2=("c2", "sum")
+        )
+        return out
+
+    out = (
+        hash_combine(
+            ds.map_batches(partial, batch_format="pandas"),
+            ["user_id"],
+            combine,
+        )
+        .to_pandas()
+        .sort_values("user_id", ignore_index=True)
+    )
+    n = out["n_weeks"].to_numpy(np.int64).astype(np.float64)
+    s1 = out["s1"].to_numpy(np.int64).astype(np.float64)
+    s2 = out["s2"].to_numpy(np.int64).astype(np.float64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        var = np.where(
+            n > 1, (s2 - s1 * s1 / n) / (n - 1.0), np.nan
+        )
+    return pd.DataFrame(
+        {
+            "user_id": out["user_id"].astype(np.int64),
+            "n_weeks": out["n_weeks"].astype(np.int64),
+            "mean_weekly": _r6away(s1 / n),
+            "var_weekly": np.where(np.isnan(var), np.nan, _r6away(var)),
+        }
+    )

@@ -546,7 +546,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # sampling; all three are bit-exact-probed and in the local gate)
         "pareto_frontier_events": ST.pareto_frontier_events,
         "user_event_entropy": G.user_event_entropy,
-        "term_postings": T.term_postings,
+        # round-4 wave 26: calendar-day gaps-and-islands streaks and the
+        # customer RFM featurization over orders (cents-int64 monetary).
+        # (term_postings / winsorized_mean_by_type rotate to the tail —
+        # doc_rarity_score + tfidf_topk rep the postings/idf shape,
+        # mann_whitney_auc + theil_sen the lattice robust statistics;
+        # both are bit-exact-probed and in the committed local gate)
+        "active_day_streaks": G.active_day_streaks,
+        "rfm_segments": G.rfm_segments,
         # round-4 wave 17: IQR-winsorized robust mean straight off the
         # lattice histogram, exact presence-mask Venn segmentation over
         # (user, day) activity cells, CDC latest-wins compaction.
@@ -554,7 +561,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the tail — scrub_props reps the RE2 family, mode_per_user the
         # count-argmax family, doc_rarity_score + tfidf_topk the word
         # statistics; all in the committed local gate)
-        "winsorized_mean_by_type": ST.winsorized_mean_by_type,
         "daily_mix_segments": G.daily_mix_segments,
         "latest_event_state": G.latest_event_state,
         # round-4 wave 21: sorted-neighborhood blocking (sort + boundary
@@ -720,6 +726,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "interarrival_stats": G.interarrival_stats,
         "mode_per_user": G.mode_per_user,
         "funnel_conversion": A.funnel_conversion,
+        "term_postings": T.term_postings,
+        "winsorized_mean_by_type": ST.winsorized_mean_by_type,
         "gap_fill_1m": A.gap_fill_1m,
         "corpus_prune_exact": _corpus_prune,
         "embedding_near_dups": _embedding_near_dups,
@@ -1939,6 +1947,47 @@ def oracle_sql() -> dict[str, str]:
                                     - CAST(s1 AS DOUBLE) * s1 / n_weeks)
                                    / (n_weeks - 1), 6)
                         ELSE NULL END AS var_weekly
+            FROM m ORDER BY 1
+        """,
+        # calendar gaps-and-islands: the classic day - ROW_NUMBER trick,
+        # pure integer day indices and counts
+        "active_day_streaks": """
+            WITH d AS (
+                SELECT DISTINCT user_id,
+                       epoch_us(ts) // 86400000000 AS day
+                FROM events
+            ), o AS (
+                SELECT user_id, day,
+                       day - ROW_NUMBER() OVER (
+                           PARTITION BY user_id ORDER BY day) AS grp
+                FROM d
+            ), r AS (
+                SELECT user_id, grp, COUNT(*) AS len
+                FROM o GROUP BY 1, 2
+            )
+            SELECT user_id,
+                   CAST(SUM(len) AS BIGINT) AS n_days,
+                   CAST(COUNT(*) AS BIGINT) AS n_streaks,
+                   CAST(MAX(len) AS BIGINT) AS max_streak
+            FROM r GROUP BY 1 ORDER BY 1
+        """,
+        # RFM: monetary sums scaled-decimal cents in BIGINT and divides
+        # once (order-independent float contract); recency anchors on
+        # the corpus-wide max order day
+        "rfm_segments": """
+            WITH m AS (
+                SELECT o_custkey AS custkey,
+                       CAST(COUNT(*) AS BIGINT) AS frequency,
+                       CAST(SUM(CAST(ROUND(o_totalprice * 100)
+                                     AS BIGINT)) AS BIGINT) AS cents,
+                       MAX(epoch_us(o_orderdate) // 86400000000) AS maxday
+                FROM orders GROUP BY 1
+            )
+            SELECT custkey,
+                   CAST((SELECT MAX(epoch_us(o_orderdate) // 86400000000)
+                         FROM orders) - maxday AS BIGINT) AS recency_days,
+                   frequency,
+                   ROUND(CAST(cents AS DOUBLE) / 100, 6) AS monetary
             FROM m ORDER BY 1
         """,
         # integer predicate 5*qty*n < s <=> qty < 0.2*avg(qty) — no float

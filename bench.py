@@ -291,6 +291,8 @@ def run_bench() -> dict:
         "theil_sen_slope_per_user", "type_cross_correlation",
         # round-4 wave 25 (run lengths, weekly regularity)
         "event_run_lengths", "weekly_regularity",
+        # round-4 wave 26 (active-day streaks, RFM)
+        "active_day_streaks", "rfm_segments",
     ]
     q_steal: dict[str, float] = {}
     for name in q_list:

@@ -1641,3 +1641,123 @@ def weekly_regularity(sf_dir: str) -> pd.DataFrame:
             "var_weekly": np.where(np.isnan(var), np.nan, _r6away(var)),
         }
     )
+
+
+# ----------------------------------------------------- active-day streaks
+def active_day_streaks(sf_dir: str) -> pd.DataFrame:
+    """Per-user ACTIVE-DAY STREAKS: distinct active days, number of
+    maximal consecutive-day islands, and the longest streak — the
+    engagement-habit readout (``event_run_lengths`` islands over the
+    VALUE sequence; this islands over the calendar-day axis, the classic
+    ``day - ROW_NUMBER`` gaps-and-islands).
+
+    Shape: per-batch DISTINCT (user, day) partials shrink the exchange
+    to the active-day lattice; ONE user-hash exchange; the combine
+    dedups, sorts once, and derives every island from boundary-index
+    diffs (new island <=> user change OR day jump != 1) — no per-user
+    Python.
+
+    Determinism: pure integer day indices (epoch_us // DAY_US) and
+    counts."""
+    ds = _events(sf_dir, ["user_id", "ts"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": df["user_id"].to_numpy(np.int64),
+                "day": df["ts"].astype("datetime64[us]").astype(np.int64)
+                // DAY_US,
+            }
+        ).drop_duplicates(ignore_index=True)
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["user_id", "day"]).sort_values(
+            ["user_id", "day"], kind="mergesort"
+        )
+        u = g["user_id"].to_numpy(np.int64)
+        d = g["day"].to_numpy(np.int64)
+        n = len(g)
+        if n == 0:
+            return pd.DataFrame(
+                {"user_id": pd.Series(dtype=np.int64),
+                 "n_days": pd.Series(dtype=np.int64),
+                 "n_streaks": pd.Series(dtype=np.int64),
+                 "max_streak": pd.Series(dtype=np.int64)}
+            )
+        new_isl = np.ones(n, dtype=bool)
+        new_isl[1:] = (u[1:] != u[:-1]) | (d[1:] != d[:-1] + 1)
+        starts = np.flatnonzero(new_isl)
+        lens = np.diff(np.concatenate([starts, [n]]))
+        isl = pd.DataFrame({"user_id": u[starts], "len": lens})
+        return isl.groupby("user_id", as_index=False).agg(
+            n_days=("len", "sum"),
+            n_streaks=("len", "size"),
+            max_streak=("len", "max"),
+        )
+
+    out = hash_combine(
+        ds.map_batches(partial, batch_format="pandas"), ["user_id"], combine
+    ).to_pandas()
+    out = out.sort_values("user_id", ignore_index=True)
+    for c in ("user_id", "n_days", "n_streaks", "max_streak"):
+        out[c] = out[c].astype(np.int64)
+    return out
+
+
+# --------------------------------------------------------------- RFM
+def rfm_segments(sf_dir: str) -> pd.DataFrame:
+    """Per-customer RFM profile over ``orders``: recency (days from the
+    customer's latest order to the corpus-wide latest order), frequency
+    (order count), monetary (lifetime spend) — the classic
+    customer-value featurization.
+
+    Shape: per-batch (custkey -> n, cents, maxday) partials; ONE
+    custkey-hash exchange; the global anchor day is the max of the
+    per-customer maxima (no second pass over the fact table).
+
+    Determinism: monetary sums SCALED-DECIMAL CENTS in int64
+    (o_totalprice is exactly 2-decimal) and divides by 100 ONCE — the
+    CLAUDE.md order-independent float contract; recency/frequency are
+    pure ints."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_totalprice", "o_orderdate"],
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        t = pd.DataFrame(
+            {
+                "custkey": df["o_custkey"].to_numpy(np.int64),
+                "cents": np.round(
+                    df["o_totalprice"].to_numpy(np.float64) * 100.0
+                ).astype(np.int64),
+                "day": df["o_orderdate"]
+                .astype("datetime64[us]")
+                .astype(np.int64)
+                // DAY_US,
+            }
+        )
+        return t.groupby("custkey", as_index=False).agg(
+            n=("cents", "size"), cents=("cents", "sum"), maxday=("day", "max")
+        )
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("custkey", as_index=False).agg(
+            n=("n", "sum"), cents=("cents", "sum"), maxday=("maxday", "max")
+        )
+
+    out = hash_combine(
+        ds.map_batches(partial, batch_format="pandas"), ["custkey"], combine
+    ).to_pandas()
+    out = out.sort_values("custkey", ignore_index=True)
+    anchor = int(out["maxday"].max())
+    return pd.DataFrame(
+        {
+            "custkey": out["custkey"].astype(np.int64),
+            "recency_days": (anchor - out["maxday"].to_numpy(np.int64)),
+            "frequency": out["n"].astype(np.int64),
+            "monetary": _r6away(
+                out["cents"].to_numpy(np.int64).astype(np.float64) / 100.0
+            ),
+        }
+    )

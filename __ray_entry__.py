@@ -570,7 +570,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # blocking generator + ngram_jaccard family rep the fuzzy-dedup
         # candidate/verify pipeline; both in the committed local gate)
         "sorted_neighborhood_pairs": _sorted_neighborhood_pairs,
-        "coverage_curve_by_source": T.coverage_curve_by_source,
+        # round-4 wave 27: Benford first-digit screen over order totals
+        # (exact cents-integer digits, vocabulary-bounded reduce) and the
+        # event_type x dow x hod seasonality heat-map.
+        # (coverage_curve_by_source / signup_to_purchase_lag rotate to
+        # the tail — pareto_frontier_events + gini stay as the Pareto
+        # family reps, attribution_window_30m reps the event-pair lag
+        # join; both bit-exact-probed and in the committed local gate)
+        "benford_first_digit": ST.benford_first_digit,
+        "seasonality_profile": ST.seasonality_profile,
         # round-4 wave 18: two-pass broadcast feature normalizations
         # (z-score via int64 moment lanes — bit-identical chain;
         # PERCENT_RANK via a broadcast lattice CDF) and per-label
@@ -591,7 +599,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # regressions, decontaminate + cross_source_ngram_matrix the
         # hashed-shingle exchanges; all in the committed local gate)
         "time_weighted_avg_value": G.time_weighted_avg_value,
-        "signup_to_purchase_lag": G.signup_to_purchase_lag,
         "dq_audit": A.dq_audit,
         "scrub_props": T.scrub_props,
         "transcript_latency_1m": _transcript_latency_1m,
@@ -728,6 +735,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel_conversion": A.funnel_conversion,
         "term_postings": T.term_postings,
         "winsorized_mean_by_type": ST.winsorized_mean_by_type,
+        "signup_to_purchase_lag": G.signup_to_purchase_lag,
+        "coverage_curve_by_source": T.coverage_curve_by_source,
         "gap_fill_1m": A.gap_fill_1m,
         "corpus_prune_exact": _corpus_prune,
         "embedding_near_dups": _embedding_near_dups,
@@ -1948,6 +1957,39 @@ def oracle_sql() -> dict[str, str]:
                                    / (n_weeks - 1), 6)
                         ELSE NULL END AS var_weekly
             FROM m ORDER BY 1
+        """,
+        # exact first digit off the cents integer; benford_p constant
+        # rounds identically in numpy and DuckDB (all 9 digits checked)
+        "benford_first_digit": """
+            WITH d AS (
+                SELECT CAST(SUBSTR(CAST(CAST(ROUND(o_totalprice * 100)
+                            AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+                FROM orders WHERE o_totalprice > 0
+            ), c AS (
+                SELECT digit, CAST(COUNT(*) AS BIGINT) AS n
+                FROM d GROUP BY 1
+            )
+            SELECT digit, n,
+                   ROUND(CAST(n AS DOUBLE) / (SELECT SUM(n) FROM c), 6)
+                       AS share,
+                   ROUND(LOG10(1 + 1.0 / digit), 6) AS benford_p
+            FROM c ORDER BY digit
+        """,
+        # integer dow/hod arithmetic both sides (dayofweek: Sunday=0,
+        # 1970-01-01 = Thursday = 4); share over exact int marginals
+        "seasonality_profile": """
+            WITH c AS (
+                SELECT event_type,
+                       CAST(dayofweek(ts) AS BIGINT) AS dow,
+                       CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hod,
+                       CAST(COUNT(*) AS BIGINT) AS n
+                FROM events GROUP BY 1, 2, 3
+            )
+            SELECT event_type, dow, hod, n,
+                   ROUND(CAST(n AS DOUBLE)
+                         / SUM(n) OVER (PARTITION BY event_type), 6)
+                       AS share
+            FROM c ORDER BY event_type, dow, hod
         """,
         # calendar gaps-and-islands: the classic day - ROW_NUMBER trick,
         # pure integer day indices and counts

@@ -293,6 +293,8 @@ def run_bench() -> dict:
         "event_run_lengths", "weekly_regularity",
         # round-4 wave 26 (active-day streaks, RFM)
         "active_day_streaks", "rfm_segments",
+        # round-4 wave 27 (Benford screen, seasonality heat-map)
+        "benford_first_digit", "seasonality_profile",
     ]
     q_steal: dict[str, float] = {}
     for name in q_list:

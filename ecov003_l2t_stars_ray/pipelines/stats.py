@@ -1184,3 +1184,98 @@ def type_cross_correlation(sf_dir: str) -> pd.DataFrame:
             r = float(num) / np.sqrt(vx * vy)
             rows.append((ta, tb, float(_r6away(r))))
     return pd.DataFrame(rows, columns=["type_a", "type_b", "corr"])
+
+
+# ------------------------------------------------------------- Benford
+def benford_first_digit(sf_dir: str) -> pd.DataFrame:
+    """First-significant-digit distribution of order totals vs the
+    Benford expectation — the classic fraud / data-quality screen
+    (complements ``dq_audit``'s null/range checks with a value-shape
+    check).
+
+    Shape: the leading digit comes from the exact CENTS integer
+    (o_totalprice is 2-decimal, so the first significant digit of the
+    value equals that of cents) via ~12 vectorized //10 sweeps — no
+    string conversion, no np.char (CLAUDE.md _vec_string hazard);
+    digit-count partials are vocabulary-bounded (9 rows/batch) so the
+    reduce is a driver sum — NO shuffle.
+
+    Determinism: counts are int64; share is ONE division; benford_p =
+    log10(1 + 1/d) rounds identically in numpy and DuckDB (checked all
+    nine digits; nearest 6-decimal tie is 0.009 ulp-of-rounding away)."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_totalprice"]
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = np.round(
+            df["o_totalprice"].to_numpy(np.float64) * 100.0
+        ).astype(np.int64)
+        d = d[d > 0]
+        while True:
+            big = d >= 10
+            if not big.any():
+                break
+            d[big] //= 10
+        dig, n = np.unique(d, return_counts=True)
+        return pd.DataFrame({"digit": dig, "n": n})
+
+    c = (
+        ds.map_batches(partial, batch_format="pandas")
+        .to_pandas()
+        .groupby("digit", as_index=False)["n"]
+        .sum()
+    )
+    c["digit"] = c["digit"].astype(np.int64)
+    c["n"] = c["n"].astype(np.int64)
+    tot = float(c["n"].sum())
+    c["share"] = _r6away(c["n"].to_numpy(np.float64) / tot)
+    c["benford_p"] = _r6away(
+        np.log10(1.0 + 1.0 / c["digit"].to_numpy(np.float64))
+    )
+    return c.sort_values("digit", ignore_index=True)
+
+
+# ------------------------------------------------------ seasonality map
+def seasonality_profile(sf_dir: str) -> pd.DataFrame:
+    """Event seasonality heat-map: count per (event_type, day-of-week,
+    hour-of-day) cell plus the cell's share of its type — the weekly
+    rhythm readout dashboards draw (``chi2_event_hour`` tests the hour
+    axis; this maps the full dow x hod grid).
+
+    Shape: vocabulary-bounded (|types| x 7 x 24) count partials, driver
+    reduce — NO shuffle.
+
+    Determinism: dow/hod are integer arithmetic on epoch_us (dow =
+    (epoch_day + 4) % 7, matching DuckDB dayofweek's Sunday=0 with
+    1970-01-01 = Thursday = 4; positive timestamps only); share is ONE
+    division per cell over exact int64 marginals."""
+    ds = _events(sf_dir, ["event_type", "ts"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        us = df["ts"].astype("datetime64[us]").astype(np.int64)
+        return (
+            pd.DataFrame(
+                {
+                    "event_type": df["event_type"].astype(str),
+                    "dow": (us // DAY_US + 4) % 7,
+                    "hod": (us // HOUR_US) % 24,
+                }
+            )
+            .groupby(["event_type", "dow", "hod"], sort=False)
+            .size()
+            .rename("n")
+            .reset_index()
+        )
+
+    c = (
+        ds.map_batches(partial, batch_format="pandas")
+        .to_pandas()
+        .groupby(["event_type", "dow", "hod"], as_index=False)["n"]
+        .sum()
+    )
+    for col in ("dow", "hod", "n"):
+        c[col] = c[col].astype(np.int64)
+    tt = c.groupby("event_type")["n"].transform("sum").to_numpy(np.int64)
+    c["share"] = _r6away(c["n"].to_numpy(np.float64) / tt.astype(np.float64))
+    return c.sort_values(["event_type", "dow", "hod"], ignore_index=True)

@@ -527,14 +527,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # in the committed local gate)
         "debounce_events": A.debounce_events,
         "embedding_dim_variance": SIM.embedding_dim_variance,
-        "brand_price_realization": J.brand_price_realization,
+        # round-4 wave 28: exact tie-corrected Spearman over the value
+        # lattice x hour axis (HUGEINT moment lanes in the oracle) and
+        # the exact type-SET bitmask census per user.
+        # (brand_price_realization / copurchase_pairs rotate to the tail
+        # — the in-window TPC-H composites rep broadcast-dim joins,
+        # sorted_neighborhood_pairs + event_pmi rep pair explosion; both
+        # bit-exact-probed and in the committed local gate)
+        "spearman_value_hour": ST.spearman_value_hour,
+        "user_type_set_segments": G.user_type_set_segments,
         # round-4 wave 20: market-basket co-purchase pairs (within-group
         # pair explosion) and per-nation revenue HHI concentration.
         # (value_histogram_1h / grouping_sets_day rotate to the tail —
         # the lattice-histogram family reps fixed-bin histograms,
         # rollup_grouping_sets reps multi-grain cubes; both in the
         # committed local gate)
-        "copurchase_pairs": J.copurchase_pairs,
         "nation_revenue_hhi": ST.nation_revenue_hhi,
         # round-4 wave 16: distributed 2-D skyline (Pareto frontier via
         # sort + block-prefix-min sweep), per-user Shannon entropy of the
@@ -737,6 +744,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winsorized_mean_by_type": ST.winsorized_mean_by_type,
         "signup_to_purchase_lag": G.signup_to_purchase_lag,
         "coverage_curve_by_source": T.coverage_curve_by_source,
+        "brand_price_realization": J.brand_price_realization,
+        "copurchase_pairs": J.copurchase_pairs,
         "gap_fill_1m": A.gap_fill_1m,
         "corpus_prune_exact": _corpus_prune,
         "embedding_near_dups": _embedding_near_dups,
@@ -1957,6 +1966,81 @@ def oracle_sql() -> dict[str, str]:
                                    / (n_weeks - 1), 6)
                         ELSE NULL END AS var_weekly
             FROM m ORDER BY 1
+        """,
+        # exact tie-corrected Spearman: doubled midranks (2m + c + 1,
+        # pure ints) off the marginal histograms of the snapped value
+        # lattice and the hour axis; HUGEINT moment lanes mirror the
+        # engine's arbitrary-precision Python-int sums; ONE float chain
+        "spearman_value_hour": """
+            WITH b AS (
+                SELECT event_type,
+                       CAST(floor(value * 1024.0 + 0.5) AS BIGINT) AS q,
+                       CAST(EXTRACT(hour FROM ts) AS BIGINT) AS h
+                FROM events
+            ), cq AS (
+                SELECT event_type, q, COUNT(*) AS c FROM b GROUP BY 1, 2
+            ), rq AS (
+                SELECT event_type, q,
+                       2 * SUM(c) OVER (PARTITION BY event_type
+                                        ORDER BY q) - c + 1 AS rd
+                FROM cq
+            ), ch AS (
+                SELECT event_type, h, COUNT(*) AS c FROM b GROUP BY 1, 2
+            ), rh AS (
+                SELECT event_type, h,
+                       2 * SUM(c) OVER (PARTITION BY event_type
+                                        ORDER BY h) - c + 1 AS rd
+                FROM ch
+            ), j AS (
+                SELECT b.event_type,
+                       CAST(rq.rd AS HUGEINT) AS rx,
+                       CAST(rh.rd AS HUGEINT) AS ry
+                FROM b
+                JOIN rq ON b.event_type = rq.event_type AND b.q = rq.q
+                JOIN rh ON b.event_type = rh.event_type AND b.h = rh.h
+            ), s AS (
+                SELECT event_type, CAST(COUNT(*) AS HUGEINT) AS n,
+                       SUM(rx) AS sx, SUM(rx * rx) AS sxx,
+                       SUM(ry) AS sy, SUM(ry * ry) AS syy,
+                       SUM(rx * ry) AS sxy
+                FROM j GROUP BY 1
+            )
+            SELECT event_type, CAST(n AS BIGINT) AS n,
+                   CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                             * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                                - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+                             = 0 THEN NULL
+                        ELSE ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                                    - CAST(sx AS DOUBLE)
+                                      * CAST(sy AS DOUBLE))
+                                   / sqrt((CAST(n AS DOUBLE)
+                                           * CAST(sxx AS DOUBLE)
+                                           - CAST(sx AS DOUBLE)
+                                             * CAST(sx AS DOUBLE))
+                                          * (CAST(n AS DOUBLE)
+                                             * CAST(syy AS DOUBLE)
+                                             - CAST(sy AS DOUBLE)
+                                               * CAST(sy AS DOUBLE))), 6)
+                   END AS spearman
+            FROM s ORDER BY event_type
+        """,
+        # exact set census: a user's mask is the SUM of its DISTINCT
+        # per-type bits; bit order = globally sorted vocabulary
+        "user_type_set_segments": """
+            WITH tmap AS (
+                SELECT event_type,
+                       ROW_NUMBER() OVER (ORDER BY event_type) - 1 AS idx
+                FROM (SELECT DISTINCT event_type FROM events)
+            ), um AS (
+                SELECT e.user_id,
+                       CAST(SUM(DISTINCT CAST(1 AS BIGINT) << t.idx)
+                            AS BIGINT) AS mask
+                FROM events e JOIN tmap t USING (event_type) GROUP BY 1
+            )
+            SELECT mask, CAST(bit_count(mask) AS BIGINT) AS n_types,
+                   CAST(COUNT(*) AS BIGINT) AS n_users
+            FROM um GROUP BY 1 ORDER BY 1
         """,
         # exact first digit off the cents integer; benford_p constant
         # rounds identically in numpy and DuckDB (all 9 digits checked)

@@ -295,6 +295,8 @@ def run_bench() -> dict:
         "active_day_streaks", "rfm_segments",
         # round-4 wave 27 (Benford screen, seasonality heat-map)
         "benford_first_digit", "seasonality_profile",
+        # round-4 wave 28 (exact Spearman, type-set bitmask census)
+        "spearman_value_hour", "user_type_set_segments",
     ]
     q_steal: dict[str, float] = {}
     for name in q_list:

@@ -1761,3 +1761,80 @@ def rfm_segments(sf_dir: str) -> pd.DataFrame:
             ),
         }
     )
+
+
+# ---------------------------------------------------- type-set segments
+def user_type_set_segments(sf_dir: str) -> pd.DataFrame:
+    """Frequent-itemset-style EXACT set segmentation: how many users
+    exhibit each exact SET of event types — the behavioral-segment
+    census (``daily_mix_segments`` Venns (user, day) presence; this
+    fingerprints the whole type COMBINATION per user).
+
+    Shape: the type vocabulary is tiny and broadcast (one bounded
+    unique-pass, no shuffle); sets ride as BITMASKS — a user's mask is
+    the SUM of its DISTINCT per-type bits (OR == sum because bits are
+    deduped before summing), so both the map partial and the
+    post-exchange combine stay fully vectorized (dedup + groupby-sum;
+    no per-user Python, CLAUDE.md map_groups invariant).  The combine
+    emits per-mask partial counts, so the driver reduce is bounded by
+    2^|vocab| regardless of user count.
+
+    Determinism: masks and counts are pure int64; the bit order is the
+    globally SORTED type vocabulary, mirrored by the oracle's
+    ROW_NUMBER() OVER (ORDER BY event_type)."""
+    # pass 1: bounded vocabulary (unique types per batch -> driver union)
+    vocab = (
+        _events(sf_dir, ["event_type"])
+        .map_batches(
+            lambda df: pd.DataFrame(
+                {"event_type": df["event_type"].astype(str).unique()}
+            ),
+            batch_format="pandas",
+        )
+        .to_pandas()["event_type"]
+        .unique()
+    )
+    vocab = np.sort(vocab)
+    nbits = len(vocab)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        codes = pd.Categorical(
+            df["event_type"].astype(str), categories=vocab
+        ).codes.astype(np.int64)
+        return pd.DataFrame(
+            {
+                "user_id": df["user_id"].to_numpy(np.int64),
+                "b": np.int64(1) << codes,
+            }
+        ).drop_duplicates(ignore_index=True)
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        per_user = (
+            g.drop_duplicates(["user_id", "b"])
+            .groupby("user_id", as_index=False)["b"]
+            .sum()
+            .rename(columns={"b": "mask"})
+        )
+        return per_user.groupby("mask", as_index=False).size().rename(
+            columns={"size": "n_users"}
+        )
+
+    parts = hash_combine(
+        _events(sf_dir, ["user_id", "event_type"]).map_batches(
+            partial, batch_format="pandas"
+        ),
+        ["user_id"],
+        combine,
+    ).to_pandas()
+    out = parts.groupby("mask", as_index=False)["n_users"].sum()
+    m = out["mask"].to_numpy(np.int64)
+    pop = np.zeros(len(out), dtype=np.int64)
+    for i in range(nbits):
+        pop += (m >> i) & 1
+    return pd.DataFrame(
+        {
+            "mask": m,
+            "n_types": pop,
+            "n_users": out["n_users"].to_numpy(np.int64),
+        }
+    ).sort_values("mask", ignore_index=True)

@@ -1279,3 +1279,92 @@ def seasonality_profile(sf_dir: str) -> pd.DataFrame:
     tt = c.groupby("event_type")["n"].transform("sum").to_numpy(np.int64)
     c["share"] = _r6away(c["n"].to_numpy(np.float64) / tt.astype(np.float64))
     return c.sort_values(["event_type", "dow", "hod"], ignore_index=True)
+
+
+# ------------------------------------------------------ Spearman (exact)
+def spearman_value_hour(sf_dir: str) -> pd.DataFrame:
+    """EXACT tie-corrected Spearman rank correlation between event value
+    and hour-of-day per event_type — the monotone-association readout
+    (``corr_value_props`` / ``type_cross_correlation`` are Pearson on
+    raw moments; this is the rank statistic, robust to monotone
+    transforms).
+
+    Shape: values snap once to the 2^10 lattice (``corr_value_props``
+    precedent); (type, q, hod) count partials ride ONE (type, q)-keyed
+    hash exchange that collapses duplicates, so the driver sees only
+    DISTINCT joint cells (lattice x 24 bounded, corpus-size
+    independent).  Ranks come from the marginal histograms: the DOUBLED
+    midrank of a tie group starting after m rows with c members is
+    2m + c + 1 — an exact integer.
+
+    Determinism: all six moment lanes (n, sx, sxx, sy, syy, sxy over
+    doubled midranks) accumulate in arbitrary-precision PYTHON INTS over
+    the bounded cell table (the SQL mirrors with HUGEINT sums); the
+    final rho is ONE float chain over identically-rounded doubles
+    (HUGEINT -> DOUBLE casts round to nearest, verified past 2^53).
+    Zero-variance groups emit NULL on both sides."""
+    ds = _events(sf_dir, ["event_type", "value", "ts"])
+    _S = np.float64(1024.0)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        us = df["ts"].astype("datetime64[us]").astype(np.int64)
+        return (
+            pd.DataFrame(
+                {
+                    "event_type": df["event_type"].astype(str),
+                    "q": np.floor(
+                        df["value"].to_numpy(np.float64) * _S + 0.5
+                    ).astype(np.int64),
+                    "h": (us // HOUR_US) % 24,
+                }
+            )
+            .groupby(["event_type", "q", "h"], sort=False)
+            .size()
+            .rename("n")
+            .reset_index()
+        )
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(["event_type", "q", "h"], as_index=False)["n"].sum()
+
+    cells = hash_combine(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["event_type", "q"],
+        combine,
+    ).to_pandas()
+    cells["event_type"] = cells["event_type"].astype(str)
+
+    rows = []
+    for et, g in cells.groupby("event_type"):
+        g = g.sort_values(["q", "h"], kind="mergesort")
+        # doubled midranks off the marginal histograms (exact ints)
+        qs = g.groupby("q")["n"].sum().sort_index()
+        rdq = {}
+        cum = 0
+        for q, c in qs.items():
+            rdq[q] = 2 * cum + int(c) + 1
+            cum += int(c)
+        hs = g.groupby("h")["n"].sum().sort_index()
+        rdh = {}
+        cum = 0
+        for h, c in hs.items():
+            rdh[h] = 2 * cum + int(c) + 1
+            cum += int(c)
+        n = sx = sxx = sy = syy = sxy = 0
+        for q, h, c in zip(g["q"], g["h"], g["n"]):
+            rx, ry, c = rdq[int(q)], rdh[int(h)], int(c)
+            n += c
+            sx += c * rx
+            sxx += c * rx * rx
+            sy += c * ry
+            syy += c * ry * ry
+            sxy += c * rx * ry
+        num = float(n) * float(sxy) - float(sx) * float(sy)
+        vx = float(n) * float(sxx) - float(sx) * float(sx)
+        vy = float(n) * float(syy) - float(sy) * float(sy)
+        den = np.sqrt(vx * vy)
+        rho = np.nan if den == 0.0 else float(_r6away(np.float64(num / den)))
+        rows.append((et, n, rho))
+    out = pd.DataFrame(rows, columns=["event_type", "n", "spearman"])
+    out["n"] = out["n"].astype(np.int64)
+    return out.sort_values("event_type", ignore_index=True)

@@ -525,8 +525,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # lead-gap family, signup_to_purchase_lag the cohort/conversion
         # axis, term_postings + doc_rarity_score the term weighting; all
         # in the committed local gate)
-        "debounce_events": A.debounce_events,
-        "embedding_dim_variance": SIM.embedding_dim_variance,
+        # round-4 wave 29: per-column table profiling (one multiplexed
+        # distinct exchange for every column) and the exact
+        # quantity-weighted lower median price per returnflag.
+        # (debounce_events / embedding_dim_variance rotate to the tail —
+        # state_duration + interval_coverage rep the LAG/gap family,
+        # corr_value_props + type_cross_correlation the int64 moment
+        # lanes; both bit-exact-probed and in the committed local gate)
+        "table_profile": A.table_profile,
+        "weighted_median_price": ST.weighted_median_price,
         # round-4 wave 28: exact tie-corrected Spearman over the value
         # lattice x hour axis (HUGEINT moment lanes in the oracle) and
         # the exact type-SET bitmask census per user.
@@ -746,6 +753,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "coverage_curve_by_source": T.coverage_curve_by_source,
         "brand_price_realization": J.brand_price_realization,
         "copurchase_pairs": J.copurchase_pairs,
+        "debounce_events": A.debounce_events,
+        "embedding_dim_variance": SIM.embedding_dim_variance,
         "gap_fill_1m": A.gap_fill_1m,
         "corpus_prune_exact": _corpus_prune,
         "embedding_near_dups": _embedding_near_dups,
@@ -1966,6 +1975,84 @@ def oracle_sql() -> dict[str, str]:
                                    / (n_weeks - 1), 6)
                         ELSE NULL END AS var_weekly
             FROM m ORDER BY 1
+        """,
+        # per-column census: one UNION ALL branch per column with
+        # uniform casts; numeric min/max exact (ts as epoch_us < 2^53),
+        # value ROUND6 both sides
+        "table_profile": """
+            SELECT * FROM (
+                SELECT 'event_id' AS "column",
+                       CAST(COUNT(*) AS BIGINT) AS n,
+                       CAST(COUNT(*) - COUNT(event_id) AS BIGINT) AS nulls,
+                       CAST(COUNT(DISTINCT event_id) AS BIGINT)
+                           AS n_distinct,
+                       CAST(MIN(event_id) AS DOUBLE) AS min_num,
+                       CAST(MAX(event_id) AS DOUBLE) AS max_num,
+                       CAST(NULL AS VARCHAR) AS min_str,
+                       CAST(NULL AS VARCHAR) AS max_str
+                FROM events
+                UNION ALL
+                SELECT 'event_type', CAST(COUNT(*) AS BIGINT),
+                       CAST(COUNT(*) - COUNT(event_type) AS BIGINT),
+                       CAST(COUNT(DISTINCT event_type) AS BIGINT),
+                       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+                       MIN(event_type), MAX(event_type)
+                FROM events
+                UNION ALL
+                SELECT 'props', CAST(COUNT(*) AS BIGINT),
+                       CAST(COUNT(*) - COUNT(props) AS BIGINT),
+                       CAST(COUNT(DISTINCT props) AS BIGINT),
+                       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+                       MIN(props), MAX(props)
+                FROM events
+                UNION ALL
+                SELECT 'ts', CAST(COUNT(*) AS BIGINT),
+                       CAST(COUNT(*) - COUNT(ts) AS BIGINT),
+                       CAST(COUNT(DISTINCT ts) AS BIGINT),
+                       CAST(epoch_us(MIN(ts)) AS DOUBLE),
+                       CAST(epoch_us(MAX(ts)) AS DOUBLE),
+                       CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+                FROM events
+                UNION ALL
+                SELECT 'user_id', CAST(COUNT(*) AS BIGINT),
+                       CAST(COUNT(*) - COUNT(user_id) AS BIGINT),
+                       CAST(COUNT(DISTINCT user_id) AS BIGINT),
+                       CAST(MIN(user_id) AS DOUBLE),
+                       CAST(MAX(user_id) AS DOUBLE),
+                       CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+                FROM events
+                UNION ALL
+                SELECT 'value', CAST(COUNT(*) AS BIGINT),
+                       CAST(COUNT(*) - COUNT(value) AS BIGINT),
+                       CAST(COUNT(DISTINCT value) AS BIGINT),
+                       ROUND(MIN(value), 6), ROUND(MAX(value), 6),
+                       CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+                FROM events
+            ) ORDER BY "column"
+        """,
+        # exact lower weighted median: smallest cents whose cumulative
+        # quantity reaches half the flag total — all-integer predicate
+        "weighted_median_price": """
+            WITH c AS (
+                SELECT l_returnflag,
+                       CAST(FLOOR(l_extendedprice * 100 + 0.5)
+                            AS BIGINT) AS cents,
+                       CAST(l_quantity AS BIGINT) AS w
+                FROM lineitem
+            ), a AS (
+                SELECT l_returnflag, cents, CAST(SUM(w) AS BIGINT) AS w
+                FROM c GROUP BY 1, 2
+            ), r AS (
+                SELECT l_returnflag, cents,
+                       SUM(w) OVER (PARTITION BY l_returnflag
+                                    ORDER BY cents) AS cw,
+                       SUM(w) OVER (PARTITION BY l_returnflag) AS tw
+                FROM a
+            )
+            SELECT l_returnflag, CAST(MAX(tw) AS BIGINT) AS total_qty,
+                   CAST(MIN(CASE WHEN 2 * cw >= tw THEN cents END)
+                        AS DOUBLE) / 100.0 AS wmedian_price
+            FROM r GROUP BY 1 ORDER BY 1
         """,
         # exact tie-corrected Spearman: doubled midranks (2m + c + 1,
         # pure ints) off the marginal histograms of the snapped value

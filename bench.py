@@ -297,6 +297,8 @@ def run_bench() -> dict:
         "benford_first_digit", "seasonality_profile",
         # round-4 wave 28 (exact Spearman, type-set bitmask census)
         "spearman_value_hour", "user_type_set_segments",
+        # round-4 wave 29 (table profiling, weighted median price)
+        "table_profile", "weighted_median_price",
     ]
     q_steal: dict[str, float] = {}
     for name in q_list:

@@ -2090,3 +2090,134 @@ def debounce_events(sf_dir: str, window_s: int = 300) -> pd.DataFrame:
     out["n_kept"] = out["n_kept"].astype(np.int64)
     out["n_dropped"] = out["n_dropped"].astype(np.int64)
     return out
+
+
+# ------------------------------------------------------- table profiling
+def table_profile(sf_dir: str) -> pd.DataFrame:
+    """Column-profile of the events table — per column: row count, null
+    count, EXACT distinct count, numeric min/max (NULL for strings) and
+    string min/max (NULL for numerics).  The self-service "describe"
+    every engine ships; complements ``dq_audit``'s assertion checks with
+    an unconditional census.
+
+    Shape: two column-pruned passes.  Pass 1 (stats) emits 6 partial
+    rows per batch (n / nulls / min / max per column) — driver reduce is
+    O(columns).  Pass 2 (distinct) multiplexes EVERY column into ONE
+    (col, key) exchange — keys are canonical strings (str(int) for
+    int64/us-timestamps, repr(float) shortest-round-trip for doubles;
+    both injective, so string-distinct == typed-distinct) — then counts
+    survivors per column per partition; the driver sums O(columns x
+    partitions) partials.  One exchange for all columns instead of one
+    per column.
+
+    Determinism: counts are exact ints; numeric min/max are exact values
+    (ROUND6 on the double column on both sides); us-timestamps compare
+    as exact integers < 2^53."""
+    cols_num = ["event_id", "ts", "user_id", "value"]
+    cols_str = ["event_type", "props"]
+    all_cols = cols_num + cols_str
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=all_cols)
+
+    def _num(df: pd.DataFrame, c: str) -> np.ndarray:
+        if c == "ts":
+            return df[c].astype("datetime64[us]").astype(np.int64).to_numpy(
+                np.float64
+            )
+        return df[c].to_numpy(np.float64)
+
+    def stats_partial(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for c in all_cols:
+            s = df[c]
+            nulls = int(s.isna().sum())
+            if c in cols_num:
+                v = _num(df, c)
+                v = v[~np.isnan(v)]
+                mn = float(v.min()) if len(v) else np.nan
+                mx = float(v.max()) if len(v) else np.nan
+                rows.append((c, len(s), nulls, mn, mx, None, None))
+            else:
+                v = s.dropna().astype(str)
+                mn = v.min() if len(v) else None
+                mx = v.max() if len(v) else None
+                rows.append((c, len(s), nulls, np.nan, np.nan, mn, mx))
+        return pd.DataFrame(
+            rows,
+            columns=["column", "n", "nulls", "min_num", "max_num",
+                     "min_str", "max_str"],
+        )
+
+    st = ds.map_batches(stats_partial, batch_format="pandas").to_pandas()
+
+    def distinct_partial(df: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for c in all_cols:
+            if c == "ts":
+                k = (
+                    df[c].astype("datetime64[us]").astype(np.int64)
+                    .astype(str)
+                )
+            elif c in ("event_id", "user_id"):
+                k = df[c].astype(np.int64).astype(str)
+            elif c == "value":
+                # +0.0 collapses -0.0 to +0.0, then the bit pattern is an
+                # injective int64 key (vectorized; no per-row repr loop)
+                v = df[c].to_numpy(np.float64) + 0.0
+                k = pd.Series(v.view(np.int64)).astype(str)
+            else:
+                k = df[c].astype(str)
+            k = k[df[c].notna().to_numpy()]
+            frames.append(pd.DataFrame({"col": c, "key": k.unique()}))
+        return pd.concat(frames, ignore_index=True)
+
+    def distinct_combine(g: pd.DataFrame) -> pd.DataFrame:
+        return (
+            g.drop_duplicates(["col", "key"])
+            .groupby("col", as_index=False)
+            .size()
+            .rename(columns={"size": "nd"})
+        )
+
+    nd = (
+        hash_combine(
+            ds.map_batches(distinct_partial, batch_format="pandas"),
+            ["col", "key"],
+            distinct_combine,
+        )
+        .to_pandas()
+        .groupby("col", as_index=False)["nd"]
+        .sum()
+        .set_index("col")["nd"]
+    )
+
+    out_rows = []
+    for c in all_cols:
+        p = st[st["column"] == c]
+        is_num = c in cols_num
+        mn = p["min_num"].min() if is_num else None
+        mx = p["max_num"].max() if is_num else None
+        if is_num and c != "value" and mn == mn:
+            mn, mx = float(mn), float(mx)
+        if c == "value" and mn == mn:
+            mn = float(np.sign(mn) * np.floor(abs(mn) * 1e6 + 0.5) / 1e6)
+            mx = float(np.sign(mx) * np.floor(abs(mx) * 1e6 + 0.5) / 1e6)
+        out_rows.append(
+            (
+                c,
+                int(p["n"].sum()),
+                int(p["nulls"].sum()),
+                int(nd.get(c, 0)),
+                mn if is_num else np.nan,
+                mx if is_num else np.nan,
+                None if is_num else p["min_str"].dropna().min(),
+                None if is_num else p["max_str"].dropna().max(),
+            )
+        )
+    out = pd.DataFrame(
+        out_rows,
+        columns=["column", "n", "nulls", "n_distinct", "min_num",
+                 "max_num", "min_str", "max_str"],
+    ).sort_values("column", ignore_index=True)
+    for c in ("n", "nulls", "n_distinct"):
+        out[c] = out[c].astype(np.int64)
+    return out

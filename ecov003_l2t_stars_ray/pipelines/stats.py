@@ -1368,3 +1368,69 @@ def spearman_value_hour(sf_dir: str) -> pd.DataFrame:
     out = pd.DataFrame(rows, columns=["event_type", "n", "spearman"])
     out["n"] = out["n"].astype(np.int64)
     return out.sort_values("event_type", ignore_index=True)
+
+
+# ----------------------------------------------------- weighted median
+def weighted_median_price(sf_dir: str) -> pd.DataFrame:
+    """EXACT quantity-weighted LOWER median of line price per
+    returnflag: the smallest price whose cumulative quantity reaches
+    half the flag's total — the robust "typical traded price" (the
+    unweighted lattice medians live in ``median_mad_by_type``; this
+    weights by units moved, on exact cents, no lattice snap).
+
+    Shape: (flag, cents) -> quantity-weight partials collapse duplicate
+    prices map-side; ONE hash exchange dedups cross-batch; the driver
+    reduce is bounded by the DISTINCT-PRICE vocabulary per flag (~rows
+    at the tested sf; the documented scale path is the gini-style
+    Dataset.sort + block-prefix stitch, which needs no driver
+    materialization).
+
+    Determinism: cents and quantities are exact ints; the lower-median
+    rule (2*cumw >= total) avoids interpolation entirely, so the only
+    float is med_cents / 100."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_extendedprice", "l_quantity"],
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            pd.DataFrame(
+                {
+                    "flag": df["l_returnflag"].astype(str),
+                    "cents": np.floor(
+                        df["l_extendedprice"].to_numpy(np.float64) * 100
+                        + 0.5
+                    ).astype(np.int64),
+                    "w": df["l_quantity"].to_numpy(np.float64).astype(
+                        np.int64
+                    ),
+                }
+            )
+            .groupby(["flag", "cents"], as_index=False)["w"]
+            .sum()
+        )
+
+    cells = (
+        hash_combine(
+            ds.map_batches(partial, batch_format="pandas"),
+            ["flag", "cents"],
+            lambda g: g.groupby(["flag", "cents"], as_index=False)["w"].sum(),
+        )
+        .to_pandas()
+        .sort_values(["flag", "cents"], kind="mergesort", ignore_index=True)
+    )
+    rows = []
+    for flag, g in cells.groupby("flag"):
+        w = g["w"].to_numpy(np.int64)
+        cw = np.cumsum(w)
+        tot = int(cw[-1])
+        idx = int(np.searchsorted(2 * cw, tot))
+        rows.append(
+            (flag, tot, float(g["cents"].to_numpy(np.int64)[idx]) / 100.0)
+        )
+    out = pd.DataFrame(
+        rows, columns=["l_returnflag", "total_qty", "wmedian_price"]
+    ).sort_values("l_returnflag", ignore_index=True)
+    out["total_qty"] = out["total_qty"].astype(np.int64)
+    return out

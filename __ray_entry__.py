@@ -653,14 +653,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # tail — decontaminate reps hashed-shingle cross-source scans,
         # attribution_window_30m the trailing RANGE windows; both in the
         # committed local gate)
-        "cusum_changepoint": ST.cusum_changepoint,
+        # round-4 wave 30: PSI distribution-drift cells (early/late
+        # halves over the value-lattice bins) and per-user max drawdown
+        # of the exact running lattice total.
+        # (cusum_changepoint / peak_concurrency rotate to the tail —
+        # max_drawdown_per_user reps the running-extrema sequential
+        # family, interval_coverage + state_duration the sweep-line
+        # family; both bit-exact-probed and in the committed local gate)
+        "psi_value_drift": ST.psi_value_drift,
+        "max_drawdown_per_user": G.max_drawdown_per_user,
         "k_anonymity_audit": T.k_anonymity_audit,
         # round-4 wave 13: sweep-line peak concurrency (block-offset
         # prefix over a signed delta series) and dense-axis lag-1
         # autocorrelation of hourly counts (transition_matrix /
         # median_mad_by_type rotate to the tail — funnel_conversion and
         # mann_whitney_auc's lattice rep those shapes)
-        "peak_concurrency": A.peak_concurrency,
         # round-4 wave 24: Theil-Sen robust slope per user (pairwise
         # slope median, quantile_cont-mirrored interpolation) and the
         # type-pair Pearson co-movement matrix on the dense hour axis.
@@ -755,6 +762,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "copurchase_pairs": J.copurchase_pairs,
         "debounce_events": A.debounce_events,
         "embedding_dim_variance": SIM.embedding_dim_variance,
+        "cusum_changepoint": ST.cusum_changepoint,
+        "peak_concurrency": A.peak_concurrency,
         "gap_fill_1m": A.gap_fill_1m,
         "corpus_prune_exact": _corpus_prune,
         "embedding_near_dups": _embedding_near_dups,
@@ -1975,6 +1984,71 @@ def oracle_sql() -> dict[str, str]:
                                    / (n_weeks - 1), 6)
                         ELSE NULL END AS var_weekly
             FROM m ORDER BY 1
+        """,
+        # PSI drift cells: integer midpoint-day cutoff, 32-unit lattice
+        # bins, one mirrored float chain per cell (chi2 precedent)
+        "psi_value_drift": """
+            WITH k AS (
+                SELECT (MIN(epoch_us(ts) // 86400000000)
+                        + MAX(epoch_us(ts) // 86400000000)) // 2 AS cut
+                FROM events
+            ), b AS (
+                SELECT event_type,
+                       CAST(floor(value * 1024.0 + 0.5) AS BIGINT)
+                           // 32768 AS bin,
+                       CASE WHEN epoch_us(ts) // 86400000000
+                                 <= (SELECT cut FROM k)
+                            THEN 1 ELSE 0 END AS early
+                FROM events
+            ), c AS (
+                SELECT event_type, bin,
+                       CAST(SUM(early) AS BIGINT) AS n_early,
+                       CAST(COUNT(*) - SUM(early) AS BIGINT) AS n_late
+                FROM b GROUP BY 1, 2
+            ), t AS (
+                SELECT event_type,
+                       CAST(SUM(n_early) AS BIGINT) AS te,
+                       CAST(SUM(n_late) AS BIGINT) AS tl
+                FROM c GROUP BY 1
+            )
+            SELECT c.event_type, c.bin, c.n_early, c.n_late,
+                   ROUND((CAST(c.n_early AS DOUBLE) / te
+                          - CAST(c.n_late AS DOUBLE) / tl)
+                         * ln((CAST(c.n_early AS DOUBLE) / te)
+                              / (CAST(c.n_late AS DOUBLE) / tl)), 6)
+                       AS psi_term
+            FROM c JOIN t USING (event_type)
+            WHERE c.n_early > 0 AND c.n_late > 0
+            ORDER BY 1, 2
+        """,
+        # exact integer window chain: running lattice sum, running max,
+        # max gap between them; /1024.0 is power-of-two exact
+        "max_drawdown_per_user": """
+            WITH s AS (
+                SELECT user_id,
+                       CAST(floor(value * 1024.0 + 0.5) AS BIGINT) AS q,
+                       ts, event_id
+                FROM events
+            ), r AS (
+                SELECT user_id, q,
+                       SUM(q) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS run,
+                       ts, event_id
+                FROM s
+            ), m AS (
+                SELECT user_id, q, run,
+                       MAX(run) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS cmx
+                FROM r
+            )
+            SELECT user_id,
+                   CAST(MAX(cmx - run) AS DOUBLE) / 1024.0
+                       AS max_drawdown,
+                   CAST(MAX(cmx) AS DOUBLE) / 1024.0 AS peak_cum,
+                   CAST(SUM(q) AS DOUBLE) / 1024.0 AS final_cum
+            FROM m GROUP BY user_id ORDER BY user_id
         """,
         # per-column census: one UNION ALL branch per column with
         # uniform casts; numeric min/max exact (ts as epoch_us < 2^53),

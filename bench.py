@@ -299,6 +299,8 @@ def run_bench() -> dict:
         "spearman_value_hour", "user_type_set_segments",
         # round-4 wave 29 (table profiling, weighted median price)
         "table_profile", "weighted_median_price",
+        # round-4 wave 30 (PSI drift cells, max drawdown)
+        "psi_value_drift", "max_drawdown_per_user",
     ]
     q_steal: dict[str, float] = {}
     for name in q_list:

@@ -1838,3 +1838,79 @@ def user_type_set_segments(sf_dir: str) -> pd.DataFrame:
             "n_users": out["n_users"].to_numpy(np.int64),
         }
     ).sort_values("mask", ignore_index=True)
+
+
+# --------------------------------------------------------- max drawdown
+def max_drawdown_per_user(sf_dir: str) -> pd.DataFrame:
+    """Per-user MAXIMUM DRAWDOWN of the cumulative value series (peak
+    minus trough of the running total, in event order) plus the peak and
+    final levels — the sequential risk statistic (running-sum family
+    sibling of ``cusum_changepoint``, which tracks shifted partial
+    minima; this tracks the peak-relative drop).
+
+    Shape: 4-column projection rides ONE user-hash exchange; the combine
+    sorts once ((user, ts, event_id)), rebuilds per-user running sums
+    from ONE global cumsum via segment-base subtraction (searchsorted
+    precedent), and takes running peaks with the cythonized
+    groupby.cummax — no per-user Python.
+
+    Determinism: values snap once to the 2^10 lattice so every running
+    sum, peak, and drawdown is an EXACT int64; the final /1024.0 is
+    power-of-two exact — bitwise-equal to the SQL's integer window
+    chain."""
+    ds = _events(sf_dir, ["user_id", "value", "ts", "event_id"])
+
+    def project(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": df["user_id"].to_numpy(np.int64),
+                "q": np.floor(
+                    df["value"].to_numpy(np.float64) * 1024.0 + 0.5
+                ).astype(np.int64),
+                "ts_us": df["ts"].astype("datetime64[us]").astype(np.int64),
+                "event_id": df["event_id"].to_numpy(np.int64),
+            }
+        )
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts_us", "event_id"],
+                          kind="mergesort")
+        u = g["user_id"].to_numpy(np.int64)
+        q = g["q"].to_numpy(np.int64)
+        n = len(g)
+        if n == 0:
+            return pd.DataFrame(
+                {"user_id": pd.Series(dtype=np.int64),
+                 "dd_u": pd.Series(dtype=np.int64),
+                 "pk_u": pd.Series(dtype=np.int64),
+                 "fin_u": pd.Series(dtype=np.int64)}
+            )
+        cs = np.cumsum(q)
+        new = np.ones(n, dtype=bool)
+        new[1:] = u[1:] != u[:-1]
+        starts = np.flatnonzero(new)
+        seg = np.cumsum(new) - 1
+        base = (cs[starts] - q[starts])[seg]
+        run = cs - base
+        f = pd.DataFrame({"user_id": u, "run": run})
+        cmx = f.groupby("user_id", sort=False)["run"].cummax().to_numpy(
+            np.int64
+        )
+        f["dd"] = cmx - run
+        out = f.groupby("user_id", as_index=False).agg(
+            dd_u=("dd", "max"), pk_u=("run", "max"), fin_u=("run", "last")
+        )
+        return out
+
+    out = hash_combine(
+        ds.map_batches(project, batch_format="pandas"), ["user_id"], combine
+    ).to_pandas()
+    out = out.sort_values("user_id", ignore_index=True)
+    return pd.DataFrame(
+        {
+            "user_id": out["user_id"].astype(np.int64),
+            "max_drawdown": out["dd_u"].to_numpy(np.int64) / 1024.0,
+            "peak_cum": out["pk_u"].to_numpy(np.int64) / 1024.0,
+            "final_cum": out["fin_u"].to_numpy(np.int64) / 1024.0,
+        }
+    )

@@ -1434,3 +1434,71 @@ def weighted_median_price(sf_dir: str) -> pd.DataFrame:
     ).sort_values("l_returnflag", ignore_index=True)
     out["total_qty"] = out["total_qty"].astype(np.int64)
     return out
+
+
+# -------------------------------------------------------------- PSI drift
+def psi_value_drift(sf_dir: str) -> pd.DataFrame:
+    """Population-Stability-Index drift cells per event_type between the
+    EARLY and LATE halves of the corpus (split at the midpoint calendar
+    day): per value-bin observed counts and the bin's PSI term — the
+    train/serve distribution-drift monitor every feature pipeline needs.
+    Per-CELL output keeps every float a single mirrored chain (the
+    ``chi2_event_hour`` precedent); the caller sums terms for the
+    headline PSI.
+
+    Shape: one tiny min/max pre-pass fixes the integer cutoff day; then
+    vocabulary-bounded (type, bin, period) count partials (bins are the
+    2^10 value lattice // 32768, i.e. 32-unit-wide value bins), driver
+    reduce — NO shuffle.
+
+    Determinism: counts and the cutoff are exact ints; p_early/p_late
+    are ONE division each over exact marginals; ln(p/q) rounds inside
+    ROUND6 with ulp-scale slack (term magnitude <= ~1).  Bins observed
+    in only one period are omitted (the un-smoothed PSI convention),
+    their mass still visible via the marginal counts."""
+    ds = _events(sf_dir, ["event_type", "value", "ts"])
+
+    def minmax(df: pd.DataFrame) -> pd.DataFrame:
+        d = df["ts"].astype("datetime64[us]").astype(np.int64) // DAY_US
+        return pd.DataFrame({"lo": [d.min()], "hi": [d.max()]})
+
+    mm = ds.map_batches(minmax, batch_format="pandas").to_pandas()
+    cut = (int(mm["lo"].min()) + int(mm["hi"].max())) // 2
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = df["ts"].astype("datetime64[us]").astype(np.int64) // DAY_US
+        q = np.floor(df["value"].to_numpy(np.float64) * 1024.0 + 0.5).astype(
+            np.int64
+        )
+        return (
+            pd.DataFrame(
+                {
+                    "event_type": df["event_type"].astype(str),
+                    "bin": q // 32768,
+                    "early": (d <= cut).astype(np.int64),
+                }
+            )
+            .groupby(["event_type", "bin"], sort=False)
+            .agg(n_early=("early", "sum"), n=("early", "size"))
+            .reset_index()
+        )
+
+    c = (
+        ds.map_batches(partial, batch_format="pandas")
+        .to_pandas()
+        .groupby(["event_type", "bin"], as_index=False)[["n_early", "n"]]
+        .sum()
+    )
+    c["n_late"] = (c["n"] - c["n_early"]).astype(np.int64)
+    c["n_early"] = c["n_early"].astype(np.int64)
+    c["bin"] = c["bin"].astype(np.int64)
+    te = c.groupby("event_type")["n_early"].transform("sum").to_numpy(np.int64)
+    tl = c.groupby("event_type")["n_late"].transform("sum").to_numpy(np.int64)
+    keep = (c["n_early"].to_numpy() > 0) & (c["n_late"].to_numpy() > 0)
+    p = c["n_early"].to_numpy(np.float64) / te.astype(np.float64)
+    q = c["n_late"].to_numpy(np.float64) / tl.astype(np.float64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        term = (p - q) * np.log(p / q)
+    out = c.loc[keep, ["event_type", "bin", "n_early", "n_late"]].copy()
+    out["psi_term"] = _r6away(term[keep])
+    return out.sort_values(["event_type", "bin"], ignore_index=True)

@@ -645,7 +645,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # value lattice; cross-source shared-k-gram contamination matrix
         # (pivot_event_counts and ntile_event_buckets rotate to the tail —
         # chi2_event_hour / percentile_rank_users represent those shapes)
-        "mann_whitney_auc": ST.mann_whitney_auc,
+        # round-4 wave 31: full ACF profile (lags 1..24) on the dense
+        # hour axis and per-user ordered top-k STRING_AGG assembly.
+        # (mann_whitney_auc / k_anonymity_audit rotate to the tail —
+        # spearman_value_hour reps the tie-corrected rank statistics,
+        # table_profile + dq_audit the audit family; both
+        # bit-exact-probed and in the committed local gate)
+        "acf_profile_hourly": ST.acf_profile_hourly,
+        "user_top_types_concat": G.user_top_types_concat,
         # round-4 wave 23: integer CUSUM change-point over the dense
         # hourly axis (prefix-min identity, recursive-CTE oracle) and a
         # k-anonymity quasi-identifier audit.
@@ -662,7 +669,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # family; both bit-exact-probed and in the committed local gate)
         "psi_value_drift": ST.psi_value_drift,
         "max_drawdown_per_user": G.max_drawdown_per_user,
-        "k_anonymity_audit": T.k_anonymity_audit,
         # round-4 wave 13: sweep-line peak concurrency (block-offset
         # prefix over a signed delta series) and dense-axis lag-1
         # autocorrelation of hourly counts (transition_matrix /
@@ -764,6 +770,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dim_variance": SIM.embedding_dim_variance,
         "cusum_changepoint": ST.cusum_changepoint,
         "peak_concurrency": A.peak_concurrency,
+        "mann_whitney_auc": ST.mann_whitney_auc,
+        "k_anonymity_audit": T.k_anonymity_audit,
         "gap_fill_1m": A.gap_fill_1m,
         "corpus_prune_exact": _corpus_prune,
         "embedding_near_dups": _embedding_near_dups,
@@ -1984,6 +1992,74 @@ def oracle_sql() -> dict[str, str]:
                                    / (n_weeks - 1), 6)
                         ELSE NULL END AS var_weekly
             FROM m ORDER BY 1
+        """,
+        # ACF profile: dense axis + per-lag self-join; HUGEINT moment
+        # lanes mirror the engine's Python-int sums
+        "acf_profile_hourly": """
+            WITH h AS (
+                SELECT event_type,
+                       epoch_us(ts) // 3600000000 AS hr,
+                       CAST(COUNT(*) AS BIGINT) AS c
+                FROM events GROUP BY 1, 2
+            ), bounds AS (
+                SELECT MIN(hr) AS lo, MAX(hr) AS hi FROM h
+            ), axis AS (
+                SELECT unnest(range(lo, hi + 1)) AS hr FROM bounds
+            ), types AS (
+                SELECT DISTINCT event_type FROM h
+            ), dense AS (
+                SELECT t.event_type, a.hr, COALESCE(h.c, 0) AS c
+                FROM types t CROSS JOIN axis a
+                LEFT JOIN h ON h.event_type = t.event_type
+                           AND h.hr = a.hr
+            ), lags AS (
+                SELECT unnest(range(1, 25)) AS lag
+            ), p AS (
+                SELECT d1.event_type, l.lag,
+                       CAST(d1.c AS HUGEINT) AS x,
+                       CAST(d2.c AS HUGEINT) AS y
+                FROM dense d1
+                CROSS JOIN lags l
+                JOIN dense d2 ON d2.event_type = d1.event_type
+                             AND d2.hr = d1.hr + l.lag
+            ), s AS (
+                SELECT event_type, lag,
+                       CAST(COUNT(*) AS HUGEINT) AS n,
+                       SUM(x) AS sx, SUM(y) AS sy,
+                       SUM(x * x) AS sxx, SUM(y * y) AS syy,
+                       SUM(x * y) AS sxy
+                FROM p GROUP BY 1, 2
+            )
+            SELECT event_type, CAST(lag AS BIGINT) AS lag,
+                   CAST(n AS BIGINT) AS n_pairs,
+                   CASE WHEN n * sxx - sx * sx = 0
+                             OR n * syy - sy * sy = 0 THEN NULL
+                        ELSE ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                                   / SQRT(CAST(n * sxx - sx * sx
+                                               AS DOUBLE)
+                                          * CAST(n * syy - sy * sy
+                                                 AS DOUBLE)), 6)
+                   END AS autocorr
+            FROM s ORDER BY event_type, lag
+        """,
+        # ordered group-concat: rank by (n DESC, type), STRING_AGG in
+        # rank order; n_top sums the covered events
+        "user_top_types_concat": """
+            WITH c AS (
+                SELECT user_id, event_type,
+                       CAST(COUNT(*) AS BIGINT) AS n
+                FROM events GROUP BY 1, 2
+            ), r AS (
+                SELECT user_id, event_type, n,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY user_id
+                           ORDER BY n DESC, event_type) AS rn
+                FROM c
+            )
+            SELECT user_id,
+                   STRING_AGG(event_type, ',' ORDER BY rn) AS top_types,
+                   CAST(SUM(n) AS BIGINT) AS n_top
+            FROM r WHERE rn <= 3 GROUP BY 1 ORDER BY 1
         """,
         # PSI drift cells: integer midpoint-day cutoff, 32-unit lattice
         # bins, one mirrored float chain per cell (chi2 precedent)

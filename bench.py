@@ -301,6 +301,8 @@ def run_bench() -> dict:
         "table_profile", "weighted_median_price",
         # round-4 wave 30 (PSI drift cells, max drawdown)
         "psi_value_drift", "max_drawdown_per_user",
+        # round-4 wave 31 (ACF profile, ordered string agg)
+        "acf_profile_hourly", "user_top_types_concat",
     ]
     q_steal: dict[str, float] = {}
     for name in q_list:

@@ -1914,3 +1914,74 @@ def max_drawdown_per_user(sf_dir: str) -> pd.DataFrame:
             "final_cum": out["fin_u"].to_numpy(np.int64) / 1024.0,
         }
     )
+
+
+# --------------------------------------------------- ordered string agg
+def user_top_types_concat(sf_dir: str, k: int = 3) -> pd.DataFrame:
+    """Per-user ORDERED STRING_AGG: the top-k event types by count
+    (ties -> lexicographic), comma-joined in rank order, plus the
+    events those types cover — the deterministic group-concat surface
+    (``mode_per_user`` keeps rank 1; this assembles the ranked list as
+    a STRING, the ARRAY_AGG/STRING_AGG parity point).
+
+    Shape: (user, type) count partials ride ONE user-hash exchange; the
+    combine ranks ALL its users in one vectorized sort + cython
+    cumcount, pivots the <=k survivors to rank columns, and joins them
+    with ONE Arrow binary_join_element_wise(null_handling='skip') call
+    — no per-user Python string building (CLAUDE.md np.char /
+    map_groups hazards).
+
+    Determinism: counts are ints; the (n DESC, event_type) order is
+    total; string assembly is order-identical to the oracle's
+    STRING_AGG(... ORDER BY rn)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    ds = _events(sf_dir, ["user_id", "event_type"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.groupby(["user_id", "event_type"], sort=False)
+            .size()
+            .rename("n")
+            .reset_index()
+        )
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.copy()
+        g["event_type"] = g["event_type"].astype(str)
+        c = g.groupby(["user_id", "event_type"], as_index=False)["n"].sum()
+        c = c.sort_values(
+            ["user_id", "n", "event_type"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        c["rn"] = c.groupby("user_id", sort=False).cumcount()
+        c = c[c["rn"] < k]
+        wide = c.pivot(index="user_id", columns="rn", values="event_type")
+        cols = [
+            pa.array(
+                wide[r].to_numpy(object) if r in wide.columns
+                else np.full(len(wide), None, object)
+            )
+            for r in range(k)
+        ]
+        joined = pc.binary_join_element_wise(
+            *cols, pa.scalar(","), null_handling="skip"
+        )
+        tot = c.groupby("user_id", sort=False)["n"].sum()
+        return pd.DataFrame(
+            {
+                "user_id": wide.index.to_numpy(np.int64),
+                "top_types": joined.to_pandas().to_numpy(object),
+                "n_top": tot.reindex(wide.index).to_numpy(np.int64),
+            }
+        )
+
+    out = hash_combine(
+        ds.map_batches(partial, batch_format="pandas"), ["user_id"], combine
+    ).to_pandas()
+    out = out.sort_values("user_id", ignore_index=True)
+    out["user_id"] = out["user_id"].astype(np.int64)
+    out["n_top"] = out["n_top"].astype(np.int64)
+    return out[["user_id", "top_types", "n_top"]]

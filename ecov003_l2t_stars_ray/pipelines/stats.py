@@ -1502,3 +1502,76 @@ def psi_value_drift(sf_dir: str) -> pd.DataFrame:
     out = c.loc[keep, ["event_type", "bin", "n_early", "n_late"]].copy()
     out["psi_term"] = _r6away(term[keep])
     return out.sort_values(["event_type", "bin"], ignore_index=True)
+
+
+# ------------------------------------------------------------ ACF table
+def acf_profile_hourly(sf_dir: str, max_lag: int = 24) -> pd.DataFrame:
+    """Autocorrelation PROFILE of each type's hourly count series:
+    lags 1..24 on the dense global hour axis — the full daily-cycle
+    fingerprint (``autocorr_lag1_hourly`` is the single-lag readout;
+    this is the table a seasonality detector consumes).
+
+    Shape: identical single (type, hr) exchange; the reduced table is
+    time-range bounded, so all 24 lag alignments are numpy slices over
+    the SAME dense scatter — no extra passes.
+
+    Determinism: moment lanes are exact PYTHON ints (the SQL mirrors
+    with HUGEINT) and the correlation is one mirrored float chain;
+    zero-variance lags emit NULL on both sides."""
+    ds = _events(sf_dir, ["event_type", "ts"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        hr = df["ts"].astype("datetime64[us]").astype(np.int64) // HOUR_US
+        return (
+            pd.DataFrame({"event_type": df["event_type"].astype(str),
+                          "hr": hr})
+            .groupby(["event_type", "hr"], sort=False)
+            .size()
+            .rename("c")
+            .reset_index()
+        )
+
+    h = (
+        hash_combine(
+            ds.map_batches(partial, batch_format="pandas"),
+            ["event_type", "hr"],
+            lambda g: g.groupby(["event_type", "hr"], as_index=False)[
+                "c"
+            ].sum(),
+            num_partitions=8,
+        )
+        .to_pandas()
+        .groupby(["event_type", "hr"], as_index=False)["c"]
+        .sum()
+    )
+    lo, hi = int(h["hr"].min()), int(h["hr"].max())
+    H = hi - lo + 1
+    rows = []
+    for t, g in h.groupby("event_type"):
+        dense = np.zeros(H, np.int64)
+        dense[g["hr"].to_numpy(np.int64) - lo] = g["c"].to_numpy(np.int64)
+        for lag in range(1, max_lag + 1):
+            x, y = dense[:-lag], dense[lag:]
+            n = int(len(x))
+            sx, sy = int(x.sum()), int(y.sum())
+            sxx, syy = int((x * x).sum()), int((y * y).sum())
+            sxy = int((x * y).sum())
+            vx, vy = n * sxx - sx * sx, n * syy - sy * sy
+            if vx == 0 or vy == 0:
+                r = np.nan
+            else:
+                r = float(
+                    _r6away(
+                        np.float64(
+                            float(n * sxy - sx * sy)
+                            / np.sqrt(float(vx) * float(vy))
+                        )
+                    )
+                )
+            rows.append((t, lag, n, r))
+    out = pd.DataFrame(
+        rows, columns=["event_type", "lag", "n_pairs", "autocorr"]
+    ).sort_values(["event_type", "lag"], ignore_index=True)
+    out["lag"] = out["lag"].astype(np.int64)
+    out["n_pairs"] = out["n_pairs"].astype(np.int64)
+    return out

@@ -532,6 +532,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # state_duration + interval_coverage rep the LAG/gap family,
         # corr_value_props + type_cross_correlation the int64 moment
         # lanes; both bit-exact-probed and in the committed local gate)
+        # round-4 wave 32: SCD2 validity-interval history build, exact
+        # per-user Kendall tau-b on the day axis, and dense-axis linear
+        # interpolation fill.
+        # (q13_custdist / q17_small_qty_revenue / q8_market_share rotate
+        # to the tail — q2/q5/q7/q12/q16/q20/q21/q22 keep every TPC-H
+        # join family in-window; all three bit-exact-probed and in the
+        # committed local gate)
+        "scd2_intervals": G.scd2_intervals,
+        "kendall_tau_daily": ST.kendall_tau_daily,
+        "interp_fill_1m": ST.interp_fill_1m,
         "table_profile": A.table_profile,
         "weighted_median_price": ST.weighted_median_price,
         # round-4 wave 28: exact tie-corrected Spearman over the value
@@ -726,12 +736,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # 5*qty*n < S), Q8 conditional-sum market-share ratio
         # (dod_revenue / percentile_rank_users / q10_returned_items rotate
         # to the tail — window_rank + join_topk_revenue rep those shapes)
-        "q13_custdist": J.q13_custdist,
-        "q17_small_qty_revenue": J.q17_small_qty_revenue,
-        "q8_market_share": J.q8_market_share,
         # ---- past the 50-slot gate cap ----
         # rotated r3-driver-green core entries (all green in
         # CORRECTNESS_r03; oracle_sql retained, local gate covers them)
+        "q13_custdist": J.q13_custdist,
+        "q17_small_qty_revenue": J.q17_small_qty_revenue,
+        "q8_market_share": J.q8_market_share,
         "blend_two_source": A.blend_two_source,
         "band_count_5m": A.band_count_5m,
         "hapax_stats": ST.hapax_stats,
@@ -2125,6 +2135,110 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MAX(cmx) AS DOUBLE) / 1024.0 AS peak_cum,
                    CAST(SUM(q) AS DOUBLE) / 1024.0 AS final_cum
             FROM m GROUP BY user_id ORDER BY user_id
+        """,
+        # SCD2 history: LAG change filter then LEAD/ROW_NUMBER over the
+        # change stream, (ts, event_id) total order mirrored engine-side
+        "scd2_intervals": """
+            WITH o AS (
+                SELECT user_id, event_type, ts, event_id,
+                       LAG(event_type) OVER (
+                           PARTITION BY user_id
+                           ORDER BY ts, event_id) AS prev_t
+                FROM events
+            ), ch AS (
+                SELECT user_id, event_type, ts, event_id
+                FROM o WHERE prev_t IS NULL OR prev_t <> event_type
+            )
+            SELECT user_id,
+                   CAST(ROW_NUMBER() OVER w AS BIGINT) AS version,
+                   event_type,
+                   ts AS valid_from,
+                   COALESCE(LEAD(ts) OVER w,
+                            TIMESTAMP '9999-12-31 23:59:59') AS valid_to,
+                   (LEAD(ts) OVER w IS NULL) AS is_current
+            FROM ch
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ORDER BY user_id, version
+        """,
+        # exact Kendall tau-b on the (day, day-lattice-sum) table:
+        # O(days^2) pair self-join per user; x-ties impossible (day
+        # axis), y-ties counted; one mirrored float chain
+        "kendall_tau_daily": """
+            WITH d AS (
+                SELECT user_id,
+                       epoch_us(ts) // 86400000000 AS day,
+                       SUM(CAST(floor(value * 1024.0 + 0.5) AS BIGINT))
+                           AS lat
+                FROM events GROUP BY 1, 2
+            ), p AS (
+                SELECT d1.user_id,
+                       CASE WHEN d2.lat > d1.lat THEN 1 ELSE 0 END AS c,
+                       CASE WHEN d2.lat < d1.lat THEN 1 ELSE 0 END AS dd,
+                       CASE WHEN d2.lat = d1.lat THEN 1 ELSE 0 END AS t
+                FROM d d1
+                JOIN d d2 ON d2.user_id = d1.user_id
+                         AND d2.day > d1.day
+            ), s AS (
+                SELECT user_id, CAST(SUM(c) AS BIGINT) AS conc,
+                       CAST(SUM(dd) AS BIGINT) AS disc,
+                       CAST(SUM(t) AS BIGINT) AS tied,
+                       CAST(COUNT(*) AS BIGINT) AS n0
+                FROM p GROUP BY 1
+            ), nd AS (
+                SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_days
+                FROM d GROUP BY 1
+            )
+            SELECT nd.user_id, nd.n_days,
+                   COALESCE(s.n0, 0) AS n_pairs,
+                   CASE WHEN s.n0 IS NULL OR s.n0 = s.tied THEN NULL
+                        ELSE ROUND(CAST(s.conc - s.disc AS DOUBLE)
+                                   / SQRT(CAST(s.n0 AS DOUBLE)
+                                          * CAST(s.n0 - s.tied
+                                                 AS DOUBLE)), 6)
+                   END AS tau_b
+            FROM nd LEFT JOIN s USING (user_id)
+            ORDER BY 1
+        """,
+        # dense-axis linear interpolation: per-type LEAD neighbour, gap
+        # rows via unnest(range); v built UNROUNDED from the int lattice
+        # on both sides, the interp chain v + (nv-v)*(pos/len) mirrored
+        # op-for-op, ROUND only at emit
+        "interp_fill_1m": """
+            WITH o AS (
+                SELECT event_type,
+                       epoch_us(ts) // 60000000 AS b,
+                       SUM(CAST(floor(value * 1024.0 + 0.5) AS BIGINT))
+                           AS lat,
+                       CAST(COUNT(*) AS BIGINT) AS n
+                FROM events GROUP BY 1, 2
+            ), v AS (
+                SELECT event_type, b,
+                       CAST(lat AS DOUBLE)
+                           / (1024.0 * CAST(n AS DOUBLE)) AS v,
+                       LEAD(b) OVER w AS nb,
+                       LEAD(CAST(lat AS DOUBLE)
+                            / (1024.0 * CAST(n AS DOUBLE))) OVER w AS nv
+                FROM o
+                WINDOW w AS (PARTITION BY event_type ORDER BY b)
+            ), gaps AS (
+                SELECT event_type, b, v, nv, nb,
+                       unnest(range(1, nb - b)) AS pos
+                FROM v WHERE nb IS NOT NULL AND nb - b > 1
+            ), un AS (
+                SELECT event_type, b AS bucket_min,
+                       ROUND(v, 6) AS value, FALSE AS interpolated
+                FROM v
+                UNION ALL
+                SELECT event_type, b + pos AS bucket_min,
+                       ROUND(v + (nv - v)
+                             * (CAST(pos AS DOUBLE)
+                                / CAST(nb - b AS DOUBLE)), 6) AS value,
+                       TRUE AS interpolated
+                FROM gaps
+            )
+            SELECT event_type, CAST(bucket_min AS BIGINT) AS bucket_min,
+                   value, interpolated
+            FROM un ORDER BY event_type, bucket_min
         """,
         # per-column census: one UNION ALL branch per column with
         # uniform casts; numeric min/max exact (ts as epoch_us < 2^53),

@@ -1985,3 +1985,100 @@ def user_top_types_concat(sf_dir: str, k: int = 3) -> pd.DataFrame:
     out["user_id"] = out["user_id"].astype(np.int64)
     out["n_top"] = out["n_top"].astype(np.int64)
     return out[["user_id", "top_types", "n_top"]]
+
+
+# ---------------------------------------------------------------- SCD2
+def scd2_intervals(sf_dir: str) -> pd.DataFrame:
+    """Slowly-changing-dimension (type-2) history of each user's
+    event_type stream: consecutive same-type events collapse into one
+    versioned validity interval [valid_from, valid_to) — the warehouse
+    dimension-history build (``latest_event_state`` keeps only the
+    current row; this keeps the full lineage; ``cdc_latest`` compacts
+    the other direction).
+
+    Shape: a 4-column projection rides ONE user-hash exchange; the
+    combine sorts each partition once ((user, ts, event_id) — a total
+    order), finds change boundaries with one shifted compare, and
+    derives valid_to / version from boundary indices — no per-user
+    Python, interval count bounded by the change mass, not events.
+
+    Determinism: pure integer timestamps; the (ts, event_id) tie-break
+    is mirrored in the oracle's window ORDER BY."""
+    ds = _events(sf_dir, ["user_id", "event_type", "ts", "event_id"])
+
+    def project(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"user_id": df["user_id"].to_numpy(np.int64),
+             "event_type": df["event_type"].astype(str),
+             "ts_us": df["ts"].astype("datetime64[us]").astype(np.int64),
+             "event_id": df["event_id"].to_numpy(np.int64)}
+        )
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"user_id": pd.Series(dtype=np.int64),
+             "version": pd.Series(dtype=np.int64),
+             "event_type": pd.Series(dtype=str),
+             "valid_from_us": pd.Series(dtype=np.int64),
+             "valid_to_us": pd.Series(dtype=np.float64)}
+        )
+        if len(g) == 0:
+            return empty
+        g = g.sort_values(["user_id", "ts_us", "event_id"],
+                          kind="mergesort")
+        u = g["user_id"].to_numpy(np.int64)
+        et = g["event_type"].astype(str).to_numpy()
+        ts = g["ts_us"].to_numpy(np.int64)
+        n = len(g)
+        new_user = np.concatenate([[True], u[1:] != u[:-1]])
+        change = new_user.copy()
+        change[1:] |= et[1:] != et[:-1]
+        idx = np.flatnonzero(change)
+        cu = u[idx]
+        # valid_to = next change's ts within the same user, else NULL
+        nxt = np.empty(len(idx), np.float64)
+        nxt[:-1] = ts[idx[1:]].astype(np.float64)
+        nxt[-1] = np.nan
+        same_user = np.empty(len(idx), dtype=bool)
+        same_user[:-1] = cu[1:] == cu[:-1]
+        same_user[-1] = False
+        nxt[~same_user] = np.nan
+        first = np.concatenate([[True], ~same_user[:-1]])
+        run_start = np.flatnonzero(first)
+        version = (
+            np.arange(len(idx))
+            - np.repeat(run_start, np.diff(
+                np.concatenate([run_start, [len(idx)]])))
+            + 1
+        )
+        return pd.DataFrame(
+            {"user_id": cu,
+             "version": version.astype(np.int64),
+             "event_type": et[idx],
+             "valid_from_us": ts[idx],
+             "valid_to_us": nxt}
+        )
+
+    out = hash_combine(
+        ds.map_batches(project, batch_format="pandas"), ["user_id"],
+        combine,
+    ).to_pandas()
+    out = out.sort_values(["user_id", "version"], ignore_index=True)
+    out["user_id"] = out["user_id"].astype(np.int64)
+    out["version"] = out["version"].astype(np.int64)
+    out["event_type"] = out["event_type"].astype(str)
+    out["valid_from"] = (
+        out.pop("valid_from_us").to_numpy(np.int64).astype("datetime64[us]")
+    )
+    # open intervals close at the SCD2 end-of-time sentinel (not NULL:
+    # NULL timestamps are a hash-compare liability, and the sentinel is
+    # the standard warehouse convention for the current row)
+    eot = np.datetime64("9999-12-31T23:59:59", "us").astype(np.int64)
+    vt = out.pop("valid_to_us").to_numpy(np.float64)
+    vt_int = np.full(len(vt), eot, np.int64)
+    obs = ~np.isnan(vt)
+    vt_int[obs] = vt[obs].astype(np.int64)
+    out["valid_to"] = vt_int.astype("datetime64[us]")
+    out["is_current"] = ~obs
+    return out[["user_id", "version", "event_type", "valid_from",
+                "valid_to", "is_current"]]

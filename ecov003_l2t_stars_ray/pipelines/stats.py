@@ -1575,3 +1575,200 @@ def acf_profile_hourly(sf_dir: str, max_lag: int = 24) -> pd.DataFrame:
     out["lag"] = out["lag"].astype(np.int64)
     out["n_pairs"] = out["n_pairs"].astype(np.int64)
     return out
+
+
+# -------------------------------------------------------- Kendall tau-b
+def kendall_tau_daily(sf_dir: str) -> pd.DataFrame:
+    """Exact Kendall tau-b per user between the DAY index and the day's
+    total value — the rank-correlation companion to
+    ``theil_sen_slope_per_user`` (same pair lattice, concordance counts
+    instead of slope medians) and the non-parametric alternative to
+    ``trend_ols_1h``'s OLS slope sign.
+
+    Shape: per-(user, day) value-lattice sums ride ONE user-hash
+    exchange; the combine reduces each partition to its (user, day)
+    cells, then builds every (earlier-day, later-day) pair with the
+    segment repeat/arange arithmetic and counts concordant / discordant
+    / tied pairs via one bincount each — no per-user Python. Pair count
+    is quadratic in DAYS per user (~31 here), not events.
+
+    Determinism: C, D, ties and n0 are exact integers on a day axis
+    with no x-ties (n1 = 0), so tau_b = (C - D)/sqrt(n0*(n0 - n2)) is a
+    single mirrored float chain; all-tied users emit NULL on both
+    sides."""
+    ds = _events(sf_dir, ["user_id", "ts", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        day = (
+            df["ts"].astype("datetime64[us]").astype(np.int64) // DAY_US
+        )
+        lat = np.floor(
+            df["value"].to_numpy(np.float64) * 1024.0 + 0.5
+        ).astype(np.int64)
+        return (
+            pd.DataFrame(
+                {"user_id": df["user_id"].to_numpy(np.int64),
+                 "day": day, "lat": lat}
+            )
+            .groupby(["user_id", "day"], as_index=False)["lat"]
+            .sum()
+        )
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"user_id": pd.Series(dtype=np.int64),
+             "n_days": pd.Series(dtype=np.int64),
+             "n_pairs": pd.Series(dtype=np.int64),
+             "tau_b": pd.Series(dtype=np.float64)}
+        )
+        g = g.groupby(["user_id", "day"], as_index=False)["lat"].sum()
+        g = g.sort_values(["user_id", "day"], kind="mergesort")
+        u = g["user_id"].to_numpy(np.int64)
+        y = g["lat"].to_numpy(np.int64)
+        n = len(g)
+        if n == 0:
+            return empty
+        new = np.concatenate([[True], u[1:] != u[:-1]])
+        seg_id = np.cumsum(new) - 1
+        nseg = int(seg_id[-1]) + 1
+        seg_sizes = np.bincount(seg_id, minlength=nseg)
+        starts = np.concatenate([[0], np.cumsum(seg_sizes)[:-1]])
+        loc = np.arange(n) - starts[seg_id]
+        reps = seg_sizes[seg_id] - loc - 1
+        a = np.repeat(np.arange(n), reps)
+        if len(a) == 0:
+            # every user in this partition has a single day: tau NULL
+            return pd.DataFrame(
+                {"user_id": u[starts],
+                 "n_days": seg_sizes.astype(np.int64),
+                 "n_pairs": np.zeros(nseg, np.int64),
+                 "tau_b": np.full(nseg, np.nan)}
+            )
+        cum = np.concatenate([[0], np.cumsum(reps)[:-1]])
+        b = a + (np.arange(int(reps.sum())) - np.repeat(cum, reps) + 1)
+        ps = seg_id[a]
+        conc = np.bincount(ps[y[b] > y[a]], minlength=nseg)
+        disc = np.bincount(ps[y[b] < y[a]], minlength=nseg)
+        tied = np.bincount(ps[y[b] == y[a]], minlength=nseg)
+        n0 = conc + disc + tied
+        denom_in = n0.astype(np.float64) * (n0 - tied).astype(np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            tau = np.where(
+                denom_in > 0,
+                _r6away(
+                    (conc - disc).astype(np.float64) / np.sqrt(denom_in)
+                ),
+                np.nan,
+            )
+        return pd.DataFrame(
+            {"user_id": u[starts],
+             "n_days": seg_sizes.astype(np.int64),
+             "n_pairs": n0.astype(np.int64),
+             "tau_b": tau}
+        )
+
+    out = hash_combine(
+        ds.map_batches(partial, batch_format="pandas"), ["user_id"], combine
+    ).to_pandas()
+    out = out.sort_values("user_id", ignore_index=True)
+    out["user_id"] = out["user_id"].astype(np.int64)
+    out["n_days"] = out["n_days"].astype(np.int64)
+    out["n_pairs"] = out["n_pairs"].astype(np.int64)
+    out["tau_b"] = out["tau_b"].astype(np.float64)
+    return out
+
+
+# ------------------------------------------------- linear interpolation
+MIN_US = 60 * US
+
+
+def interp_fill_1m(sf_dir: str) -> pd.DataFrame:
+    """Linear interpolation over the dense per-type 1-minute axis:
+    observed buckets carry the exact lattice MEAN of their values; gap
+    buckets between consecutive observed buckets are filled with the
+    straight line between the two neighbours — the standard resampling
+    fill a forecasting pipeline applies before a fixed-step model
+    (``gap_fill_1m`` marks gaps; this VALUES them; the Kalman smoother
+    is the uncertainty-aware generalisation).
+
+    Shape: per-(type, bucket) lattice sums + counts ride ONE hash
+    exchange; the reduced table is (types x minutes) bounded, so the
+    gap expansion (segment repeat/arange over consecutive observed
+    pairs) runs once on the driver like the other dense-axis ops.
+
+    Determinism: bucket means are one division over exact int sums;
+    each interpolated value is the SAME IEEE chain
+    v + (vn - v) * (pos / len) on both sides, rounded at emit."""
+    ds = _events(sf_dir, ["event_type", "ts", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        b = df["ts"].astype("datetime64[us]").astype(np.int64) // MIN_US
+        lat = np.floor(
+            df["value"].to_numpy(np.float64) * 1024.0 + 0.5
+        ).astype(np.int64)
+        p = pd.DataFrame(
+            {"event_type": df["event_type"].astype(str), "b": b,
+             "lat": lat}
+        )
+        out = p.groupby(["event_type", "b"], as_index=False).agg(
+            lat=("lat", "sum"), n=("lat", "size")
+        )
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    def comb(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(["event_type", "b"], as_index=False)[
+            ["lat", "n"]
+        ].sum()
+
+    h = (
+        hash_combine(
+            ds.map_batches(partial, batch_format="pandas"),
+            ["event_type", "b"], comb, num_partitions=8,
+        )
+        .to_pandas()
+        .groupby(["event_type", "b"], as_index=False)[["lat", "n"]]
+        .sum()
+        .sort_values(["event_type", "b"], kind="mergesort",
+                     ignore_index=True)
+    )
+    t = h["event_type"].astype(str).to_numpy()
+    bkt = h["b"].to_numpy(np.int64)
+    v = h["lat"].to_numpy(np.int64).astype(np.float64) / (
+        1024.0 * h["n"].to_numpy(np.int64).astype(np.float64)
+    )
+    n = len(h)
+    same = np.zeros(n, dtype=bool)
+    same[:-1] = t[1:] == t[:-1]
+    glen = np.zeros(n, np.int64)
+    glen[:-1] = bkt[1:] - bkt[:-1]
+    gaps = np.flatnonzero(same & (glen > 1))
+    parts = [
+        pd.DataFrame(
+            {"event_type": t, "bucket_min": bkt,
+             "value": _r6away(v),
+             "interpolated": np.zeros(n, dtype=bool)}
+        )
+    ]
+    if len(gaps):
+        reps = glen[gaps] - 1
+        src = np.repeat(gaps, reps)
+        cum = np.concatenate([[0], np.cumsum(reps)[:-1]])
+        pos = np.arange(int(reps.sum())) - np.repeat(cum, reps) + 1
+        gl = glen[src].astype(np.float64)
+        iv = v[src] + (v[src + 1] - v[src]) * (
+            pos.astype(np.float64) / gl
+        )
+        parts.append(
+            pd.DataFrame(
+                {"event_type": t[src], "bucket_min": bkt[src] + pos,
+                 "value": _r6away(iv),
+                 "interpolated": np.ones(len(src), dtype=bool)}
+            )
+        )
+    out = pd.concat(parts, ignore_index=True).sort_values(
+        ["event_type", "bucket_min"], kind="mergesort", ignore_index=True
+    )
+    out["bucket_min"] = out["bucket_min"].astype(np.int64)
+    out["value"] = out["value"].astype(np.float64)
+    return out

@@ -71,8 +71,10 @@ def main(sf_dir: str, only: list[str] | None = None) -> bool:
                     print(f"  {name}.{c}: max |diff| = {np.nanmax(d):.3e}, "
                           f"n_diff = {int((d > 0).sum())}")
             elif a.dtype.kind == "M" or b.dtype.kind == "M":
-                eq = np.array_equal(a.astype("datetime64[us]"),
-                                    b.astype("datetime64[us]"))
+                # int64 view so NaT (int64 min) compares equal to NaT
+                eq = np.array_equal(
+                    a.astype("datetime64[us]").view(np.int64),
+                    b.astype("datetime64[us]").view(np.int64))
             elif a.dtype.kind in "OU" or b.dtype.kind in "OU":
                 eq = list(map(str, a)) == list(map(str, b))
             else:

@@ -532,6 +532,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # state_duration + interval_coverage rep the LAG/gap family,
         # corr_value_props + type_cross_correlation the int64 moment
         # lanes; both bit-exact-probed and in the committed local gate)
+        # round-4 wave 34: order-vs-lines financial reconciliation
+        # (HUGEINT lanes, full-outer semantics) and linear multi-touch
+        # attribution ((touch_type, k) cells, credit = n/k).
+        # (active_day_streaks / rfm_segments rotate to the tail —
+        # event_run_lengths + interval_coverage rep gaps-and-islands,
+        # user_type_set_segments + percentile_rank_users the
+        # segmentation census; both bit-exact-probed and in the
+        # committed local gate)
+        "order_reconciliation": J.order_reconciliation,
+        "multitouch_attribution": G.multitouch_attribution,
+        # round-4 wave 33: triangle census of the co-purchase graph
+        # (oriented wedge join), symmetric banded self-join co-occurrence
+        # counts, and the per-source regex extraction census.
+        # (benford_first_digit / seasonality_profile /
+        # sorted_neighborhood_pairs rotate to the tail — table_profile +
+        # dq_audit rep the audit census family, chi2_event_hour +
+        # acf_profile_hourly the calendar-cell statistics,
+        # levenshtein_pairs + the minhash family the blocking/pair
+        # scans; all in the committed local gate)
+        "triangle_stats": J.triangle_stats,
+        "band_join_cooccur": J.band_join_cooccur,
+        "regex_extract_stats": T.regex_extract_stats,
         # round-4 wave 32: SCD2 validity-interval history build, exact
         # per-user Kendall tau-b on the day axis, and dense-axis linear
         # interpolation fill.
@@ -576,8 +598,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # doc_rarity_score + tfidf_topk rep the postings/idf shape,
         # mann_whitney_auc + theil_sen the lattice robust statistics;
         # both are bit-exact-probed and in the committed local gate)
-        "active_day_streaks": G.active_day_streaks,
-        "rfm_segments": G.rfm_segments,
         # round-4 wave 17: IQR-winsorized robust mean straight off the
         # lattice histogram, exact presence-mask Venn segmentation over
         # (user, day) activity cells, CDC latest-wins compaction.
@@ -593,7 +613,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # source_mixture_sample reps per-class hash sampling, the new
         # blocking generator + ngram_jaccard family rep the fuzzy-dedup
         # candidate/verify pipeline; both in the committed local gate)
-        "sorted_neighborhood_pairs": _sorted_neighborhood_pairs,
         # round-4 wave 27: Benford first-digit screen over order totals
         # (exact cents-integer digits, vocabulary-bounded reduce) and the
         # event_type x dow x hod seasonality heat-map.
@@ -601,8 +620,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the tail — pareto_frontier_events + gini stay as the Pareto
         # family reps, attribution_window_30m reps the event-pair lag
         # join; both bit-exact-probed and in the committed local gate)
-        "benford_first_digit": ST.benford_first_digit,
-        "seasonality_profile": ST.seasonality_profile,
         # round-4 wave 18: two-pass broadcast feature normalizations
         # (z-score via int64 moment lanes — bit-identical chain;
         # PERCENT_RANK via a broadcast lattice CDF) and per-label
@@ -740,6 +757,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rotated r3-driver-green core entries (all green in
         # CORRECTNESS_r03; oracle_sql retained, local gate covers them)
         "q13_custdist": J.q13_custdist,
+        "active_day_streaks": G.active_day_streaks,
+        "rfm_segments": G.rfm_segments,
+        "sorted_neighborhood_pairs": _sorted_neighborhood_pairs,
+        "benford_first_digit": ST.benford_first_digit,
+        "seasonality_profile": ST.seasonality_profile,
         "q17_small_qty_revenue": J.q17_small_qty_revenue,
         "q8_market_share": J.q8_market_share,
         "blend_two_source": A.blend_two_source,
@@ -885,6 +907,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ivf_near_dups": _ivf_near_dups,
         # engine-native pipelines
         "lineage_manifest": _lineage_manifest,
+        "pagerank_parts": J.pagerank_parts,
         "tier_rollup_synthetic": _tier_rollup_synthetic,
         "gorilla_chunks": _gorilla_chunks,
         "media_decode": _media_decode,
@@ -2135,6 +2158,143 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MAX(cmx) AS DOUBLE) / 1024.0 AS peak_cum,
                    CAST(SUM(q) AS DOUBLE) / 1024.0 AS final_cum
             FROM m GROUP BY user_id ORDER BY user_id
+        """,
+        # header-vs-lines reconciliation: HUGEINT net lanes (cents x
+        # two percent factors), full-outer semantics (orphan lines ->
+        # status ''), integer tolerance predicate, one mirrored division
+        "order_reconciliation": """
+            WITH l AS (
+                SELECT l_orderkey AS k,
+                       SUM(CAST(ROUND(l_extendedprice * 100) AS HUGEINT)
+                           * (100 - CAST(ROUND(l_discount * 100)
+                                         AS HUGEINT))
+                           * (100 + CAST(ROUND(l_tax * 100)
+                                         AS HUGEINT))) AS net,
+                       CAST(COUNT(*) AS BIGINT) AS n_lines
+                FROM lineitem GROUP BY 1
+            ), o AS (
+                SELECT o_orderkey AS k, o_orderstatus AS status,
+                       CAST(ROUND(o_totalprice * 100) AS HUGEINT)
+                           AS total_c
+                FROM orders
+            ), j AS (
+                SELECT COALESCE(o.status, '') AS status,
+                       COALESCE(o.total_c, 0) AS total_c,
+                       COALESCE(l.net, 0) AS net,
+                       COALESCE(l.n_lines, 0) AS n_lines
+                FROM o FULL OUTER JOIN l ON l.k = o.k
+            )
+            SELECT status,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders,
+                   CAST(SUM(CASE WHEN n_lines = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_no_lines,
+                   CAST(SUM(CASE WHEN n_lines > 0
+                                 AND ABS(total_c * 10000 - net) * 100
+                                     <= total_c * 10000
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_within_tol,
+                   CAST(SUM(total_c) AS BIGINT) AS sum_total_c,
+                   CAST(SUM(CASE WHEN n_lines > 0
+                                 THEN ABS(total_c * 10000 - net)
+                                 ELSE 0 END) AS BIGINT) AS sum_abs_gap4,
+                   ROUND(CAST(SUM(CASE WHEN n_lines > 0
+                                       THEN ABS(total_c * 10000 - net)
+                                       ELSE 0 END) AS DOUBLE)
+                         / (CAST(SUM(total_c) AS DOUBLE) * 10000.0), 6)
+                       AS gap_ratio
+            FROM j GROUP BY 1 ORDER BY 1
+        """,
+        # linear multi-touch: k = strictly-before in-window non-target
+        # touches per target; (touch_type, k) cells keep credit = n/k a
+        # single division
+        "multitouch_attribution": """
+            WITH t AS (
+                SELECT p.event_id AS pid, x.event_type AS touch_type
+                FROM events p JOIN events x
+                  ON x.user_id = p.user_id
+                 AND x.ts < p.ts
+                 AND x.ts >= p.ts - INTERVAL 30 MINUTE
+                 AND x.event_type <> 'purchase'
+                WHERE p.event_type = 'purchase'
+            ), kk AS (
+                SELECT pid, CAST(COUNT(*) AS BIGINT) AS k FROM t
+                GROUP BY 1
+            )
+            SELECT t.touch_type, kk.k,
+                   CAST(COUNT(*) AS BIGINT) AS n_touches,
+                   ROUND(CAST(COUNT(*) AS DOUBLE)
+                         / CAST(kk.k AS DOUBLE), 6) AS credit
+            FROM t JOIN kk USING (pid)
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        # triangle census: distinct co-purchase edges, 3-way edge join,
+        # wedge count from the degree table; the engine's oriented wedge
+        # exchange counts the same triangles exactly once each
+        "triangle_stats": """
+            WITH pp AS (
+                SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+                FROM lineitem
+            ), e AS (
+                SELECT DISTINCT p1.p AS a, p2.p AS b
+                FROM pp p1 JOIN pp p2 ON p2.o = p1.o AND p2.p > p1.p
+            ), deg AS (
+                SELECT node, CAST(COUNT(*) AS BIGINT) AS d
+                FROM (SELECT a AS node FROM e
+                      UNION ALL SELECT b FROM e)
+                GROUP BY 1
+            ), tri AS (
+                SELECT CAST(COUNT(*) AS BIGINT) AS t
+                FROM e e1
+                JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+                JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b
+            ), agg AS (
+                SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+                       CAST(SUM(d * (d - 1) // 2) AS BIGINT) AS n_wedges
+                FROM deg
+            )
+            SELECT agg.n_nodes,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_edges,
+                   agg.n_wedges, tri.t AS n_triangles,
+                   CASE WHEN agg.n_wedges = 0 THEN NULL
+                        ELSE ROUND(3.0 * tri.t / agg.n_wedges, 6)
+                   END AS global_clustering
+            FROM agg, tri
+        """,
+        # symmetric band self-join: each unordered in-band pair counted
+        # ONCE from its earlier event ((ts, event_id) order), canonical
+        # type pair — mirrors the engine's forward searchsorted window
+        "band_join_cooccur": """
+            WITH p AS (
+                SELECT e1.event_type AS ta, e2.event_type AS tb
+                FROM events e1 JOIN events e2
+                  ON e2.user_id = e1.user_id
+                 AND e2.ts <= e1.ts + INTERVAL 5 MINUTE
+                 AND ((e1.ts < e2.ts) OR
+                      (e1.ts = e2.ts AND e1.event_id < e2.event_id))
+            )
+            SELECT CASE WHEN ta <= tb THEN ta ELSE tb END AS type_a,
+                   CASE WHEN ta <= tb THEN tb ELSE ta END AS type_b,
+                   CAST(COUNT(*) AS BIGINT) AS n_pairs
+            FROM p GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        # regex census: RE2 on both sides (DuckDB regexp_* and Arrow
+        # count_substring_regex/extract_regex), so non-overlapping match
+        # counts and first-match extraction agree by construction
+        "regex_extract_stats": """
+            SELECT source,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(len(regexp_extract_all(text, '(^| )s[a-z]+')))
+                        AS BIGINT) AS s_tokens,
+                   CAST(SUM(len(regexp_extract_all(text,
+                                                   'table( table)+')))
+                        AS BIGINT) AS table_runs,
+                   CAST(SUM(CASE WHEN contains(text, 'spark')
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_marker_docs,
+                   CAST(COUNT(DISTINCT NULLIF(
+                        regexp_extract(text, '(^| )(s[a-z]+)', 2), ''))
+                        AS BIGINT) AS n_first_tokens
+            FROM documents GROUP BY 1 ORDER BY 1
         """,
         # SCD2 history: LAG change filter then LEAD/ROW_NUMBER over the
         # change stream, (ts, event_id) total order mirrored engine-side

@@ -2082,3 +2082,99 @@ def scd2_intervals(sf_dir: str) -> pd.DataFrame:
     out["is_current"] = ~obs
     return out[["user_id", "version", "event_type", "valid_from",
                 "valid_to", "is_current"]]
+
+
+# ------------------------------------------------------- multi-touch
+def multitouch_attribution(
+    sf_dir: str, window_s: int = 1800, target: str = "purchase"
+) -> pd.DataFrame:
+    """Linear multi-touch attribution: every non-target event within the
+    ``window_s`` seconds BEFORE a same-user target event is a "touch";
+    each of the target's k touches earns credit 1/k.  Emitted per
+    (touch_type, k) cell so every float is ONE division — the standard
+    marketing-attribution readout (``attribution_window_30m`` pairs
+    events; this assigns normalized credit).
+
+    Engine shape: one user-hash exchange; each partition sorts once and
+    resolves every target's backward window with TWO searchsorted calls
+    over the segment-rebased time axis, pair-explodes only in-window
+    touches, sizes k per target with one bincount, and reduces to the
+    (touch_type, k) vocabulary.
+
+    Determinism: counts are integers; credit = n / k is a single
+    mirrored division per cell."""
+    ds = _events(sf_dir, ["user_id", "ts", "event_id", "event_type"])
+
+    def project(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"user_id": df["user_id"].to_numpy(np.int64),
+             "ts_us": df["ts"].astype("datetime64[us]").astype(np.int64),
+             "event_id": df["event_id"].to_numpy(np.int64),
+             "event_type": df["event_type"].astype(str)}
+        )
+
+    win_us = window_s * 1_000_000
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"touch_type": pd.Series(dtype=str),
+             "k": pd.Series(dtype=np.int64),
+             "n_touches": pd.Series(dtype=np.int64)}
+        )
+        if len(g) == 0:
+            return empty
+        g = g.sort_values(["user_id", "ts_us", "event_id"],
+                          kind="mergesort")
+        u = g["user_id"].to_numpy(np.int64)
+        t = g["ts_us"].to_numpy(np.int64)
+        et = g["event_type"].astype(str).to_numpy()
+        n = len(g)
+        new = np.concatenate([[True], u[1:] != u[:-1]])
+        seg_id = np.cumsum(new) - 1
+        sizes = np.bincount(seg_id)
+        starts = np.concatenate([[0], np.cumsum(sizes)[:-1]])
+        t_rel = t - t[starts[seg_id]]
+        big = int(t_rel.max()) + win_us + 1
+        t_adj = t_rel + seg_id * big
+        tgt = np.flatnonzero(et == target)
+        if len(tgt) == 0:
+            return empty
+        # backward window [ts - win, ts): strictly-before touches
+        lo = np.searchsorted(t_adj, t_adj[tgt] - win_us, side="left")
+        hi = np.searchsorted(t_adj, t_adj[tgt], side="left")
+        reps = hi - lo
+        if int(reps.sum()) == 0:
+            return empty
+        ti = np.repeat(np.arange(len(tgt)), reps)
+        cum = np.concatenate([[0], np.cumsum(reps)[:-1]])
+        j = np.repeat(lo, reps) + (np.arange(int(reps.sum()))
+                                   - np.repeat(cum, reps))
+        keep = et[j] != target
+        ti, j = ti[keep], j[keep]
+        if len(j) == 0:
+            return empty
+        k_per_t = np.bincount(ti, minlength=len(tgt))
+        return (
+            pd.DataFrame({"touch_type": et[j], "k": k_per_t[ti]})
+            .groupby(["touch_type", "k"], as_index=False)
+            .size()
+            .rename(columns={"size": "n_touches"})
+        )
+
+    out = (
+        hash_combine(
+            ds.map_batches(project, batch_format="pandas"), ["user_id"],
+            combine,
+        )
+        .to_pandas()
+        .groupby(["touch_type", "k"], as_index=False)["n_touches"]
+        .sum()
+        .sort_values(["touch_type", "k"], ignore_index=True)
+    )
+    out["k"] = out["k"].astype(np.int64)
+    out["n_touches"] = out["n_touches"].astype(np.int64)
+    out["credit"] = _r6away(
+        out["n_touches"].to_numpy(np.float64)
+        / out["k"].to_numpy(np.float64)
+    )
+    return out

@@ -2120,3 +2120,494 @@ def brand_price_realization(sf_dir: str) -> pd.DataFrame:
             / 1e6,
         }
     )
+
+
+# ------------------------------------------------------------ triangles
+def triangle_stats(sf_dir: str) -> pd.DataFrame:
+    """Global triangle census of the co-purchase graph (parts are nodes,
+    an edge joins two parts that share an order): nodes, edges, wedges,
+    triangles and the global clustering coefficient — the graph-analytics
+    readout (``copurchase_pairs`` builds the weighted edge list;
+    ``minhash_dup_groups`` runs connected components; this closes the
+    classic triad).
+
+    Engine shape (the standard distributed algorithm):
+      1. order-hash exchange -> per-partition distinct (order, part),
+         segment pair-explosion (a < b), local edge dedup;
+      2. edge-hash exchange -> global distinct edges + degree partials;
+      3. orientation low->high by (degree, node) — bounds per-node
+         out-degree at O(sqrt(m)) on skewed graphs — then a source-hash
+         exchange pair-explodes each node's out-neighbours into wedges;
+      4. ONE multiplexed (b, c)-hash exchange carries wedge rows and
+         edge-marker rows together; a partition counts its wedges whose
+         closing edge is present.  Driver sees only per-partition counts.
+    The degree table (node-dimension bounded) broadcasts via the object
+    store; at part-vocabulary >> memory it would become a join on node —
+    documented, not needed at this vocabulary.
+
+    Determinism: everything is exact integer counting; the clustering
+    coefficient is the single mirrored chain 3*tri / wedges."""
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    )
+
+    def project(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates().rename(
+            columns={"l_orderkey": "o", "l_partkey": "p"}
+        )
+
+    def edges_of(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates().sort_values(["o", "p"], kind="mergesort")
+        o = g["o"].to_numpy(np.int64)
+        p = g["p"].to_numpy(np.int64)
+        n = len(g)
+        if n == 0:
+            return pd.DataFrame({"a": pd.Series(dtype=np.int64),
+                                 "b": pd.Series(dtype=np.int64)})
+        new = np.concatenate([[True], o[1:] != o[:-1]])
+        seg_id = np.cumsum(new) - 1
+        sizes = np.bincount(seg_id)
+        starts = np.concatenate([[0], np.cumsum(sizes)[:-1]])
+        loc = np.arange(n) - starts[seg_id]
+        reps = sizes[seg_id] - loc - 1
+        a = np.repeat(np.arange(n), reps)
+        if len(a) == 0:
+            return pd.DataFrame({"a": pd.Series(dtype=np.int64),
+                                 "b": pd.Series(dtype=np.int64)})
+        cum = np.concatenate([[0], np.cumsum(reps)[:-1]])
+        b = a + (np.arange(int(reps.sum())) - np.repeat(cum, reps) + 1)
+        e = pd.DataFrame({"a": p[a], "b": p[b]}).drop_duplicates()
+        return e
+
+    edges = hash_combine(
+        li.map_batches(project, batch_format="pandas"), ["o"], edges_of
+    )
+    # stage 2: global edge dedup (one (a,b)-hash exchange)
+    edges = hash_combine(
+        edges, ["a", "b"], lambda g: g.drop_duplicates()
+    ).materialize()
+    n_edges = edges.count()
+    deg_pd = (
+        hash_combine(
+            edges.map_batches(
+                lambda df: pd.DataFrame(
+                    {"node": np.concatenate(
+                        [df["a"].to_numpy(np.int64),
+                         df["b"].to_numpy(np.int64)])}
+                ).groupby("node", as_index=False).size()
+                .rename(columns={"size": "d"}),
+                batch_format="pandas",
+            ),
+            ["node"],
+            lambda g: g.groupby("node", as_index=False)["d"].sum(),
+        )
+        .to_pandas()
+        .groupby("node", as_index=False)["d"]
+        .sum()
+    )
+    n_nodes = len(deg_pd)
+    d = deg_pd["d"].to_numpy(np.int64)
+    n_wedges = int((d * (d - 1) // 2).sum())
+    nodes_sorted = np.sort(deg_pd["node"].to_numpy(np.int64))
+    dvals = deg_pd.sort_values("node")["d"].to_numpy(np.int64)
+    deg_ref = ray.put((nodes_sorted, dvals))
+
+    class Orient:
+        """Map each edge to its (degree, node)-ordered direction —
+        vectorized searchsorted lookup over the broadcast degree table
+        (ray.put once, zero-copy per actor)."""
+
+        def __init__(self, ref):
+            self.nodes, self.d = ray.get(ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            a = df["a"].to_numpy(np.int64)
+            b = df["b"].to_numpy(np.int64)
+            da = self.d[np.searchsorted(self.nodes, a)]
+            db = self.d[np.searchsorted(self.nodes, b)]
+            fwd = (da < db) | ((da == db) & (a < b))
+            return pd.DataFrame(
+                {"u": np.where(fwd, a, b), "w": np.where(fwd, b, a)}
+            )
+
+    oriented = edges.map_batches(
+        Orient, fn_constructor_args=(deg_ref,), batch_format="pandas",
+        concurrency=(1, 4),
+    )
+
+    def wedges_of(g: pd.DataFrame) -> pd.DataFrame:
+        # pairs of out-neighbours of each source: wedge rows tag=0;
+        # the closing edge must match an oriented edge in EITHER
+        # direction, so marker rows (tag=1) are emitted canonically
+        # (min, max) and wedges canonicalised the same way
+        g = g.sort_values(["u", "w"], kind="mergesort")
+        u = g["u"].to_numpy(np.int64)
+        w = g["w"].to_numpy(np.int64)
+        n = len(g)
+        mk = pd.DataFrame(
+            {"x": np.minimum(u, w), "y": np.maximum(u, w),
+             "tag": np.ones(n, np.int8)}
+        )
+        if n == 0:
+            return mk
+        new = np.concatenate([[True], u[1:] != u[:-1]])
+        seg_id = np.cumsum(new) - 1
+        sizes = np.bincount(seg_id)
+        starts = np.concatenate([[0], np.cumsum(sizes)[:-1]])
+        loc = np.arange(n) - starts[seg_id]
+        reps = sizes[seg_id] - loc - 1
+        a = np.repeat(np.arange(n), reps)
+        if len(a) == 0:
+            return mk
+        cum = np.concatenate([[0], np.cumsum(reps)[:-1]])
+        b = a + (np.arange(int(reps.sum())) - np.repeat(cum, reps) + 1)
+        wg = pd.DataFrame(
+            {"x": np.minimum(w[a], w[b]), "y": np.maximum(w[a], w[b]),
+             "tag": np.zeros(len(a), np.int8)}
+        )
+        return pd.concat([wg, mk], ignore_index=True)
+
+    # wedges must see ALL out-neighbours of a source together
+    per_source = hash_combine(oriented, ["u"], wedges_of)
+
+    def close_count(g: pd.DataFrame) -> pd.DataFrame:
+        mk = g[g["tag"] == 1][["x", "y"]].drop_duplicates()
+        wg = g[g["tag"] == 0]
+        t = len(wg.merge(mk, on=["x", "y"], how="inner"))
+        return pd.DataFrame({"t": [t]})
+
+    tri = int(
+        hash_combine(per_source, ["x", "y"], close_count)
+        .to_pandas()["t"]
+        .sum()
+    )
+    cc = (
+        float(
+            np.sign(3.0 * tri / n_wedges)
+            * np.floor(abs(3.0 * tri / n_wedges) * 1e6 + 0.5)
+            / 1e6
+        )
+        if n_wedges
+        else np.nan
+    )
+    return pd.DataFrame(
+        {"n_nodes": [np.int64(n_nodes)], "n_edges": [np.int64(n_edges)],
+         "n_wedges": [np.int64(n_wedges)],
+         "n_triangles": [np.int64(tri)],
+         "global_clustering": [np.float64(cc)]}
+    )
+
+
+# ------------------------------------------------------------ band join
+def band_join_cooccur(sf_dir: str, band_s: int = 300) -> pd.DataFrame:
+    """Banded (non-equi) self-join: pairs of events of the SAME user
+    within ``band_s`` seconds of each other, counted per unordered
+    type pair — the co-occurring-signals readout, and the missing
+    non-equi member of the join family (``asof_purchase_view`` is the
+    one-sided variant; this is the symmetric band).
+
+    Engine shape: one user-hash exchange; each partition sorts its
+    users' events once and finds every forward window with ONE
+    searchsorted over the partition's time axis (segment-bounded), then
+    pair-explodes with the repeat/arange arithmetic — the band join
+    never builds the quadratic cross product, only the in-band pairs.
+    At cluster scale the same kernel runs after bucketing ts into
+    band-width buckets (each event joins its own + next bucket), which
+    keeps partitions time-local; with user cardinality >> partitions
+    the user hash already bounds skew here.
+
+    Determinism: each unordered pair is generated exactly once (from
+    its earlier event; ties by event row order are symmetric in the
+    canonical type pair), mirrored by the oracle's strict (type, id)
+    dedup predicate; counts are integers."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "event_type"],
+    )
+
+    def project(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"user_id": df["user_id"].to_numpy(np.int64),
+             "ts_us": df["ts"].astype("datetime64[us]").astype(np.int64),
+             "event_id": df["event_id"].to_numpy(np.int64),
+             "event_type": df["event_type"].astype(str)}
+        )
+
+    band_us = band_s * 1_000_000
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"type_a": pd.Series(dtype=str),
+             "type_b": pd.Series(dtype=str),
+             "n_pairs": pd.Series(dtype=np.int64)}
+        )
+        if len(g) == 0:
+            return empty
+        g = g.sort_values(["user_id", "ts_us", "event_id"],
+                          kind="mergesort")
+        u = g["user_id"].to_numpy(np.int64)
+        t = g["ts_us"].to_numpy(np.int64)
+        et = g["event_type"].astype(str).to_numpy()
+        n = len(g)
+        new = np.concatenate([[True], u[1:] != u[:-1]])
+        seg_id = np.cumsum(new) - 1
+        sizes = np.bincount(seg_id)
+        starts = np.concatenate([[0], np.cumsum(sizes)[:-1]])
+        # rebase each segment onto its own block of a strictly
+        # increasing axis so ONE searchsorted answers every forward
+        # band query and can never cross a user boundary
+        t_rel = t - t[starts[seg_id]]
+        big = int(t_rel.max()) + band_us + 1
+        t_adj = t_rel + seg_id * big
+        hi = np.searchsorted(t_adj, t_adj + band_us, side="right")
+        reps = hi - np.arange(n) - 1
+        reps = np.maximum(reps, 0)
+        total = int(reps.sum())
+        if total == 0:
+            return empty
+        a = np.repeat(np.arange(n), reps)
+        cum = np.concatenate([[0], np.cumsum(reps)[:-1]])
+        b = a + (np.arange(total) - np.repeat(cum, reps) + 1)
+        ta, tb = et[a], et[b]
+        lo_t = np.where(ta <= tb, ta, tb)
+        hi_t = np.where(ta <= tb, tb, ta)
+        return (
+            pd.DataFrame({"type_a": lo_t, "type_b": hi_t})
+            .groupby(["type_a", "type_b"], as_index=False)
+            .size()
+            .rename(columns={"size": "n_pairs"})
+        )
+
+    out = (
+        hash_combine(
+            ds.map_batches(project, batch_format="pandas"), ["user_id"],
+            combine,
+        )
+        .to_pandas()
+        .groupby(["type_a", "type_b"], as_index=False)["n_pairs"]
+        .sum()
+        .sort_values(["type_a", "type_b"], ignore_index=True)
+    )
+    out["n_pairs"] = out["n_pairs"].astype(np.int64)
+    return out
+
+
+# -------------------------------------------------------- reconciliation
+def order_reconciliation(sf_dir: str, tol_pct: int = 1) -> pd.DataFrame:
+    """Financial reconciliation of the order header against its lines:
+    per order-status, how many orders' header total agrees with the sum
+    of line net amounts (ext * (1-disc) * (1+tax)) within ``tol_pct``
+    percent, how many have NO lines at all, and the aggregate absolute
+    gap — the cross-table arithmetic audit (``dq_audit`` checks keys and
+    ranges; this checks the money adds up).
+
+    Engine shape: both sides project to exact integer lanes (header
+    cents; line net at cents x 10^4 from the two percent factors), ride
+    ONE orderkey-hash exchange as a tagged union, and each partition
+    reconciles its orders vectorized; the reduce is status-vocabulary
+    sized.  The within-tolerance predicate is pure integer arithmetic
+    (|total*10^4 - lines| * 100 <= tol * total * 10^4).
+
+    Determinism: int64/HUGEINT lanes end-to-end; the one emitted float
+    (gap ratio) is a single mirrored division."""
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_totalprice", "o_orderstatus"],
+    )
+    lines = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_tax"],
+    )
+
+    def o_part(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"k": df["o_orderkey"].to_numpy(np.int64),
+             "status": df["o_orderstatus"].astype(str),
+             "total_c": np.floor(
+                 df["o_totalprice"].to_numpy(np.float64) * 100 + 0.5
+             ).astype(np.int64),
+             "net": np.zeros(len(df), np.int64),
+             "n_lines": np.zeros(len(df), np.int64)}
+        )
+
+    def l_part(df: pd.DataFrame) -> pd.DataFrame:
+        c = np.floor(
+            df["l_extendedprice"].to_numpy(np.float64) * 100 + 0.5
+        ).astype(np.int64)
+        d = np.floor(
+            df["l_discount"].to_numpy(np.float64) * 100 + 0.5
+        ).astype(np.int64)
+        t = np.floor(
+            df["l_tax"].to_numpy(np.float64) * 100 + 0.5
+        ).astype(np.int64)
+        net = c * (100 - d) * (100 + t)  # cents x 10^4
+        p = pd.DataFrame(
+            {"k": df["l_orderkey"].to_numpy(np.int64), "net": net}
+        ).groupby("k", as_index=False).agg(
+            net=("net", "sum"), n_lines=("net", "size")
+        )
+        p["status"] = ""
+        p["total_c"] = 0
+        p["n_lines"] = p["n_lines"].astype(np.int64)
+        return p[["k", "status", "total_c", "net", "n_lines"]]
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("k", as_index=False).agg(
+            status=("status", "max"), total_c=("total_c", "sum"),
+            net=("net", "sum"), n_lines=("n_lines", "sum"),
+        )
+        total4 = agg["total_c"].to_numpy(np.int64) * 10_000
+        net = agg["net"].to_numpy(np.int64)
+        gap = np.abs(total4 - net)
+        ok = gap * 100 <= tol_pct * total4
+        has = agg["n_lines"].to_numpy(np.int64) > 0
+        d = pd.DataFrame(
+            {"status": agg["status"].astype(str),
+             "n_orders": 1,
+             "n_no_lines": (~has).astype(np.int64),
+             "n_within_tol": (ok & has).astype(np.int64),
+             "sum_total_c": agg["total_c"].to_numpy(np.int64),
+             "sum_abs_gap4": np.where(has, gap, 0)}
+        )
+        return d.groupby("status", as_index=False).sum()
+
+    out = (
+        hash_combine(
+            orders.map_batches(o_part, batch_format="pandas").union(
+                lines.map_batches(l_part, batch_format="pandas")
+            ),
+            ["k"], combine,
+        )
+        .to_pandas()
+        .groupby("status", as_index=False)[
+            ["n_orders", "n_no_lines", "n_within_tol", "sum_total_c",
+             "sum_abs_gap4"]
+        ]
+        .sum()
+        .sort_values("status", ignore_index=True)
+    )
+    gap_ratio = out["sum_abs_gap4"].to_numpy(np.float64) / (
+        out["sum_total_c"].to_numpy(np.float64) * 10_000.0
+    )
+    out["gap_ratio"] = np.sign(gap_ratio) * np.floor(
+        np.abs(gap_ratio) * 1e6 + 0.5
+    ) / 1e6
+    for c in ["n_orders", "n_no_lines", "n_within_tol", "sum_total_c",
+              "sum_abs_gap4"]:
+        out[c] = out[c].astype(np.int64)
+    return out
+
+
+# --------------------------------------------------------------- PageRank
+def pagerank_parts(
+    sf_dir: str, damping: float = 0.85, iters: int = 15, k: int = 50
+) -> pd.DataFrame:
+    """PageRank over the undirected co-purchase graph (each edge walks
+    both ways), fixed ``iters`` power iterations, top-``k`` parts by
+    rank — the iterative-graph member of the family
+    (``minhash_dup_groups`` = connected components, ``triangle_stats``
+    = triads; this is the stationary walk).
+
+    Engine shape: the edge list (built with the same two-exchange
+    dedup as ``triangle_stats``) stays a materialized Dataset across
+    iterations; the rank vector is node-dimension bounded, so each
+    iteration broadcasts it once (``ray.put``) and every edge block
+    scatters its contributions into a dense partial vector with one
+    ``np.add.at`` — per iteration: one map over edge blocks + one
+    node-vector driver reduce, NO per-iteration shuffle.  At a node
+    vocabulary too big to broadcast this becomes a (dst-hash) exchange
+    per iteration — documented, not needed at part scale.
+
+    Not SQL-oracled (iterative float fixpoint); the pytest replays the
+    same iteration count with a literal dense-matrix power iteration."""
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    )
+
+    def project(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates().rename(
+            columns={"l_orderkey": "o", "l_partkey": "p"}
+        )
+
+    def edges_of(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates().sort_values(["o", "p"], kind="mergesort")
+        o = g["o"].to_numpy(np.int64)
+        p = g["p"].to_numpy(np.int64)
+        n = len(g)
+        if n == 0:
+            return pd.DataFrame({"a": pd.Series(dtype=np.int64),
+                                 "b": pd.Series(dtype=np.int64)})
+        new = np.concatenate([[True], o[1:] != o[:-1]])
+        seg_id = np.cumsum(new) - 1
+        sizes = np.bincount(seg_id)
+        starts = np.concatenate([[0], np.cumsum(sizes)[:-1]])
+        loc = np.arange(n) - starts[seg_id]
+        reps = sizes[seg_id] - loc - 1
+        a = np.repeat(np.arange(n), reps)
+        if len(a) == 0:
+            return pd.DataFrame({"a": pd.Series(dtype=np.int64),
+                                 "b": pd.Series(dtype=np.int64)})
+        cum = np.concatenate([[0], np.cumsum(reps)[:-1]])
+        b = a + (np.arange(int(reps.sum())) - np.repeat(cum, reps) + 1)
+        return pd.DataFrame({"a": p[a], "b": p[b]}).drop_duplicates()
+
+    edges = hash_combine(
+        hash_combine(li.map_batches(project, batch_format="pandas"),
+                     ["o"], edges_of),
+        ["a", "b"], lambda g: g.drop_duplicates(),
+    ).materialize()
+
+    # node index + degrees (node-vocabulary bounded)
+    deg_pd = (
+        edges.map_batches(
+            lambda df: pd.DataFrame(
+                {"node": np.concatenate(
+                    [df["a"].to_numpy(np.int64),
+                     df["b"].to_numpy(np.int64)])}
+            ).groupby("node", as_index=False).size()
+            .rename(columns={"size": "d"}),
+            batch_format="pandas",
+        )
+        .to_pandas()
+        .groupby("node", as_index=False)["d"]
+        .sum()
+        .sort_values("node", ignore_index=True)
+    )
+    nodes = deg_pd["node"].to_numpy(np.int64)
+    deg = deg_pd["d"].to_numpy(np.float64)
+    nn = len(nodes)
+    if nn == 0:
+        return pd.DataFrame({"part": pd.Series(dtype=np.int64),
+                             "rank": pd.Series(dtype=np.float64)})
+    nodes_ref = ray.put(nodes)
+    rank = np.full(nn, 1.0 / nn)
+
+    def scatter(df: pd.DataFrame, *, r_ref, share_ref) -> pd.DataFrame:
+        nd = ray.get(r_ref)
+        share = ray.get(share_ref)
+        a = np.searchsorted(nd, df["a"].to_numpy(np.int64))
+        b = np.searchsorted(nd, df["b"].to_numpy(np.int64))
+        acc = np.zeros(len(nd), np.float64)
+        np.add.at(acc, b, share[a])
+        np.add.at(acc, a, share[b])
+        return pd.DataFrame({"i": np.arange(len(nd)), "c": acc})
+
+    for _ in range(iters):
+        share_ref = ray.put(rank / deg)
+        parts = edges.map_batches(
+            scatter, batch_format="pandas",
+            fn_kwargs={"r_ref": nodes_ref, "share_ref": share_ref},
+        ).to_pandas()
+        acc = np.zeros(nn, np.float64)
+        np.add.at(acc, parts["i"].to_numpy(np.int64),
+                  parts["c"].to_numpy(np.float64))
+        rank = (1.0 - damping) / nn + damping * acc
+
+    top = np.argsort(-rank, kind="stable")[:k]
+    # stable tie order on rank then node id
+    order = np.lexsort((nodes[top], -rank[top]))
+    top = top[order]
+    return pd.DataFrame(
+        {"part": nodes[top].astype(np.int64),
+         "rank": rank[top].astype(np.float64)}
+    )

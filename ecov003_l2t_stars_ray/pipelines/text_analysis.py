@@ -1124,3 +1124,102 @@ def k_anonymity_audit(sf_dir: str, k: int = 10) -> pd.DataFrame:
             "n_docs_below_k": [np.int64(c[below].sum())],
         }
     )
+
+
+# -------------------------------------------------------- regex extract
+def regex_extract_stats(sf_dir: str) -> pd.DataFrame:
+    """Per-source regex extraction census: non-overlapping match counts
+    for a token pattern and a repeated-word-run pattern, the number of
+    docs containing a marker literal, and the distinct vocabulary of
+    each doc's FIRST extracted token — the regex-ETL stage every text
+    pipeline runs (PII scrubbing's read-only sibling; ``scrub_props``
+    rewrites, this measures).
+
+    Engine shape: both Arrow's ``count_substring_regex`` /
+    ``extract_regex`` and DuckDB's ``regexp_*`` compile RE2, so the
+    match semantics (leftmost, non-overlapping) are identical by
+    construction.  Counts ride as per-(source) int partials; the
+    distinct-first-token set rides the SAME small exchange keyed
+    (source, token) — vocabulary-bounded, never row-bounded.
+
+    Determinism: pure integer counts over identical RE2 semantics."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..functions.shuffle import hash_combine
+
+    ds = _docs(sf_dir, ["source", "text"])
+    tok_pat = "(^| )s[a-z]+"        # word-initial s-tokens
+    run_pat = "table( table)+"      # repeated-word runs
+    marker = "spark"
+
+    def partial(batch: pa.Table) -> pa.Table:
+        src = batch["source"]
+        txt = batch["text"]
+        n_tok = pc.count_substring_regex(txt, pattern=tok_pat)
+        n_run = pc.count_substring_regex(txt, pattern=run_pat)
+        has_m = pc.greater(
+            pc.count_substring(txt, pattern=marker), 0
+        )
+        first = pc.struct_field(
+            pc.extract_regex(txt, pattern="(?P<pre>^| )(?P<w>s[a-z]+)"),
+            "w",
+        )
+        df = pd.DataFrame(
+            {"source": src.to_pandas().astype(str),
+             "n_tok": n_tok.to_numpy(zero_copy_only=False).astype(np.int64),
+             "n_run": n_run.to_numpy(zero_copy_only=False).astype(np.int64),
+             "has_m": has_m.to_numpy(zero_copy_only=False).astype(np.int64),
+             "w": first.to_pandas()}
+        )
+        agg = df.groupby("source", as_index=False).agg(
+            n_docs=("n_tok", "size"), s_tokens=("n_tok", "sum"),
+            table_runs=("n_run", "sum"), n_marker_docs=("has_m", "sum"),
+        )
+        toks = (
+            df[df["w"].notna()][["source", "w"]]
+            .drop_duplicates()
+            .rename(columns={"w": "tok"})
+        )
+        agg["tok"] = ""
+        toks["n_docs"] = 0
+        toks["s_tokens"] = 0
+        toks["table_runs"] = 0
+        toks["n_marker_docs"] = 0
+        out = pd.concat(
+            [agg[["source", "tok", "n_docs", "s_tokens", "table_runs",
+                  "n_marker_docs"]],
+             toks[["source", "tok", "n_docs", "s_tokens", "table_runs",
+                   "n_marker_docs"]]],
+            ignore_index=True,
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        return (
+            g.groupby(["source", "tok"], as_index=False)[
+                ["n_docs", "s_tokens", "table_runs", "n_marker_docs"]
+            ].sum()
+        )
+
+    h = hash_combine(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["source", "tok"], combine,
+    ).to_pandas()
+    h = h.groupby(["source", "tok"], as_index=False)[
+        ["n_docs", "s_tokens", "table_runs", "n_marker_docs"]
+    ].sum()
+    counts = h[h["tok"] == ""].set_index("source")
+    vocab = (
+        h[h["tok"] != ""].groupby("source")["tok"].nunique()
+    )
+    out = pd.DataFrame(
+        {"source": counts.index.astype(str),
+         "n_docs": counts["n_docs"].to_numpy(np.int64),
+         "s_tokens": counts["s_tokens"].to_numpy(np.int64),
+         "table_runs": counts["table_runs"].to_numpy(np.int64),
+         "n_marker_docs": counts["n_marker_docs"].to_numpy(np.int64),
+         "n_first_tokens": vocab.reindex(counts.index).fillna(0)
+         .to_numpy(np.int64)}
+    ).sort_values("source", ignore_index=True)
+    return out

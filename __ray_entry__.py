@@ -532,6 +532,66 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # state_duration + interval_coverage rep the LAG/gap family,
         # corr_value_props + type_cross_correlation the int64 moment
         # lanes; both bit-exact-probed and in the committed local gate)
+        # round-4 wave 40: deterministic per-epoch shuffle manifest and
+        # the point-in-time state panel (distributed ASOF with a total
+        # tie order + TTL expiry).
+        # (q16_supplier_cnt / q7_nation_volume slide past the cap —
+        # q2/q5/q12/q13/q20/q21 keep the TPC-H join families in-window;
+        # both in the committed local gate.  bottomk_sample /
+        # asof_purchase_view already ride the tail: epoch_shuffle reps
+        # the md5-rank ordering, state_panel_1h the as-of family)
+        "epoch_shuffle": SK.epoch_shuffle,
+        "state_panel_1h": G.state_panel_1h,
+        # round-4 wave 39: segment (type-set mask) Jaccard matrix and
+        # Holt level+trend smoothing (exact halving weights).
+        # (gini_revenue / chi2_event_hour rotate to the tail —
+        # pareto_revenue_share + nation_revenue_hhi rep concentration,
+        # seasonality's heirs psi_value_drift + mann_whitney (local
+        # gate) the distribution cells; both in the committed local
+        # gate)
+        "typeset_jaccard_matrix": G.typeset_jaccard_matrix,
+        "holt_linear_1h": G.holt_linear_1h,
+        # round-4 wave 38: frequent 3-itemsets (second-order segment
+        # explosion over the basket) and the source-vs-global quantile
+        # alignment table.
+        # (scrub_props / value_zscore_by_type rotate to the tail —
+        # regex_extract_stats reps the RE2 text rewrites/censuses,
+        # value_percentile_transform's lattice CDF + daily_value_envelope
+        # rep the normalization family; both in the committed local
+        # gate)
+        "frequent_triples": J.frequent_triples,
+        "quantile_align_sources": ST.quantile_align_sources,
+        # round-4 wave 37: weekly growth-accounting ledger (new /
+        # retained / resurrected / churned identity) and the exact
+        # p10/p90 daily value envelope off the lattice.
+        # (time_weighted_avg_value / corr_value_props rotate to the
+        # tail — state_duration + interval_coverage rep the
+        # time-weighted family, spearman_value_hour +
+        # type_cross_correlation the moment-lane correlations; both in
+        # the committed local gate)
+        "growth_accounting": G.growth_accounting,
+        "daily_value_envelope": G.daily_value_envelope,
+        # round-4 wave 36: nearest-neighbour temporal join (prev/next
+        # IGNORE-NULLS scans + band arbitration) and business-day ship
+        # lag (closed-form weekday count); weighted_sample rides the
+        # rows-only tail.
+        # (label_compactness / value_percentile_transform rotate to the
+        # tail — value_zscore_by_type reps the broadcast normalizations,
+        # embedding_dim_variance + kmeans the embedding family; both in
+        # the committed local gate)
+        "nearest_event_join": G.nearest_event_join,
+        "business_day_lag": J.business_day_lag,
+        # round-4 wave 35: discrete survival/hazard table over user
+        # lifespans, exact per-lang doc-length quantiles (crossing
+        # rule), daily open-order backlog sweep.
+        # (latest_event_state / daily_mix_segments / user_event_entropy
+        # rotate to the tail — scd2_intervals reps per-key state
+        # history, user_type_set_segments the set census, event_pmi +
+        # chi2_event_hour the information cells; all in the committed
+        # local gate)
+        "survival_curve": ST.survival_curve,
+        "doc_length_quantiles": ST.doc_length_quantiles,
+        "order_backlog_daily": J.order_backlog_daily,
         # round-4 wave 34: order-vs-lines financial reconciliation
         # (HUGEINT lanes, full-outer semantics) and linear multi-touch
         # attribution ((touch_type, k) cells, credit = n/k).
@@ -591,7 +651,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # stratified_sample + source_mixture_sample rep hash-rank
         # sampling; all three are bit-exact-probed and in the local gate)
         "pareto_frontier_events": ST.pareto_frontier_events,
-        "user_event_entropy": G.user_event_entropy,
         # round-4 wave 26: calendar-day gaps-and-islands streaks and the
         # customer RFM featurization over orders (cents-int64 monetary).
         # (term_postings / winsorized_mean_by_type rotate to the tail —
@@ -605,8 +664,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the tail — scrub_props reps the RE2 family, mode_per_user the
         # count-argmax family, doc_rarity_score + tfidf_topk the word
         # statistics; all in the committed local gate)
-        "daily_mix_segments": G.daily_mix_segments,
-        "latest_event_state": G.latest_event_state,
         # round-4 wave 21: sorted-neighborhood blocking (sort + boundary
         # stream stitch) and per-source Pareto coverage curve.
         # (stratified_sample / levenshtein_pairs rotate to the tail —
@@ -628,9 +685,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # tail — the nine in-window TPC-H composites rep the join
         # families, q20/q22 the semi-joins, term_postings + tfidf_topk
         # the n-gram counts; all in the committed local gate)
-        "value_zscore_by_type": ST.value_zscore_by_type,
-        "value_percentile_transform": ST.value_percentile_transform,
-        "label_compactness": SIM.label_compactness,
         # round-4 wave 19: per-user step-function time-weighted average,
         # signup->purchase conversion latency, data-quality assertion
         # audit (null/range/dup-key/FK-orphan counts).
@@ -639,9 +693,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # corr_value_props + autocorr_lag1_hourly the moment-chain
         # regressions, decontaminate + cross_source_ngram_matrix the
         # hashed-shingle exchanges; all in the committed local gate)
-        "time_weighted_avg_value": G.time_weighted_avg_value,
         "dq_audit": A.dq_audit,
-        "scrub_props": T.scrub_props,
         "transcript_latency_1m": _transcript_latency_1m,
         # round-4 operators: trailing 30-minute range (interval) join,
         # ordered-sequence funnel, TPC-H Q5-shaped 6-table join
@@ -717,20 +769,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round-4 wave 6: one-pass ROLLUP grouping sets, exact
         # distributed Pearson moments
         "rollup_grouping_sets": G.rollup_grouping_sets,
-        "corr_value_props": G.corr_value_props,
         # round-4 wave 10: order statistics / distribution family — Gini
         # via distributed sort + block-offset ranks, Pareto coverage via
         # an early-stopping sorted stream, chi-square independence cells,
         # EXACT median/MAD on a bounded fixed-point lattice, day-over-day
         # deltas, PERCENT_RANK, per-source hapax vocabulary stats
-        "gini_revenue": ST.gini_revenue,
         # round-4 wave 14: integer-carrier unigram-LM rarity scoring (the
         # perplexity-filter shape with an exact bit-cost carrier) and the
         # Q21 double-correlated EXISTS/NOT-EXISTS composite
         # (pareto_revenue_share / q18_large_orders rotate to the tail —
         # gini_revenue + q17's correlated threshold rep those shapes)
         "doc_rarity_score": T.doc_rarity_score,
-        "chi2_event_hour": ST.chi2_event_hour,
         # round-4 wave 15: the last three TPC-H query shapes — Q2
         # argmin-per-part supplier with all-tie retention, Q12 ship-delay
         # priority split, Q20 two-aggregate correlated-threshold semi-join
@@ -757,6 +806,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rotated r3-driver-green core entries (all green in
         # CORRECTNESS_r03; oracle_sql retained, local gate covers them)
         "q13_custdist": J.q13_custdist,
+        "gini_revenue": ST.gini_revenue,
+        "chi2_event_hour": ST.chi2_event_hour,
+        "value_zscore_by_type": ST.value_zscore_by_type,
+        "scrub_props": T.scrub_props,
+        "time_weighted_avg_value": G.time_weighted_avg_value,
+        "corr_value_props": G.corr_value_props,
+        "label_compactness": SIM.label_compactness,
+        "value_percentile_transform": ST.value_percentile_transform,
+        "latest_event_state": G.latest_event_state,
+        "daily_mix_segments": G.daily_mix_segments,
+        "user_event_entropy": G.user_event_entropy,
         "active_day_streaks": G.active_day_streaks,
         "rfm_segments": G.rfm_segments,
         "sorted_neighborhood_pairs": _sorted_neighborhood_pairs,
@@ -908,6 +968,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # engine-native pipelines
         "lineage_manifest": _lineage_manifest,
         "pagerank_parts": J.pagerank_parts,
+        "weighted_sample": SK.weighted_sample,
         "tier_rollup_synthetic": _tier_rollup_synthetic,
         "gorilla_chunks": _gorilla_chunks,
         "media_decode": _media_decode,
@@ -2158,6 +2219,394 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MAX(cmx) AS DOUBLE) / 1024.0 AS peak_cum,
                    CAST(SUM(q) AS DOUBLE) / 1024.0 AS final_cum
             FROM m GROUP BY user_id ORDER BY user_id
+        """,
+        # per-epoch shuffle manifest: rank(md5(epoch:doc_id)) per epoch,
+        # bottom-k of each epoch's ordering
+        "epoch_shuffle": """
+            WITH e AS (SELECT unnest([0, 1]) AS epoch),
+            h AS (
+                SELECT e.epoch, d.doc_id, d.source,
+                       md5(CAST(e.epoch AS VARCHAR) || ':'
+                           || CAST(d.doc_id AS VARCHAR)) AS h
+                FROM documents d CROSS JOIN e
+            ), r AS (
+                SELECT epoch, doc_id, source, h,
+                       ROW_NUMBER() OVER (PARTITION BY epoch
+                                          ORDER BY h, doc_id) - 1
+                           AS position
+                FROM h
+            )
+            SELECT CAST(epoch AS BIGINT) AS epoch,
+                   CAST(position AS BIGINT) AS position,
+                   doc_id, source, h
+            FROM r WHERE position < 50
+            ORDER BY epoch, position
+        """,
+        # point-in-time panel: tick/event stream, IGNORE-NULLS last
+        # event at or before each tick ((inst, kind, event_id) total
+        # order: events sort before ticks at the same instant, ties at
+        # max event_id), TTL expiry
+        "state_panel_1h": """
+            WITH b AS (
+                SELECT user_id, date_trunc('hour', MIN(ts)) AS lo,
+                       date_trunc('hour', MAX(ts)) AS hi
+                FROM events GROUP BY 1
+            ), axis AS (
+                SELECT user_id,
+                       unnest(generate_series(lo, hi, INTERVAL 1 HOUR))
+                           AS tick
+                FROM b
+            ), stream AS (
+                SELECT user_id, ts AS inst, 0 AS kind, event_id,
+                       event_type, CAST(NULL AS TIMESTAMP) AS tick
+                FROM events
+                UNION ALL
+                SELECT user_id, tick AS inst, 1 AS kind, NULL, NULL,
+                       tick
+                FROM axis
+            ), w AS (
+                SELECT user_id, tick, kind,
+                       LAST_VALUE(CASE WHEN kind = 0 THEN event_type END
+                                  IGNORE NULLS) OVER wnd AS state_type,
+                       LAST_VALUE(CASE WHEN kind = 0 THEN inst END
+                                  IGNORE NULLS) OVER wnd AS state_ts
+                FROM stream
+                WINDOW wnd AS (PARTITION BY user_id
+                               ORDER BY inst, kind, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW)
+            )
+            SELECT user_id, tick,
+                   CASE WHEN state_ts IS NULL THEN 'none'
+                        WHEN epoch_us(tick) - epoch_us(state_ts)
+                             > 21600000000 THEN 'expired'
+                        ELSE state_type END AS state
+            FROM w WHERE kind = 1
+            ORDER BY user_id, tick
+        """,
+        # segment Jaccard matrix: the census masks pair-joined, integer
+        # bit_count popcounts, one mirrored division
+        "typeset_jaccard_matrix": """
+            WITH tmap AS (
+                SELECT event_type,
+                       ROW_NUMBER() OVER (ORDER BY event_type) - 1 AS idx
+                FROM (SELECT DISTINCT event_type FROM events)
+            ), um AS (
+                SELECT e.user_id,
+                       epoch_us(e.ts) // 86400000000 AS day,
+                       CAST(SUM(DISTINCT CAST(1 AS BIGINT) << t.idx)
+                            AS BIGINT) AS mask
+                FROM events e JOIN tmap t USING (event_type)
+                GROUP BY 1, 2
+            ), c AS (
+                SELECT mask, CAST(COUNT(*) AS BIGINT) AS n_cells
+                FROM um GROUP BY 1
+            )
+            SELECT c1.mask AS mask_a, c2.mask AS mask_b,
+                   c1.n_cells AS n_cells_a, c2.n_cells AS n_cells_b,
+                   ROUND(CAST(bit_count(c1.mask & c2.mask) AS DOUBLE)
+                         / CAST(bit_count(c1.mask | c2.mask) AS DOUBLE),
+                         6) AS jaccard
+            FROM c c1 JOIN c c2 ON c2.mask > c1.mask
+            ORDER BY 1, 2
+        """,
+        # Holt level+trend: alpha = beta = 0.5 keeps every multiply an
+        # exact halving, so the recursive CTE and the engine scan agree
+        # bitwise (ewma_1h contract, two-state recurrence)
+        "holt_linear_1h": """
+            WITH RECURSIVE h AS (
+                SELECT user_id, date_trunc('hour', ts) AS bucket_start,
+                       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT))
+                            AS DOUBLE) / 100 AS x,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY user_id
+                           ORDER BY date_trunc('hour', ts)) AS rn
+                FROM events GROUP BY user_id, date_trunc('hour', ts)
+            ), r AS (
+                SELECT user_id, bucket_start, rn, x AS s,
+                       CAST(0 AS DOUBLE) AS b
+                FROM h WHERE rn = 1
+                UNION ALL
+                SELECT h.user_id, h.bucket_start, h.rn,
+                       0.5 * h.x + 0.5 * (r.s + r.b),
+                       0.5 * ((0.5 * h.x + 0.5 * (r.s + r.b)) - r.s)
+                           + 0.5 * r.b
+                FROM h JOIN r ON h.user_id = r.user_id
+                             AND h.rn = r.rn + 1
+            )
+            SELECT user_id, bucket_start, ROUND(s, 6) AS level,
+                   ROUND(b, 6) AS trend
+            FROM r ORDER BY user_id, bucket_start
+        """,
+        # frequent 3-itemsets: distinct per-order parts, ordered 3-way
+        # self-join, support filter — mirrors the two-pass explosion
+        "frequent_triples": """
+            WITH pp AS (
+                SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+                FROM lineitem
+            ), t AS (
+                SELECT p1.p AS a, p2.p AS b, p3.p AS c
+                FROM pp p1
+                JOIN pp p2 ON p2.o = p1.o AND p2.p > p1.p
+                JOIN pp p3 ON p3.o = p1.o AND p3.p > p2.p
+            )
+            SELECT a, b, c, CAST(COUNT(*) AS BIGINT) AS support
+            FROM t GROUP BY 1, 2, 3
+            HAVING COUNT(*) >= 2
+            ORDER BY 1, 2, 3
+        """,
+        # quantile alignment: per-source and global crossings at
+        # ceil(q*n/100) over the same (source, n_chars) cells
+        "quantile_align_sources": """
+            WITH c AS (
+                SELECT source, n_chars, COUNT(*) AS cnt
+                FROM documents GROUP BY 1, 2
+            ), r AS (
+                SELECT source, n_chars,
+                       SUM(cnt) OVER (PARTITION BY source
+                                      ORDER BY n_chars) AS cum,
+                       SUM(cnt) OVER (PARTITION BY source) AS n
+                FROM c
+            ), gq AS (
+                SELECT n_chars,
+                       SUM(cnt) OVER (ORDER BY n_chars) AS cum,
+                       SUM(cnt) OVER () AS n
+                FROM (SELECT n_chars, SUM(cnt) AS cnt FROM c GROUP BY 1)
+            ), qs AS (
+                SELECT unnest([10, 20, 30, 40, 50, 60, 70, 80, 90]) AS q
+            ), src AS (
+                SELECT r.source, qs.q,
+                       CAST(MAX(r.n) AS BIGINT) AS n_docs,
+                       CAST(MIN(CASE WHEN cum * 100 >= q * n
+                                     THEN n_chars END) AS BIGINT)
+                           AS src_value
+                FROM r CROSS JOIN qs GROUP BY 1, 2
+            ), gbl AS (
+                SELECT qs.q,
+                       CAST(MIN(CASE WHEN cum * 100 >= q * n
+                                     THEN n_chars END) AS BIGINT)
+                           AS global_value
+                FROM gq CROSS JOIN qs GROUP BY 1
+            )
+            SELECT src.source, CAST(src.q AS BIGINT) AS q, src.n_docs,
+                   src.src_value, gbl.global_value
+            FROM src JOIN gbl USING (q)
+            ORDER BY 1, 2
+        """,
+        # growth accounting: LAG classifies actives, LEAD charges churn
+        # to the first silent week, right-censored at the last week
+        "growth_accounting": """
+            WITH uw AS (
+                SELECT DISTINCT user_id,
+                       epoch_us(ts) // 604800000000 AS w
+                FROM events
+            ), mx AS (SELECT MAX(w) AS mw FROM uw),
+            cls AS (
+                SELECT w, CASE WHEN pw IS NULL THEN 'new'
+                               WHEN w - pw = 1 THEN 'retained'
+                               ELSE 'resurrected' END AS status
+                FROM (SELECT w, LAG(w) OVER (PARTITION BY user_id
+                                             ORDER BY w) AS pw FROM uw)
+                UNION ALL
+                SELECT w + 1 AS w, 'churned' AS status
+                FROM (SELECT w, LEAD(w) OVER (PARTITION BY user_id
+                                              ORDER BY w) AS nw FROM uw)
+                WHERE (nw IS NULL OR nw - w > 1)
+                  AND w + 1 <= (SELECT mw FROM mx)
+            )
+            SELECT CAST(w AS BIGINT) AS week, status,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM cls GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        # p10/p90 envelope: lattice cells, window cumsum, crossing rule
+        # cum*10 >= n / cum*10 >= 9n; the float is an exact /1024
+        "daily_value_envelope": """
+            WITH c AS (
+                SELECT event_type,
+                       epoch_us(ts) // 86400000000 AS day,
+                       CAST(floor(value * 1024.0 + 0.5) AS BIGINT)
+                           AS lat,
+                       COUNT(*) AS cnt
+                FROM events GROUP BY 1, 2, 3
+            ), r AS (
+                SELECT event_type, day, lat,
+                       SUM(cnt) OVER (PARTITION BY event_type, day
+                                      ORDER BY lat) AS cum,
+                       SUM(cnt) OVER (PARTITION BY event_type, day)
+                           AS n
+                FROM c
+            )
+            SELECT event_type, CAST(day AS BIGINT) AS day,
+                   CAST(MAX(n) AS BIGINT) AS n,
+                   CAST(MIN(CASE WHEN cum * 10 >= n THEN lat END)
+                        AS BIGINT) AS p10_lat,
+                   CAST(MIN(CASE WHEN cum * 10 >= 9 * n THEN lat END)
+                        AS BIGINT) AS p90_lat,
+                   CAST(MIN(CASE WHEN cum * 10 >= n THEN lat END)
+                        AS DOUBLE) / 1024.0 AS p10,
+                   CAST(MIN(CASE WHEN cum * 10 >= 9 * n THEN lat END)
+                        AS DOUBLE) / 1024.0 AS p90
+            FROM r GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        # nearest temporal join: IGNORE-NULLS prev/next probe windows,
+        # band filter, tie -> 'prev'; floats only for the NULLable ids
+        "nearest_event_join": """
+            WITH s AS (
+                SELECT user_id, ts, event_id, event_type,
+                       CASE WHEN event_type = 'click' THEN ts END
+                           AS probe_ts,
+                       CASE WHEN event_type = 'click' THEN event_id END
+                           AS probe_id
+                FROM events WHERE event_type IN ('purchase', 'click')
+            ), w AS (
+                SELECT *,
+                       LAST_VALUE(probe_ts IGNORE NULLS) OVER wp
+                           AS prev_ts,
+                       LAST_VALUE(probe_id IGNORE NULLS) OVER wp
+                           AS prev_id,
+                       FIRST_VALUE(probe_ts IGNORE NULLS) OVER wn
+                           AS next_ts,
+                       FIRST_VALUE(probe_id IGNORE NULLS) OVER wn
+                           AS next_id
+                FROM s
+                WINDOW wp AS (PARTITION BY user_id
+                              ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING),
+                       wn AS (PARTITION BY user_id
+                              ORDER BY ts, event_id
+                              ROWS BETWEEN 1 FOLLOWING
+                                   AND UNBOUNDED FOLLOWING)
+            ), a AS (
+                SELECT event_id,
+                       CASE WHEN prev_ts IS NOT NULL
+                                 AND epoch_us(ts) - epoch_us(prev_ts)
+                                     <= 600000000
+                            THEN epoch_us(ts) - epoch_us(prev_ts)
+                       END AS pg,
+                       CASE WHEN next_ts IS NOT NULL
+                                 AND epoch_us(next_ts) - epoch_us(ts)
+                                     <= 600000000
+                            THEN epoch_us(next_ts) - epoch_us(ts)
+                       END AS ng,
+                       prev_id, next_id
+                FROM w WHERE event_type = 'purchase'
+            )
+            SELECT event_id,
+                   CAST(CASE WHEN pg IS NOT NULL
+                                  AND (ng IS NULL OR pg <= ng)
+                             THEN prev_id
+                             WHEN ng IS NOT NULL THEN next_id
+                        END AS DOUBLE) AS nearest_id,
+                   CAST(CASE WHEN pg IS NOT NULL
+                                  AND (ng IS NULL OR pg <= ng)
+                             THEN pg
+                             WHEN ng IS NOT NULL THEN ng
+                        END AS DOUBLE) AS gap_us,
+                   CASE WHEN pg IS NOT NULL
+                             AND (ng IS NULL OR pg <= ng) THEN 'prev'
+                        WHEN ng IS NOT NULL THEN 'next'
+                        ELSE 'none' END AS side
+            FROM a ORDER BY event_id
+        """,
+        # business-day lag: the same closed-form weekday count
+        # G(d) = 5*((d+3)//7) + LEAST((d+3)%7 + 1, 5) - 3 on both sides
+        "business_day_lag": """
+            WITH g AS (
+                SELECT o.o_orderpriority,
+                       epoch_us(o.o_orderdate) // 86400000000 AS od,
+                       epoch_us(l.l_shipdate) // 86400000000 AS sd
+                FROM lineitem l
+                JOIN orders o ON o.o_orderkey = l.l_orderkey
+            ), b AS (
+                SELECT o_orderpriority,
+                       GREATEST(
+                           (5 * ((sd + 3) // 7)
+                            + LEAST((sd + 3) % 7 + 1, 5) - 3)
+                           - (5 * ((od + 3) // 7)
+                              + LEAST((od + 3) % 7 + 1, 5) - 3),
+                           0) AS bd
+                FROM g
+            )
+            SELECT o_orderpriority,
+                   CAST(COUNT(*) AS BIGINT) AS n_lines,
+                   CAST(SUM(bd) AS BIGINT) AS sum_bdays,
+                   CAST(MAX(bd) AS BIGINT) AS max_bdays,
+                   ROUND(CAST(SUM(bd) AS DOUBLE)
+                         / CAST(COUNT(*) AS DOUBLE), 6) AS mean_bdays
+            FROM b GROUP BY 1 ORDER BY 1
+        """,
+        # survival table: per-user lifespan, churn histogram, reverse
+        # running at-risk sum, one mirrored hazard division
+        "survival_curve": """
+            WITH s AS (
+                SELECT user_id,
+                       MAX(epoch_us(ts) // 86400000000)
+                       - MIN(epoch_us(ts) // 86400000000) AS lifespan
+                FROM events GROUP BY 1
+            ), c AS (
+                SELECT lifespan, CAST(COUNT(*) AS BIGINT) AS n_churned
+                FROM s GROUP BY 1
+            ), r AS (
+                SELECT lifespan, n_churned,
+                       CAST(SUM(n_churned) OVER (ORDER BY lifespan DESC)
+                            AS BIGINT) AS n_at_risk
+                FROM c
+            )
+            SELECT CAST(lifespan AS BIGINT) AS lifespan, n_churned,
+                   n_at_risk,
+                   ROUND(CAST(n_churned AS DOUBLE)
+                         / CAST(n_at_risk AS DOUBLE), 6) AS hazard
+            FROM r ORDER BY lifespan
+        """,
+        # exact discrete quantiles: crossing rule cum*100 >= q*n (the
+        # smallest length covering ceil(q*n/100)) — no interpolation
+        "doc_length_quantiles": """
+            WITH n AS (
+                SELECT lang, CAST(COUNT(*) AS BIGINT) AS n
+                FROM documents GROUP BY 1
+            ), c AS (
+                SELECT lang, n_chars, COUNT(*) AS cnt
+                FROM documents GROUP BY 1, 2
+            ), r AS (
+                SELECT lang, n_chars,
+                       SUM(cnt) OVER (PARTITION BY lang
+                                      ORDER BY n_chars) AS cum
+                FROM c
+            ), q AS (
+                SELECT n.lang, unnest([25, 50, 75]) AS q, n.n FROM n
+            )
+            SELECT q.lang, CAST(q.q AS BIGINT) AS q, q.n AS n_docs,
+                   (SELECT MIN(r.n_chars) FROM r
+                    WHERE r.lang = q.lang
+                      AND r.cum * 100 >= q.q * q.n) AS p_value
+            FROM q ORDER BY q.lang, q.q
+        """,
+        # open-order sweep: per-order last ship day (clamped at the
+        # order day), signed deltas, day-cell reduce, running sum
+        "order_backlog_daily": """
+            WITH ls AS (
+                SELECT l_orderkey AS k,
+                       MAX(epoch_us(l_shipdate) // 86400000000)
+                           AS ship_d
+                FROM lineitem GROUP BY 1
+            ), iv AS (
+                SELECT epoch_us(o.o_orderdate) // 86400000000 AS open_d,
+                       GREATEST(ls.ship_d,
+                                epoch_us(o.o_orderdate) // 86400000000)
+                           AS ship_d
+                FROM orders o JOIN ls ON ls.k = o.o_orderkey
+            ), deltas AS (
+                SELECT open_d AS day, 1 AS delta FROM iv
+                UNION ALL
+                SELECT ship_d + 1 AS day, -1 AS delta FROM iv
+            ), cells AS (
+                SELECT day, SUM(delta) AS delta FROM deltas GROUP BY 1
+            )
+            SELECT CAST(day AS BIGINT) AS day,
+                   CAST(SUM(delta) OVER (ORDER BY day) AS BIGINT)
+                       AS backlog
+            FROM cells ORDER BY day
         """,
         # header-vs-lines reconciliation: HUGEINT net lanes (cents x
         # two percent factors), full-outer semantics (orphan lines ->

@@ -303,6 +303,24 @@ def run_bench() -> dict:
         "psi_value_drift", "max_drawdown_per_user",
         # round-4 wave 31 (ACF profile, ordered string agg)
         "acf_profile_hourly", "user_top_types_concat",
+        # round-4 wave 32 (SCD2 history, Kendall tau-b, linear interp)
+        "scd2_intervals", "kendall_tau_daily", "interp_fill_1m",
+        # round-4 wave 33 (triangle census, band join, regex census)
+        "triangle_stats", "band_join_cooccur", "regex_extract_stats",
+        # round-4 wave 34 (reconciliation, multi-touch attribution)
+        "order_reconciliation", "multitouch_attribution",
+        # round-4 wave 35 (survival table, doc-length quantiles, backlog)
+        "survival_curve", "doc_length_quantiles", "order_backlog_daily",
+        # round-4 wave 36 (nearest temporal join, business-day lag)
+        "nearest_event_join", "business_day_lag",
+        # round-4 wave 37 (growth accounting, value envelope)
+        "growth_accounting", "daily_value_envelope",
+        # round-4 wave 38 (frequent triples, quantile alignment)
+        "frequent_triples", "quantile_align_sources",
+        # round-4 wave 39 (typeset Jaccard, Holt smoothing)
+        "typeset_jaccard_matrix", "holt_linear_1h",
+        # round-4 wave 40 (epoch shuffle, state panel)
+        "epoch_shuffle", "state_panel_1h",
     ]
     q_steal: dict[str, float] = {}
     for name in q_list:

@@ -2178,3 +2178,532 @@ def multitouch_attribution(
         / out["k"].to_numpy(np.float64)
     )
     return out
+
+
+# --------------------------------------------------------- nearest join
+def nearest_event_join(
+    sf_dir: str, target: str = "purchase", probe: str = "click",
+    band_s: int = 600,
+) -> pd.DataFrame:
+    """Nearest-neighbour TEMPORAL join: for every target event, the
+    nearest same-user probe event within ±``band_s`` seconds — backward
+    and forward candidates resolved per target, absolute-gap winner,
+    ties to the earlier side ("which click does this purchase belong
+    to"; ``asof_purchase_view`` is backward-only, ``band_join_cooccur``
+    counts the whole band; this picks ONE neighbour).
+
+    Engine shape: one user-hash exchange; each partition sorts once,
+    takes prev/next probe INDEX per row with two maximum/minimum
+    prefix scans over the probe-index lattice (the IGNORE-NULLS window
+    shape, fully vectorized), then band-filters and arbitrates.
+
+    Determinism: gaps are integer microseconds; tie -> 'prev' on both
+    sides."""
+    ds = _events(sf_dir, ["user_id", "ts", "event_id", "event_type"])
+
+    def project(df: pd.DataFrame) -> pd.DataFrame:
+        et = df["event_type"].astype(str)
+        m = et.isin([target, probe])
+        df = df[m]
+        return pd.DataFrame(
+            {"user_id": df["user_id"].to_numpy(np.int64),
+             "ts_us": df["ts"].astype("datetime64[us]").astype(np.int64),
+             "event_id": df["event_id"].to_numpy(np.int64),
+             "event_type": df["event_type"].astype(str)}
+        )
+
+    band_us = band_s * 1_000_000
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"event_id": pd.Series(dtype=np.int64),
+             "nearest_id": pd.Series(dtype=np.float64),
+             "gap_us": pd.Series(dtype=np.float64),
+             "side": pd.Series(dtype=str)}
+        )
+        if len(g) == 0:
+            return empty
+        g = g.sort_values(["user_id", "ts_us", "event_id"],
+                          kind="mergesort")
+        u = g["user_id"].to_numpy(np.int64)
+        t = g["ts_us"].to_numpy(np.int64)
+        eid = g["event_id"].to_numpy(np.int64)
+        et = g["event_type"].astype(str).to_numpy()
+        n = len(g)
+        new = np.concatenate([[True], u[1:] != u[:-1]])
+        is_p = et == probe
+        idx = np.arange(n)
+        seg_id = np.cumsum(new) - 1
+        # prev probe index (strictly before, same user): prefix max of
+        # segment-offset probe indices; a carried value from an earlier
+        # segment decodes to the wrong segment id and is rejected —
+        # the vectorized IGNORE-NULLS LAST_VALUE shape
+        adj = np.where(is_p, idx + seg_id * n, -1)
+        run = np.maximum.accumulate(adj)
+        prev_adj = np.concatenate([[-1], run[:-1]])
+        prev_ok = (prev_adj >= 0) & (prev_adj // n == seg_id)
+        prev_idx = np.where(prev_ok, prev_adj % n, 0)
+        # next probe index: the same scan over the reversed sequence
+        segmax = int(seg_id[-1])
+        adj_r = np.where(
+            is_p[::-1], idx + (segmax - seg_id[::-1]) * n, -1
+        )
+        run_r = np.maximum.accumulate(adj_r)
+        nxt_adj_r = np.concatenate([[-1], run_r[:-1]])
+        nxt_ok_r = (nxt_adj_r >= 0) & (
+            nxt_adj_r // n == (segmax - seg_id[::-1])
+        )
+        nxt_idx_r = np.where(nxt_ok_r, nxt_adj_r % n, 0)
+        nxt_ok = nxt_ok_r[::-1]
+        nxt_idx = np.where(nxt_ok, n - 1 - nxt_idx_r[::-1], 0)
+        tgt = np.flatnonzero(et == target)
+        if len(tgt) == 0:
+            return empty
+        pi = prev_idx[tgt]
+        pok = prev_ok[tgt]
+        pg = np.where(pok, t[tgt] - t[pi], band_us + 1)
+        ni = nxt_idx[tgt]
+        nok = nxt_ok[tgt]
+        ng = np.where(nok, t[ni] - t[tgt], band_us + 1)
+        pg = np.where(pg <= band_us, pg, band_us + 1)
+        ng = np.where(ng <= band_us, ng, band_us + 1)
+        take_prev = (pg <= ng) & (pg <= band_us)
+        take_next = (~take_prev) & (ng <= band_us)
+        nearest = np.where(
+            take_prev, eid[pi], np.where(take_next, eid[ni], -1)
+        ).astype(np.float64)
+        gap = np.where(take_prev, pg, np.where(take_next, ng, -1)).astype(
+            np.float64
+        )
+        side = np.where(take_prev, "prev",
+                        np.where(take_next, "next", "none"))
+        none = side == "none"
+        nearest[none] = np.nan
+        gap[none] = np.nan
+        return pd.DataFrame(
+            {"event_id": eid[tgt], "nearest_id": nearest, "gap_us": gap,
+             "side": side}
+        )
+
+    out = (
+        hash_combine(
+            ds.map_batches(project, batch_format="pandas"), ["user_id"],
+            combine,
+        )
+        .to_pandas()
+        .sort_values("event_id", ignore_index=True)
+    )
+    out["event_id"] = out["event_id"].astype(np.int64)
+    out["side"] = out["side"].astype(str)
+    return out
+
+
+# ----------------------------------------------------- growth accounting
+def growth_accounting(sf_dir: str) -> pd.DataFrame:
+    """Weekly growth accounting: every active (user, week) classifies as
+    NEW (first week ever), RETAINED (active the week before) or
+    RESURRECTED (a gap before this week), and each activity gap charges
+    one CHURNED to the first silent week — the standard DAU/MAU
+    decomposition identity actives(w) = new + retained + resurrected
+    and churned(w) = actives(w-1) - retained(w)
+    (``cohort_retention`` follows one cohort; this balances the whole
+    ledger every week).
+
+    Shape: distinct (user, week) cells ride ONE user-hash exchange;
+    each partition classifies its users' sorted week lists with shifted
+    compares (no per-user Python) and emits week-vocabulary-bounded
+    (week, status) counts; churn rows past the corpus' last week are
+    right-censored on the driver.
+
+    Determinism: pure integer set logic on the week lattice."""
+    ds = _events(sf_dir, ["user_id", "ts"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        w = df["ts"].astype("datetime64[us]").astype(np.int64) // WEEK_US
+        return pd.DataFrame(
+            {"user_id": df["user_id"].to_numpy(np.int64), "w": w}
+        ).drop_duplicates()
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates().sort_values(["user_id", "w"],
+                                            kind="mergesort")
+        u = g["user_id"].to_numpy(np.int64)
+        w = g["w"].to_numpy(np.int64)
+        n = len(g)
+        if n == 0:
+            return pd.DataFrame(
+                {"week": pd.Series(dtype=np.int64),
+                 "status": pd.Series(dtype=str),
+                 "n": pd.Series(dtype=np.int64)}
+            )
+        new_user = np.concatenate([[True], u[1:] != u[:-1]])
+        gap_prev = np.concatenate([[0], w[1:] - w[:-1]])
+        status = np.where(
+            new_user, "new",
+            np.where(gap_prev == 1, "retained", "resurrected"),
+        )
+        # churn charges: the week AFTER any active week whose successor
+        # is not the adjacent week (incl. each user's last week)
+        last = np.concatenate([new_user[1:], [True]])
+        gap_next = np.concatenate([w[1:] - w[:-1], [0]])
+        churn = last | (gap_next > 1)
+        cells = pd.concat(
+            [pd.DataFrame({"week": w, "status": status}),
+             pd.DataFrame({"week": w[churn] + 1,
+                           "status": "churned"})],
+            ignore_index=True,
+        )
+        return (
+            cells.groupby(["week", "status"], as_index=False)
+            .size()
+            .rename(columns={"size": "n"})
+        )
+
+    out = (
+        hash_combine(
+            ds.map_batches(partial, batch_format="pandas"), ["user_id"],
+            combine,
+        )
+        .to_pandas()
+        .groupby(["week", "status"], as_index=False)["n"]
+        .sum()
+    )
+    max_w = int(out.loc[out["status"] != "churned", "week"].max())
+    out = out[out["week"] <= max_w].sort_values(
+        ["week", "status"], ignore_index=True
+    )
+    out["week"] = out["week"].astype(np.int64)
+    out["n"] = out["n"].astype(np.int64)
+    return out
+
+
+# ----------------------------------------------------- value envelope
+def daily_value_envelope(sf_dir: str) -> pd.DataFrame:
+    """Exact p10/p90 envelope of each type's values per day (crossing
+    rule on the 2^10 value lattice) — the corridor an anomaly monitor
+    draws around a daily series (``zscore_anomaly_24h`` flags points;
+    this emits the band itself).
+
+    Shape: (type, day, lattice) count cells ride one exchange (bounded
+    by observed distinct values, not rows); the crossing scan is one
+    global cumsum + per-cell searchsorted over the reduced table.
+
+    Determinism: integer crossings; the emitted floats are single
+    lattice divisions."""
+    ds = _events(sf_dir, ["event_type", "ts", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        day = df["ts"].astype("datetime64[us]").astype(np.int64) // DAY_US
+        lat = np.floor(
+            df["value"].to_numpy(np.float64) * 1024.0 + 0.5
+        ).astype(np.int64)
+        return (
+            pd.DataFrame({"event_type": df["event_type"].astype(str),
+                          "day": day, "lat": lat})
+            .groupby(["event_type", "day", "lat"], as_index=False)
+            .size()
+            .rename(columns={"size": "cnt"})
+        )
+
+    cells = (
+        hash_combine(
+            ds.map_batches(partial, batch_format="pandas"),
+            ["event_type", "day"],
+            lambda g: g.groupby(["event_type", "day", "lat"],
+                                as_index=False)["cnt"].sum(),
+        )
+        .to_pandas()
+        .groupby(["event_type", "day", "lat"], as_index=False)["cnt"]
+        .sum()
+        .sort_values(["event_type", "day", "lat"], kind="mergesort",
+                     ignore_index=True)
+    )
+    t = cells["event_type"].to_numpy()
+    d = cells["day"].to_numpy(np.int64)
+    cnt = cells["cnt"].to_numpy(np.int64)
+    lat = cells["lat"].to_numpy(np.int64)
+    n = len(cells)
+    new = np.ones(n, dtype=bool)
+    new[1:] = (t[1:] != t[:-1]) | (d[1:] != d[:-1])
+    starts = np.flatnonzero(new)
+    ends = np.concatenate([starts[1:], [n]])
+    rows = []
+    for s, e in zip(starts, ends):
+        c = cnt[s:e].cumsum()
+        tot = int(c[-1])
+        k10 = (tot + 9) // 10          # ceil(n/10)
+        k90 = (9 * tot + 9) // 10      # ceil(9n/10)
+        p10 = int(lat[s + np.searchsorted(c, k10)])
+        p90 = int(lat[s + np.searchsorted(c, k90)])
+        rows.append((t[s], int(d[s]), tot, p10, p90))
+    out = pd.DataFrame(
+        rows, columns=["event_type", "day", "n", "p10_lat", "p90_lat"]
+    )
+    out["day"] = out["day"].astype(np.int64)
+    out["n"] = out["n"].astype(np.int64)
+    out["p10_lat"] = out["p10_lat"].astype(np.int64)
+    out["p90_lat"] = out["p90_lat"].astype(np.int64)
+    out["p10"] = out["p10_lat"].to_numpy(np.float64) / 1024.0
+    out["p90"] = out["p90_lat"].to_numpy(np.float64) / 1024.0
+    return out.sort_values(["event_type", "day"], ignore_index=True)
+
+
+# ------------------------------------------------------ typeset Jaccard
+def typeset_jaccard_matrix(sf_dir: str) -> pd.DataFrame:
+    """Pairwise Jaccard similarity between the OBSERVED daily
+    behavioral segments (each segment = an exact event-type SET one
+    (user, day) cell exhibited; ``user_type_set_segments`` is the
+    lifetime variant, whose census collapses to one mask here),
+    weighted by how many cells exhibit each segment — the
+    segment-overlap map a targeting system reads, i.e. the
+    set-similarity join collapsed onto its 2^|vocab| mask lattice.
+
+    Shape: per-(user, day) bit partials ride ONE user-hash exchange;
+    the combine ORs bits per cell and reduces to the mask census, so
+    the pair explosion runs on <= 2^|vocab| rows regardless of users.
+
+    Determinism: integer popcounts; jaccard is one mirrored division."""
+    vocab = np.sort(
+        _events(sf_dir, ["event_type"])
+        .map_batches(
+            lambda df: pd.DataFrame(
+                {"event_type": df["event_type"].astype(str).unique()}
+            ),
+            batch_format="pandas",
+        )
+        .to_pandas()["event_type"]
+        .unique()
+    )
+    DAY_US = 86_400_000_000
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        codes = pd.Categorical(
+            df["event_type"].astype(str), categories=vocab
+        ).codes.astype(np.int64)
+        day = df["ts"].astype("datetime64[us]").astype(np.int64) // DAY_US
+        return pd.DataFrame(
+            {"user_id": df["user_id"].to_numpy(np.int64), "day": day,
+             "b": np.int64(1) << codes}
+        ).drop_duplicates(ignore_index=True)
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        per_cell = (
+            g.drop_duplicates(["user_id", "day", "b"])
+            .groupby(["user_id", "day"], as_index=False)["b"]
+            .sum()
+            .rename(columns={"b": "mask"})
+        )
+        return (
+            per_cell.groupby("mask", as_index=False)
+            .size()
+            .rename(columns={"size": "n_cells"})
+        )
+
+    census = (
+        hash_combine(
+            _events(sf_dir, ["user_id", "ts", "event_type"]).map_batches(
+                partial, batch_format="pandas"
+            ),
+            ["user_id"],
+            combine,
+        )
+        .to_pandas()
+        .groupby("mask", as_index=False)["n_cells"]
+        .sum()
+        .sort_values("mask", ignore_index=True)
+    )
+    m = census["mask"].to_numpy(np.int64)
+    nu = census["n_cells"].to_numpy(np.int64)
+    k = len(m)
+    if k < 2:
+        return pd.DataFrame(
+            {"mask_a": pd.Series(dtype=np.int64),
+             "mask_b": pd.Series(dtype=np.int64),
+             "n_cells_a": pd.Series(dtype=np.int64),
+             "n_cells_b": pd.Series(dtype=np.int64),
+             "jaccard": pd.Series(dtype=np.float64)}
+        )
+    ia, ib = np.triu_indices(k, 1)
+    a, b = m[ia], m[ib]
+    inter = a & b
+    union = a | b
+    pop_i = np.zeros(len(a), np.int64)
+    pop_u = np.zeros(len(a), np.int64)
+    for i in range(64):
+        pop_i += (inter >> i) & 1
+        pop_u += (union >> i) & 1
+    jac = _r6away(pop_i.astype(np.float64) / pop_u.astype(np.float64))
+    out = pd.DataFrame(
+        {"mask_a": a, "mask_b": b, "n_cells_a": nu[ia],
+         "n_cells_b": nu[ib], "jaccard": jac}
+    ).sort_values(["mask_a", "mask_b"], ignore_index=True)
+    return out
+
+
+# ----------------------------------------------------------- Holt trend
+def holt_linear_1h(sf_dir: str) -> pd.DataFrame:
+    """Holt linear (level + trend) exponential smoothing over each
+    user's observed hourly buckets with alpha = beta = 0.5:
+    s_i = 0.5*x_i + 0.5*(s + b);  b_i = 0.5*(s_i - s) + 0.5*b — the
+    trend-aware sibling of ``ewma_1h`` (level only) and the
+    two-state member of the sequential-kernel family (the Kalman
+    smoother is the uncertainty-aware limit).
+
+    Shape: exact-cents partials, one user-hash exchange, per-partition
+    sequential scan (the recurrence is order-2; halving weights keep
+    every multiply EXACT so the engine loop and the oracle's recursive
+    CTE agree bitwise, the ewma_1h contract).
+
+    Scale note: the loop is per OBSERVED bucket inside one partition —
+    users parallelize across partitions; see CLAUDE.md sequential
+    kernels."""
+    ds = _events(sf_dir, ["user_id", "ts", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        b = (
+            df["ts"].astype("datetime64[us]").astype(np.int64)
+            // HOUR_US * HOUR_US
+        )
+        c = np.floor(
+            df["value"].to_numpy(np.float64) * 100 + 0.5
+        ).astype(np.int64)
+        return (
+            pd.DataFrame({"user_id": df["user_id"].to_numpy(np.int64),
+                          "bucket_us": b, "v": c})
+            .groupby(["user_id", "bucket_us"], as_index=False)["v"]
+            .sum()
+        )
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.groupby(["user_id", "bucket_us"], as_index=False)["v"].sum()
+        g = g.sort_values(["user_id", "bucket_us"], kind="mergesort")
+        u = g["user_id"].to_numpy(np.int64)
+        x = g["v"].to_numpy(np.float64) / 100.0
+        n = len(g)
+        s_out = np.empty(n)
+        b_out = np.empty(n)
+        s = b = 0.0
+        prev_u = None
+        for i in range(n):
+            if u[i] != prev_u:
+                s, b = x[i], 0.0
+                prev_u = u[i]
+            else:
+                s_new = 0.5 * x[i] + 0.5 * (s + b)
+                b = 0.5 * (s_new - s) + 0.5 * b
+                s = s_new
+            s_out[i] = s
+            b_out[i] = b
+        out = pd.DataFrame(
+            {"user_id": u, "bucket_us": g["bucket_us"].to_numpy(np.int64),
+             "level": s_out, "trend": b_out}
+        )
+        return out
+
+    out = (
+        hash_combine(
+            ds.map_batches(partial, batch_format="pandas"), ["user_id"],
+            combine,
+        )
+        .to_pandas()
+        .sort_values(["user_id", "bucket_us"], ignore_index=True)
+    )
+    res = pd.DataFrame(
+        {"user_id": out["user_id"].astype(np.int64),
+         "bucket_start": out["bucket_us"].to_numpy(np.int64)
+         .astype("datetime64[us]"),
+         "level": _r6away(out["level"].to_numpy(np.float64)),
+         "trend": _r6away(out["trend"].to_numpy(np.float64))}
+    )
+    return res
+
+
+# ----------------------------------------------------------- state panel
+def state_panel_1h(sf_dir: str, ttl_h: int = 6) -> pd.DataFrame:
+    """Point-in-time state panel: at every hourly tick between a user's
+    first and last event, the event_type of the LATEST event at or
+    before the tick — 'expired' once the state is older than ``ttl_h``
+    hours — the feature-store snapshot builder (``scd2_intervals``
+    stores the history; this SAMPLES it on the training grid;
+    ``asof_purchase_view`` is the event-driven sibling).
+
+    Engine shape: one user-hash exchange; each partition generates its
+    users' tick axes with segment arange arithmetic and resolves every
+    tick with ONE searchsorted over the segment-rebased event axis —
+    the distributed ASOF join, ties broken at max event_id by the
+    (ts, event_id) sort order (plain ASOF JOIN leaves equal-timestamp
+    ties unspecified; this contract is total).
+
+    Determinism: integer microsecond comparisons throughout."""
+    ds = _events(sf_dir, ["user_id", "ts", "event_id", "event_type"])
+
+    def project(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"user_id": df["user_id"].to_numpy(np.int64),
+             "ts_us": df["ts"].astype("datetime64[us]").astype(np.int64),
+             "event_id": df["event_id"].to_numpy(np.int64),
+             "event_type": df["event_type"].astype(str)}
+        )
+
+    ttl_us = ttl_h * HOUR_US
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"user_id": pd.Series(dtype=np.int64),
+             "tick": pd.Series(dtype="datetime64[us]"),
+             "state": pd.Series(dtype=str)}
+        )
+        if len(g) == 0:
+            return empty
+        g = g.sort_values(["user_id", "ts_us", "event_id"],
+                          kind="mergesort")
+        u = g["user_id"].to_numpy(np.int64)
+        t = g["ts_us"].to_numpy(np.int64)
+        et = g["event_type"].astype(str).to_numpy()
+        n = len(g)
+        new = np.concatenate([[True], u[1:] != u[:-1]])
+        seg_id = np.cumsum(new) - 1
+        sizes = np.bincount(seg_id)
+        starts = np.concatenate([[0], np.cumsum(sizes)[:-1]])
+        ends = starts + sizes
+        first_t = t[starts]
+        last_t = t[ends - 1]
+        h0 = first_t // HOUR_US
+        h1 = last_t // HOUR_US
+        reps = (h1 - h0 + 1).astype(np.int64)
+        seg_of_tick = np.repeat(np.arange(len(starts)), reps)
+        cum = np.concatenate([[0], np.cumsum(reps)[:-1]])
+        ticks = (
+            np.repeat(h0, reps)
+            + (np.arange(int(reps.sum())) - np.repeat(cum, reps))
+        ) * HOUR_US
+        # one searchsorted over the segment-rebased event axis
+        base = t[starts]
+        big = int((t - base[seg_id]).max()) + ttl_us + HOUR_US + 2
+        t_adj = (t - base[seg_id]) + seg_id * big
+        q_adj = (ticks - base[seg_of_tick]) + seg_of_tick * big
+        pos = np.searchsorted(t_adj, q_adj, side="right") - 1
+        valid = pos >= starts[seg_of_tick]
+        pos_c = np.maximum(pos, 0)
+        age = ticks - t[pos_c]
+        state = np.where(
+            ~valid, "none",
+            np.where(age > ttl_us, "expired", et[pos_c]),
+        )
+        return pd.DataFrame(
+            {"user_id": u[starts][seg_of_tick],
+             "tick": ticks.astype("datetime64[us]"),
+             "state": state}
+        )
+
+    out = (
+        hash_combine(
+            ds.map_batches(project, batch_format="pandas"), ["user_id"],
+            combine,
+        )
+        .to_pandas()
+        .sort_values(["user_id", "tick"], ignore_index=True)
+    )
+    out["user_id"] = out["user_id"].astype(np.int64)
+    out["state"] = out["state"].astype(str)
+    return out

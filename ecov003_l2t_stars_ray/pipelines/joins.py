@@ -2122,7 +2122,7 @@ def brand_price_realization(sf_dir: str) -> pd.DataFrame:
     )
 
 
-# ------------------------------------------------------------ triangles
+
 def triangle_stats(sf_dir: str) -> pd.DataFrame:
     """Global triangle census of the co-purchase graph (parts are nodes,
     an edge joins two parts that share an order): nodes, edges, wedges,
@@ -2131,19 +2131,25 @@ def triangle_stats(sf_dir: str) -> pd.DataFrame:
     ``minhash_dup_groups`` runs connected components; this closes the
     classic triad).
 
-    Engine shape (the standard distributed algorithm):
+    Engine shape (edge-broadcast wedge scan):
       1. order-hash exchange -> per-partition distinct (order, part),
          segment pair-explosion (a < b), local edge dedup;
       2. edge-hash exchange -> global distinct edges + degree partials;
-      3. orientation low->high by (degree, node) — bounds per-node
-         out-degree at O(sqrt(m)) on skewed graphs — then a source-hash
-         exchange pair-explodes each node's out-neighbours into wedges;
-      4. ONE multiplexed (b, c)-hash exchange carries wedge rows and
-         edge-marker rows together; a partition counts its wedges whose
-         closing edge is present.  Driver sees only per-partition counts.
-    The degree table (node-dimension bounded) broadcasts via the object
-    store; at part-vocabulary >> memory it would become a join on node —
-    documented, not needed at this vocabulary.
+      3. the distinct edge set packs into ONE sorted uint64 array
+         (a << 32 | b) and broadcasts via ``ray.put`` — edge-vocabulary
+         bounded (8 B/edge; ~10 MB at a million edges), the graph
+         family's small side;
+      4. edges oriented low->high by (degree, node) — bounds per-node
+         out-degree at O(sqrt(m)) on skewed graphs — ride ONE
+         source-hash exchange; each partition pair-explodes its
+         sources' out-neighbours and closes wedges IN PLACE with a
+         vectorized searchsorted membership test against the broadcast
+         edge array.  The 30 M+ wedge stream never leaves its
+         partition (measured: shipping it cost 40+ s at sf0.1; the
+         local scan runs in the explosion's own numpy pass).  At an
+         edge set too big to broadcast this falls back to a (b, c)-hash
+         exchange of wedge/marker rows — documented, not needed at
+         part-pair vocabulary.
 
     Determinism: everything is exact integer counting; the clustering
     coefficient is the single mirrored chain 3*tri / wedges."""
@@ -2188,37 +2194,45 @@ def triangle_stats(sf_dir: str) -> pd.DataFrame:
     ).materialize()
     n_edges = edges.count()
     deg_pd = (
-        hash_combine(
-            edges.map_batches(
-                lambda df: pd.DataFrame(
-                    {"node": np.concatenate(
-                        [df["a"].to_numpy(np.int64),
-                         df["b"].to_numpy(np.int64)])}
-                ).groupby("node", as_index=False).size()
-                .rename(columns={"size": "d"}),
-                batch_format="pandas",
-            ),
-            ["node"],
-            lambda g: g.groupby("node", as_index=False)["d"].sum(),
+        edges.map_batches(
+            lambda df: pd.DataFrame(
+                {"node": np.concatenate(
+                    [df["a"].to_numpy(np.int64),
+                     df["b"].to_numpy(np.int64)])}
+            ).groupby("node", as_index=False).size()
+            .rename(columns={"size": "d"}),
+            batch_format="pandas",
         )
         .to_pandas()
         .groupby("node", as_index=False)["d"]
         .sum()
     )
     n_nodes = len(deg_pd)
+    d_by_node = deg_pd.sort_values("node")
     d = deg_pd["d"].to_numpy(np.int64)
     n_wedges = int((d * (d - 1) // 2).sum())
-    nodes_sorted = np.sort(deg_pd["node"].to_numpy(np.int64))
-    dvals = deg_pd.sort_values("node")["d"].to_numpy(np.int64)
-    deg_ref = ray.put((nodes_sorted, dvals))
+    if n_edges == 0:
+        return pd.DataFrame(
+            {"n_nodes": [np.int64(0)], "n_edges": [np.int64(0)],
+             "n_wedges": [np.int64(0)], "n_triangles": [np.int64(0)],
+             "global_clustering": [np.nan]}
+        )
+    nodes_sorted = d_by_node["node"].to_numpy(np.int64)
+    dvals = d_by_node["d"].to_numpy(np.int64)
+    # the broadcast small side: packed sorted edge keys (a < b always)
+    ep = edges.to_pandas()
+    packed = np.sort(
+        (ep["a"].to_numpy(np.int64).astype(np.uint64) << np.uint64(32))
+        | ep["b"].to_numpy(np.int64).astype(np.uint64)
+    )
+    refs = ray.put((nodes_sorted, dvals, packed))
 
     class Orient:
-        """Map each edge to its (degree, node)-ordered direction —
-        vectorized searchsorted lookup over the broadcast degree table
-        (ray.put once, zero-copy per actor)."""
+        """(degree, node)-ordered direction via vectorized searchsorted
+        over the broadcast degree table."""
 
-        def __init__(self, ref):
-            self.nodes, self.d = ray.get(ref)
+        def __init__(self, r):
+            self.nodes, self.d, _ = ray.get(r)
 
         def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
             a = df["a"].to_numpy(np.int64)
@@ -2231,25 +2245,20 @@ def triangle_stats(sf_dir: str) -> pd.DataFrame:
             )
 
     oriented = edges.map_batches(
-        Orient, fn_constructor_args=(deg_ref,), batch_format="pandas",
+        Orient, fn_constructor_args=(refs,), batch_format="pandas",
         concurrency=(1, 4),
     )
 
-    def wedges_of(g: pd.DataFrame) -> pd.DataFrame:
-        # pairs of out-neighbours of each source: wedge rows tag=0;
-        # the closing edge must match an oriented edge in EITHER
-        # direction, so marker rows (tag=1) are emitted canonically
-        # (min, max) and wedges canonicalised the same way
+    def close_wedges(g: pd.DataFrame) -> pd.DataFrame:
+        """Pair-explode each source's out-neighbours and close against
+        the broadcast edge set in place — no wedge leaves the task."""
+        edge_keys = ray.get(refs)[2]
         g = g.sort_values(["u", "w"], kind="mergesort")
         u = g["u"].to_numpy(np.int64)
         w = g["w"].to_numpy(np.int64)
         n = len(g)
-        mk = pd.DataFrame(
-            {"x": np.minimum(u, w), "y": np.maximum(u, w),
-             "tag": np.ones(n, np.int8)}
-        )
         if n == 0:
-            return mk
+            return pd.DataFrame({"t": [0]})
         new = np.concatenate([[True], u[1:] != u[:-1]])
         seg_id = np.cumsum(new) - 1
         sizes = np.bincount(seg_id)
@@ -2258,28 +2267,19 @@ def triangle_stats(sf_dir: str) -> pd.DataFrame:
         reps = sizes[seg_id] - loc - 1
         a = np.repeat(np.arange(n), reps)
         if len(a) == 0:
-            return mk
+            return pd.DataFrame({"t": [0]})
         cum = np.concatenate([[0], np.cumsum(reps)[:-1]])
         b = a + (np.arange(int(reps.sum())) - np.repeat(cum, reps) + 1)
-        wg = pd.DataFrame(
-            {"x": np.minimum(w[a], w[b]), "y": np.maximum(w[a], w[b]),
-             "tag": np.zeros(len(a), np.int8)}
-        )
-        return pd.concat([wg, mk], ignore_index=True)
-
-    # wedges must see ALL out-neighbours of a source together
-    per_source = hash_combine(oriented, ["u"], wedges_of)
-
-    def close_count(g: pd.DataFrame) -> pd.DataFrame:
-        mk = g[g["tag"] == 1][["x", "y"]].drop_duplicates()
-        wg = g[g["tag"] == 0]
-        t = len(wg.merge(mk, on=["x", "y"], how="inner"))
+        x = np.minimum(w[a], w[b]).astype(np.uint64)
+        y = np.maximum(w[a], w[b]).astype(np.uint64)
+        key = (x << np.uint64(32)) | y
+        pos = np.searchsorted(edge_keys, key)
+        pos = np.minimum(pos, len(edge_keys) - 1)
+        t = int((edge_keys[pos] == key).sum())
         return pd.DataFrame({"t": [t]})
 
     tri = int(
-        hash_combine(per_source, ["x", "y"], close_count)
-        .to_pandas()["t"]
-        .sum()
+        hash_combine(oriented, ["u"], close_wedges).to_pandas()["t"].sum()
     )
     cc = (
         float(
@@ -2611,3 +2611,264 @@ def pagerank_parts(
         {"part": nodes[top].astype(np.int64),
          "rank": rank[top].astype(np.float64)}
     )
+
+
+# --------------------------------------------------------- order backlog
+def order_backlog_daily(sf_dir: str) -> pd.DataFrame:
+    """Daily open-order backlog: an order is OPEN from its order date
+    until the day its last line ships (orders with no lines never
+    open); the backlog on day d counts orders open through d — the
+    operations sweep every fulfilment dashboard runs
+    (``peak_concurrency`` sweeps event intervals; this one is
+    cross-table and day-grained).
+
+    Shape: per-order last-ship partials join the header date on ONE
+    orderkey-hash exchange (tagged-union, ``order_reconciliation``
+    shape); each closed interval emits two signed deltas; the delta
+    cells reduce by day (day-span bounded), and the running sum over
+    the reduced day axis is a driver cumsum.
+
+    Determinism: pure integer counting; days where the running backlog
+    is unchanged-but-observed emit too (the axis is the delta days)."""
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderdate"]
+    )
+    lines = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_shipdate"]
+    )
+    DAY = 86_400_000_000
+
+    def o_part(df: pd.DataFrame) -> pd.DataFrame:
+        d = df["o_orderdate"].astype("datetime64[us]").astype(np.int64)
+        return pd.DataFrame(
+            {"k": df["o_orderkey"].to_numpy(np.int64),
+             "open_d": d // DAY,
+             "ship_d": np.full(len(df), -1, np.int64)}
+        )
+
+    def l_part(df: pd.DataFrame) -> pd.DataFrame:
+        d = df["l_shipdate"].astype("datetime64[us]").astype(np.int64)
+        p = pd.DataFrame(
+            {"k": df["l_orderkey"].to_numpy(np.int64), "ship_d": d // DAY}
+        ).groupby("k", as_index=False)["ship_d"].max()
+        p["open_d"] = -1
+        return p[["k", "open_d", "ship_d"]]
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("k", as_index=False).agg(
+            open_d=("open_d", "max"), ship_d=("ship_d", "max")
+        )
+        has = (agg["open_d"].to_numpy(np.int64) >= 0) & (
+            agg["ship_d"].to_numpy(np.int64) >= 0
+        )
+        o = agg["open_d"].to_numpy(np.int64)[has]
+        s = agg["ship_d"].to_numpy(np.int64)[has]
+        s = np.maximum(s, o)  # a ship date before the order date clamps
+        d = pd.DataFrame(
+            {"day": np.concatenate([o, s + 1]),
+             "delta": np.concatenate(
+                 [np.ones(len(o), np.int64), -np.ones(len(s), np.int64)]
+             )}
+        )
+        return d.groupby("day", as_index=False)["delta"].sum()
+
+    cells = (
+        hash_combine(
+            orders.map_batches(o_part, batch_format="pandas").union(
+                lines.map_batches(l_part, batch_format="pandas")
+            ),
+            ["k"], combine,
+        )
+        .to_pandas()
+        .groupby("day", as_index=False)["delta"]
+        .sum()
+        .sort_values("day", ignore_index=True)
+    )
+    out = pd.DataFrame(
+        {"day": cells["day"].to_numpy(np.int64),
+         "backlog": cells["delta"].to_numpy(np.int64).cumsum()}
+    )
+    return out
+
+
+# ------------------------------------------------------ business days
+def business_day_lag(sf_dir: str) -> pd.DataFrame:
+    """Ship delay per order priority measured in BUSINESS days
+    (weekdays in (order_date, ship_date]), via the closed-form weekday
+    count G(d) = 5*((d+3)//7) + min((d+3)%7 + 1, 5) - 3 (day 0 =
+    Thursday) — calendar arithmetic with no per-row branching, the
+    working-days KPI behind every SLA dashboard (``q12_delay_priority``
+    counts calendar-day buckets; this counts the clock that stops on
+    weekends).
+
+    Shape: header dates join line ship dates on ONE orderkey-hash
+    exchange (tagged union); the reduce is priority-vocabulary sized.
+
+    Determinism: all-integer weekday counts; the mean is one mirrored
+    division."""
+    DAY = 86_400_000_000
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+    )
+    lines = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_shipdate"]
+    )
+
+    def gdays(d: np.ndarray) -> np.ndarray:
+        s = d + 3
+        return 5 * (s // 7) + np.minimum(s % 7 + 1, 5) - 3
+
+    def o_part(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"k": df["o_orderkey"].to_numpy(np.int64),
+             "prio": df["o_orderpriority"].astype(str),
+             "oday": df["o_orderdate"].astype("datetime64[us]")
+             .astype(np.int64) // DAY,
+             "sday": np.full(len(df), -1, np.int64)}
+        )
+
+    def l_part(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"k": df["l_orderkey"].to_numpy(np.int64),
+             "prio": "",
+             "oday": np.full(len(df), -1, np.int64),
+             "sday": df["l_shipdate"].astype("datetime64[us]")
+             .astype(np.int64) // DAY}
+        )
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        heads = g[g["sday"] < 0][["k", "prio", "oday"]]
+        ls = g[g["sday"] >= 0][["k", "sday"]]
+        j = ls.merge(heads, on="k", how="inner")
+        if len(j) == 0:
+            return pd.DataFrame(
+                {"o_orderpriority": pd.Series(dtype=str),
+                 "n_lines": pd.Series(dtype=np.int64),
+                 "sum_bdays": pd.Series(dtype=np.int64),
+                 "max_bdays": pd.Series(dtype=np.int64)}
+            )
+        bd = gdays(j["sday"].to_numpy(np.int64)) - gdays(
+            j["oday"].to_numpy(np.int64)
+        )
+        bd = np.maximum(bd, 0)  # pre-order shipments clamp at zero
+        return (
+            pd.DataFrame({"o_orderpriority": j["prio"].astype(str),
+                          "bd": bd})
+            .groupby("o_orderpriority", as_index=False)
+            .agg(n_lines=("bd", "size"), sum_bdays=("bd", "sum"),
+                 max_bdays=("bd", "max"))
+        )
+
+    out = (
+        hash_combine(
+            orders.map_batches(o_part, batch_format="pandas").union(
+                lines.map_batches(l_part, batch_format="pandas")
+            ),
+            ["k"], combine,
+        )
+        .to_pandas()
+        .groupby("o_orderpriority", as_index=False)
+        .agg(n_lines=("n_lines", "sum"), sum_bdays=("sum_bdays", "sum"),
+             max_bdays=("max_bdays", "max"))
+        .sort_values("o_orderpriority", ignore_index=True)
+    )
+    out["n_lines"] = out["n_lines"].astype(np.int64)
+    out["sum_bdays"] = out["sum_bdays"].astype(np.int64)
+    out["max_bdays"] = out["max_bdays"].astype(np.int64)
+    out["mean_bdays"] = (
+        np.sign(out["sum_bdays"])
+        * np.floor(
+            np.abs(
+                out["sum_bdays"].to_numpy(np.float64)
+                / out["n_lines"].to_numpy(np.float64)
+            ) * 1e6 + 0.5
+        ) / 1e6
+    )
+    return out
+
+
+# ------------------------------------------------------ frequent triples
+def frequent_triples(sf_dir: str, min_support: int = 2) -> pd.DataFrame:
+    """Frequent 3-itemsets of the co-purchase basket (parts bought
+    together in one order, counted across orders, support >=
+    ``min_support``) — the Apriori step past ``copurchase_pairs``'
+    2-itemsets, and a second-order segment explosion (pairs -> triples
+    by re-applying the repeat/arange arithmetic to the pair stream).
+
+    Shape: one order-hash exchange; each partition explodes its orders'
+    sorted part sets to (a < b < c) triples in two vectorized passes
+    and pre-counts locally; one (a, b)-hash exchange combines counts
+    and applies the support filter.
+
+    Determinism: pure integer support counts; ordering (a, b, c)."""
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    )
+
+    def project(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates().rename(
+            columns={"l_orderkey": "o", "l_partkey": "p"}
+        )
+
+    def triples_of(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"a": pd.Series(dtype=np.int64),
+             "b": pd.Series(dtype=np.int64),
+             "c": pd.Series(dtype=np.int64),
+             "n": pd.Series(dtype=np.int64)}
+        )
+        g = g.drop_duplicates().sort_values(["o", "p"], kind="mergesort")
+        o = g["o"].to_numpy(np.int64)
+        p = g["p"].to_numpy(np.int64)
+        n = len(g)
+        if n == 0:
+            return empty
+        new = np.concatenate([[True], o[1:] != o[:-1]])
+        seg_id = np.cumsum(new) - 1
+        sizes = np.bincount(seg_id)
+        starts = np.concatenate([[0], np.cumsum(sizes)[:-1]])
+        ends = starts + sizes
+        loc = np.arange(n) - starts[seg_id]
+        reps = sizes[seg_id] - loc - 1
+        i = np.repeat(np.arange(n), reps)
+        if len(i) == 0:
+            return empty
+        cum = np.concatenate([[0], np.cumsum(reps)[:-1]])
+        j = i + (np.arange(int(reps.sum())) - np.repeat(cum, reps) + 1)
+        # second pass: for each pair (i, j) the third index runs j+1 ..
+        # segment end — the SAME arithmetic applied to the pair stream
+        reps2 = ends[seg_id[j]] - j - 1
+        i2 = np.repeat(i, reps2)
+        j2 = np.repeat(j, reps2)
+        if len(i2) == 0:
+            return empty
+        cum2 = np.concatenate([[0], np.cumsum(reps2)[:-1]])
+        k2 = j2 + (np.arange(int(reps2.sum()))
+                   - np.repeat(cum2, reps2) + 1)
+        return (
+            pd.DataFrame({"a": p[i2], "b": p[j2], "c": p[k2]})
+            .groupby(["a", "b", "c"], as_index=False)
+            .size()
+            .rename(columns={"size": "n"})
+        )
+
+    out = (
+        hash_combine(
+            hash_combine(
+                li.map_batches(project, batch_format="pandas"), ["o"],
+                triples_of,
+            ),
+            ["a", "b"],
+            lambda g: g.groupby(["a", "b", "c"], as_index=False)[
+                "n"
+            ].sum(),
+        )
+        .to_pandas()
+    )
+    out = out[out["n"] >= min_support].sort_values(
+        ["a", "b", "c"], ignore_index=True
+    )
+    for col in ("a", "b", "c", "n"):
+        out[col] = out[col].astype(np.int64)
+    return out.rename(columns={"n": "support"})

@@ -344,3 +344,100 @@ def stratified_sample(sf_dir: str, k: int = 20) -> pd.DataFrame:
         .reset_index(drop=True)
         [["event_id", "user_id", "event_type", "ts", "value", "h"]]
     )
+
+
+# ------------------------------------------------------ weighted sample
+def weighted_sample(sf_dir: str, k: int = 100) -> pd.DataFrame:
+    """Deterministic weighted sample WITHOUT replacement
+    (Efraimidis–Spirakis A-Res): each order draws key = -ln(u)/w with
+    w = o_totalprice and u a splitmix64-derived uniform in (0, 1); the
+    k SMALLEST keys win — heavier orders exponentially more likely, one
+    streaming pass, mergeable bottom-k partials (``bottomk_sample`` is
+    the uniform special case w = 1).
+
+    Shape: local bottom-k per batch, one tiny global merge of
+    <= k * n_blocks rows — corpus-size independent driver state.
+
+    Not SQL-oracled (the splitmix64 bit mix has no reasonable SQL
+    mirror); the pytest replays the key chain literally and checks the
+    weighted-rank invariant."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_totalprice"],
+    )
+
+    def keys(df: pd.DataFrame) -> np.ndarray:
+        h = _splitmix64(
+            df["o_orderkey"].to_numpy(np.int64).view(np.uint64)
+        )
+        # uniform in (0,1): (h >> 11) * 2^-53, nudged off exact zero
+        u = ((h >> np.uint64(11)).astype(np.float64) + 0.5) * 2.0**-53
+        w = df["o_totalprice"].to_numpy(np.float64)
+        return -np.log(u) / w
+
+    def local(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["key"] = keys(df)
+        return df.sort_values(["key", "o_orderkey"],
+                              kind="mergesort").head(k)
+
+    out = ds.map_batches(local, batch_format="pandas").to_pandas()
+    out = (
+        out.sort_values(["key", "o_orderkey"], kind="mergesort")
+        .head(k)
+        .reset_index(drop=True)
+    )
+    out["o_orderkey"] = out["o_orderkey"].astype(np.int64)
+    out["o_custkey"] = out["o_custkey"].astype(np.int64)
+    return out[["o_orderkey", "o_custkey", "o_totalprice", "key"]]
+
+
+# -------------------------------------------------------- epoch shuffle
+def epoch_shuffle(sf_dir: str, epochs: int = 2, k: int = 50) -> pd.DataFrame:
+    """Deterministic per-epoch training shuffle: every document's
+    position in epoch e is rank(md5(e || ':' || doc_id)) — the seeded
+    re-shuffle a multi-epoch training loader needs (same corpus,
+    different deterministic order each epoch, reproducible across
+    restarts; ``bottomk_sample``'s contract per epoch).  Emits the
+    first ``k`` manifest rows of each epoch.
+
+    Shape: the full ordering never materializes — local bottom-k per
+    (epoch, batch), one tiny global merge per epoch.
+
+    Determinism: md5 on both sides."""
+    import hashlib
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
+    )
+
+    def local(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        ids = df["doc_id"].astype(str)
+        for e in range(epochs):
+            h = ids.map(
+                lambda s, e=e: hashlib.md5(
+                    f"{e}:{s}".encode()
+                ).hexdigest()
+            )
+            d = pd.DataFrame(
+                {"epoch": np.int64(e),
+                 "doc_id": df["doc_id"].to_numpy(np.int64),
+                 "source": df["source"].astype(str), "h": h}
+            )
+            outs.append(
+                d.sort_values(["h", "doc_id"], kind="mergesort").head(k)
+            )
+        return pd.concat(outs, ignore_index=True)
+
+    out = ds.map_batches(local, batch_format="pandas").to_pandas()
+    out = (
+        out.sort_values(["epoch", "h", "doc_id"], kind="mergesort")
+        .groupby("epoch", as_index=False, group_keys=False)
+        .head(k)
+        .reset_index(drop=True)
+    )
+    out["position"] = out.groupby("epoch").cumcount().astype(np.int64)
+    out["epoch"] = out["epoch"].astype(np.int64)
+    out["doc_id"] = out["doc_id"].astype(np.int64)
+    return out[["epoch", "position", "doc_id", "source", "h"]]

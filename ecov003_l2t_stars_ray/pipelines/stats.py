@@ -1772,3 +1772,186 @@ def interp_fill_1m(sf_dir: str) -> pd.DataFrame:
     out["bucket_min"] = out["bucket_min"].astype(np.int64)
     out["value"] = out["value"].astype(np.float64)
     return out
+
+
+# ------------------------------------------------------------- survival
+def survival_curve(sf_dir: str) -> pd.DataFrame:
+    """Discrete survival/hazard table over user lifespans (days between
+    first and last event): per observed lifespan t — how many users
+    churned AT t, how many were still at risk (lifespan >= t), and the
+    discrete hazard d/n — the Kaplan-Meier input table
+    (``cohort_retention`` counts comebacks per calendar week; this is
+    the duration-axis readout).
+
+    Shape: per-user (min_day, max_day) partials ride ONE user-hash
+    exchange; each partition reduces its users to LIFESPAN-HISTOGRAM
+    cells, so the driver reduce is day-span bounded, never user
+    bounded.  n_at_risk is a reverse running sum over the cells.
+
+    Determinism: all-integer counts; hazard is one mirrored division."""
+    ds = _events(sf_dir, ["user_id", "ts"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        day = df["ts"].astype("datetime64[us]").astype(np.int64) // DAY_US
+        return (
+            pd.DataFrame({"user_id": df["user_id"].to_numpy(np.int64),
+                          "lo": day, "hi": day})
+            .groupby("user_id", as_index=False)
+            .agg(lo=("lo", "min"), hi=("hi", "max"))
+        )
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.groupby("user_id", as_index=False).agg(
+            lo=("lo", "min"), hi=("hi", "max")
+        )
+        span = (g["hi"] - g["lo"]).to_numpy(np.int64)
+        return (
+            pd.DataFrame({"lifespan": span})
+            .groupby("lifespan", as_index=False)
+            .size()
+            .rename(columns={"size": "n_churned"})
+        )
+
+    cells = (
+        hash_combine(
+            ds.map_batches(partial, batch_format="pandas"), ["user_id"],
+            combine,
+        )
+        .to_pandas()
+        .groupby("lifespan", as_index=False)["n_churned"]
+        .sum()
+        .sort_values("lifespan", ascending=False, ignore_index=True)
+    )
+    at_risk = cells["n_churned"].to_numpy(np.int64).cumsum()
+    out = pd.DataFrame(
+        {"lifespan": cells["lifespan"].to_numpy(np.int64),
+         "n_churned": cells["n_churned"].to_numpy(np.int64),
+         "n_at_risk": at_risk}
+    ).sort_values("lifespan", ignore_index=True)
+    out["hazard"] = _r6away(
+        out["n_churned"].to_numpy(np.float64)
+        / out["n_at_risk"].to_numpy(np.float64)
+    )
+    return out
+
+
+# ------------------------------------------------- doc length quantiles
+def doc_length_quantiles(sf_dir: str) -> pd.DataFrame:
+    """Exact q25/q50/q75 of document length per language via the
+    crossing rule: the smallest length whose running count covers
+    ceil(q*n) — the discrete quantile every corpus-curation cut uses
+    (``weighted_median_price`` is the weighted sibling on prices).
+
+    Shape: (lang, n_chars) count cells ride one exchange (bounded by
+    the distinct-length vocabulary, not docs); the crossing scan is a
+    per-lang cumsum over the reduced cells.
+
+    Determinism: pure integers — the crossing rule needs no
+    interpolation."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["lang", "n_chars"]
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            pd.DataFrame({"lang": df["lang"].astype(str),
+                          "n_chars": df["n_chars"].to_numpy(np.int64)})
+            .groupby(["lang", "n_chars"], as_index=False)
+            .size()
+            .rename(columns={"size": "cnt"})
+        )
+
+    cells = (
+        hash_combine(
+            ds.map_batches(partial, batch_format="pandas"),
+            ["lang", "n_chars"],
+            lambda g: g.groupby(["lang", "n_chars"], as_index=False)[
+                "cnt"
+            ].sum(),
+        )
+        .to_pandas()
+        .groupby(["lang", "n_chars"], as_index=False)["cnt"]
+        .sum()
+        .sort_values(["lang", "n_chars"], kind="mergesort",
+                     ignore_index=True)
+    )
+    rows = []
+    for lang, g in cells.groupby("lang", sort=True):
+        v = g["n_chars"].to_numpy(np.int64)
+        cum = g["cnt"].to_numpy(np.int64).cumsum()
+        n = int(cum[-1])
+        for q in (25, 50, 75):
+            k = (q * n + 99) // 100  # ceil(q*n/100)
+            rows.append((str(lang), q, n, int(v[np.searchsorted(cum, k)])))
+    out = pd.DataFrame(
+        rows, columns=["lang", "q", "n_docs", "p_value"]
+    )
+    out["q"] = out["q"].astype(np.int64)
+    out["n_docs"] = out["n_docs"].astype(np.int64)
+    out["p_value"] = out["p_value"].astype(np.int64)
+    return out
+
+
+# --------------------------------------------------- quantile alignment
+def quantile_align_sources(sf_dir: str) -> pd.DataFrame:
+    """Quantile alignment table: each source's doc-length deciles next
+    to the GLOBAL decile values (both by the crossing rule) — the
+    lookup quantile normalization applies to re-shape one source's
+    distribution onto the corpus (``psi_value_drift`` scores the
+    mismatch; this emits the correction table).
+
+    Shape: (source, n_chars) count cells ride one exchange (distinct
+    lengths bound the reduce); the global distribution is the same
+    cells re-reduced — no second pass over the corpus.
+
+    Determinism: pure integer crossings at ceil(q*n/100)."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["source", "n_chars"]
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            pd.DataFrame({"source": df["source"].astype(str),
+                          "n_chars": df["n_chars"].to_numpy(np.int64)})
+            .groupby(["source", "n_chars"], as_index=False)
+            .size()
+            .rename(columns={"size": "cnt"})
+        )
+
+    cells = (
+        hash_combine(
+            ds.map_batches(partial, batch_format="pandas"),
+            ["source", "n_chars"],
+            lambda g: g.groupby(["source", "n_chars"], as_index=False)[
+                "cnt"
+            ].sum(),
+        )
+        .to_pandas()
+        .groupby(["source", "n_chars"], as_index=False)["cnt"]
+        .sum()
+    )
+    qs = list(range(10, 100, 10))
+
+    def crossing(vals: np.ndarray, cnts: np.ndarray) -> dict[int, int]:
+        order = np.argsort(vals, kind="mergesort")
+        v, c = vals[order], cnts[order].cumsum()
+        n = int(c[-1])
+        return {q: int(v[np.searchsorted(c, (q * n + 99) // 100)])
+                for q in qs}, n
+
+    gl = cells.groupby("n_chars", as_index=False)["cnt"].sum()
+    gmap, _ = crossing(gl["n_chars"].to_numpy(np.int64),
+                       gl["cnt"].to_numpy(np.int64))
+    rows = []
+    for src, g in cells.groupby("source", sort=True):
+        smap, n = crossing(g["n_chars"].to_numpy(np.int64),
+                           g["cnt"].to_numpy(np.int64))
+        for q in qs:
+            rows.append((str(src), q, n, smap[q], gmap[q]))
+    out = pd.DataFrame(
+        rows,
+        columns=["source", "q", "n_docs", "src_value", "global_value"],
+    )
+    for col in ("q", "n_docs", "src_value", "global_value"):
+        out[col] = out[col].astype(np.int64)
+    return out

@@ -321,6 +321,11 @@ def run_bench() -> dict:
         "typeset_jaccard_matrix", "holt_linear_1h",
         # round-4 wave 40 (epoch shuffle, state panel)
         "epoch_shuffle", "state_panel_1h",
+        # round-4 waves 41-43 (seasonal anomaly, repeat cohorts, format
+        # round-trips, vocab encode)
+        "seasonal_baseline_anomaly", "customer_repeat_cohorts",
+        "jsonl_roundtrip_census", "csv_roundtrip_census",
+        "vocab_encode_docs",
     ]
     q_steal: dict[str, float] = {}
     for name in q_list:

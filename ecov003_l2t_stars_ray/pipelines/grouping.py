@@ -2707,3 +2707,68 @@ def state_panel_1h(sf_dir: str, ttl_h: int = 6) -> pd.DataFrame:
     out["user_id"] = out["user_id"].astype(np.int64)
     out["state"] = out["state"].astype(str)
     return out
+
+
+# -------------------------------------------------------- repeat cohorts
+def customer_repeat_cohorts(sf_dir: str) -> pd.DataFrame:
+    """Repeat-purchase rate by acquisition cohort: customers grouped by
+    their FIRST order month; per cohort — size, how many ordered again
+    ever, the total order count, and the repeat rate — the lifetime
+    loyalty readout on the ORDERS axis (``cohort_retention`` tracks
+    event-stream comebacks; this tracks transactions).
+
+    Shape: per-customer (first-month, n_orders) partials ride ONE
+    custkey-hash exchange; the reduce is month-vocabulary bounded.
+
+    Determinism: all-integer counts; repeat_rate is one mirrored
+    division."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderdate"]
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        us = df["o_orderdate"].astype("datetime64[us]").astype(np.int64)
+        return (
+            pd.DataFrame({"cust": df["o_custkey"].to_numpy(np.int64),
+                          "us": us})
+            .groupby("cust", as_index=False)
+            .agg(first_us=("us", "min"), n_orders=("us", "size"))
+        )
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("cust", as_index=False).agg(
+            first_us=("first_us", "min"), n_orders=("n_orders", "sum")
+        )
+        cohort = (
+            agg["first_us"].to_numpy(np.int64).astype("datetime64[us]")
+            .astype("datetime64[M]").astype(str)
+        )
+        d = pd.DataFrame(
+            {"cohort_month": cohort,
+             "n_customers": 1,
+             "n_repeat": (agg["n_orders"].to_numpy(np.int64) >= 2)
+             .astype(np.int64),
+             "n_orders": agg["n_orders"].to_numpy(np.int64)}
+        )
+        return d.groupby("cohort_month", as_index=False).sum()
+
+    out = (
+        hash_combine(
+            ds.map_batches(partial, batch_format="pandas"), ["cust"],
+            combine,
+        )
+        .to_pandas()
+        .groupby("cohort_month", as_index=False)[
+            ["n_customers", "n_repeat", "n_orders"]
+        ]
+        .sum()
+        .sort_values("cohort_month", ignore_index=True)
+    )
+    for c in ("n_customers", "n_repeat", "n_orders"):
+        out[c] = out[c].astype(np.int64)
+    out["repeat_rate"] = _r6away(
+        out["n_repeat"].to_numpy(np.float64)
+        / out["n_customers"].to_numpy(np.float64)
+    )
+    out["cohort_month"] = out["cohort_month"].astype(str)
+    return out

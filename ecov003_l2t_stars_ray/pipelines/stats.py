@@ -1955,3 +1955,96 @@ def quantile_align_sources(sf_dir: str) -> pd.DataFrame:
     for col in ("q", "n_docs", "src_value", "global_value"):
         out[col] = out[col].astype(np.int64)
     return out
+
+
+# ------------------------------------------------ seasonal anomaly flags
+def seasonal_baseline_anomaly(sf_dir: str) -> pd.DataFrame:
+    """Seasonal-baseline anomaly cells: each (type, week, dow, hod)
+    cell's mean value against the pooled mean of the SAME weekly slot
+    over all PRIOR weeks (expanding baseline); a cell flags when it
+    exceeds twice its baseline — the seasonality-aware monitor
+    (``zscore_anomaly_24h`` trails a flat window;
+    ``seasonality_profile`` is the static heat-map this one learns
+    per-slot and walks forward in time).
+
+    Shape: (type, week, dow, hod) lattice cells ride one exchange
+    (calendar-bounded); the expanding scan is one shifted cumsum per
+    slot on the reduced table.
+
+    Determinism: int lattice sums; cell mean, baseline and the flag
+    compare are mirrored double chains (the compare sees identical
+    bits on both sides)."""
+    ds = _events(sf_dir, ["event_type", "ts", "value"])
+    WEEK_US = 7 * DAY_US
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        us = df["ts"].astype("datetime64[us]").astype(np.int64)
+        day = us // DAY_US
+        return (
+            pd.DataFrame(
+                {"event_type": df["event_type"].astype(str),
+                 "week": us // WEEK_US,
+                 "dow": (day + 3) % 7,
+                 "hod": (us // HOUR_US) % 24,
+                 "lat": np.floor(
+                     df["value"].to_numpy(np.float64) * 1024.0 + 0.5
+                 ).astype(np.int64)}
+            )
+            .groupby(["event_type", "week", "dow", "hod"],
+                     as_index=False)
+            .agg(lat=("lat", "sum"), n=("lat", "size"))
+        )
+
+    cells = (
+        hash_combine(
+            ds.map_batches(partial, batch_format="pandas"),
+            ["event_type", "dow", "hod"],
+            lambda g: g.groupby(["event_type", "week", "dow", "hod"],
+                                as_index=False)[["lat", "n"]].sum(),
+        )
+        .to_pandas()
+        .groupby(["event_type", "week", "dow", "hod"], as_index=False)[
+            ["lat", "n"]
+        ]
+        .sum()
+        .sort_values(["event_type", "dow", "hod", "week"],
+                     kind="mergesort", ignore_index=True)
+    )
+    t = cells["event_type"].to_numpy()
+    dow = cells["dow"].to_numpy(np.int64)
+    hod = cells["hod"].to_numpy(np.int64)
+    lat = cells["lat"].to_numpy(np.int64)
+    n = cells["n"].to_numpy(np.int64)
+    m = len(cells)
+    new = np.ones(m, dtype=bool)
+    new[1:] = (t[1:] != t[:-1]) | (dow[1:] != dow[:-1]) | (
+        hod[1:] != hod[:-1]
+    )
+    seg = np.cumsum(new) - 1
+    cl = np.concatenate([[0], np.cumsum(lat)[:-1]])
+    cn = np.concatenate([[0], np.cumsum(n)[:-1]])
+    base_starts = np.concatenate(
+        [[0], np.cumsum(np.bincount(seg))[:-1]]
+    )
+    prior_lat = cl - cl[base_starts[seg]]
+    prior_n = cn - cn[base_starts[seg]]
+    value = lat.astype(np.float64) / (1024.0 * n.astype(np.float64))
+    with np.errstate(divide="ignore", invalid="ignore"):
+        baseline = np.where(
+            prior_n > 0,
+            prior_lat.astype(np.float64)
+            / (1024.0 * prior_n.astype(np.float64)),
+            np.nan,
+        )
+    flag = np.where(np.isnan(baseline), False, value > 2.0 * baseline)
+    out = pd.DataFrame(
+        {"event_type": t,
+         "week": cells["week"].to_numpy(np.int64),
+         "dow": dow, "hod": hod, "n": n,
+         "cell_mean": _r6away(value),
+         "baseline": np.where(np.isnan(baseline), np.nan,
+                              _r6away(baseline)),
+         "is_anomaly": flag.astype(bool)}
+    ).sort_values(["event_type", "week", "dow", "hod"],
+                  ignore_index=True)
+    return out

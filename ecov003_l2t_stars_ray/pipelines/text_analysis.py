@@ -1223,3 +1223,86 @@ def regex_extract_stats(sf_dir: str) -> pd.DataFrame:
          .to_numpy(np.int64)}
     ).sort_values("source", ignore_index=True)
     return out
+
+
+# --------------------------------------------------------- vocab encode
+def vocab_encode_docs(sf_dir: str) -> pd.DataFrame:
+    """Global vocabulary build + broadcast-dictionary encode: token ids
+    are ranks in the SORTED global vocabulary; every doc re-emits as
+    (n_tokens, sum of its token ids) — the tokenizer-fitting step of a
+    training pipeline collapsed to an auditable integer signature
+    (``doc_bpe_tokens`` counts merges; this pins the id MAPPING
+    itself, the part that must be identical across every worker).
+
+    Engine shape: per-batch distinct tokens -> a vocabulary-bounded
+    driver union (two passes over metadata-scale data, zero shuffles);
+    the sorted vocab broadcasts once via ``ray.put`` and each batch
+    encodes with ONE searchsorted + segment-sum (np.add.reduceat over
+    the Arrow list offsets).
+
+    Determinism: ids are ranks in a total string order; sums are
+    integers."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    import ray
+
+    from ..functions.shuffle import hash_combine  # noqa: F401 (shape doc)
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    vocab = (
+        ds.map_batches(
+            lambda t: pa.table(
+                {"tok": pc.unique(
+                    pc.list_flatten(
+                        pc.split_pattern(t["text"], pattern=" ")
+                    )
+                )}
+            ),
+            batch_format="pyarrow",
+        )
+        .to_pandas()["tok"]
+        .unique()
+    )
+    vocab = np.sort(vocab[vocab != ""].astype(str))
+    vref = ray.put(vocab)
+
+    class Encode:
+        def __init__(self, r):
+            self.vocab = ray.get(r)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            toks = pc.split_pattern(
+                t["text"], pattern=" "
+            ).combine_chunks()
+            flat = toks.flatten().to_numpy(zero_copy_only=False)
+            offs = toks.offsets.to_numpy(zero_copy_only=False)
+            offs = offs - offs[0]
+            ids = np.searchsorted(self.vocab, flat) + 1
+            ids[flat == ""] = 0  # empty splits carry no id
+            n_tok = np.add.reduceat(
+                (flat != "").astype(np.int64), offs[:-1]
+            )
+            sums = np.add.reduceat(ids.astype(np.int64), offs[:-1])
+            # reduceat on an empty segment repeats the next value: zero
+            # both lanes for zero-length docs
+            empty = np.diff(offs) == 0
+            n_tok[empty] = 0
+            sums[empty] = 0
+            return pa.table(
+                {"doc_id": t["doc_id"],
+                 "n_tokens": pa.array(n_tok, pa.int64()),
+                 "sum_token_ids": pa.array(sums, pa.int64())}
+            )
+
+    out = (
+        ds.map_batches(
+            Encode, fn_constructor_args=(vref,), batch_format="pyarrow",
+            concurrency=(1, 4),
+        )
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    out["doc_id"] = out["doc_id"].astype(np.int64)
+    return out

@@ -470,6 +470,12 @@ def _sorted_neighborhood_pairs(sf_dir: str) -> pd.DataFrame:
     return sorted_neighborhood_pairs(sf_dir, w=3)
 
 
+def _incremental_dedup(sf_dir: str) -> pd.DataFrame:
+    from ecov003_l2t_stars_ray.pipelines.dedup import incremental_dedup
+
+    return incremental_dedup(sf_dir)
+
+
 def _jsonl_roundtrip_census(sf_dir: str) -> pd.DataFrame:
     from ecov003_l2t_stars_ray.sources.formats import jsonl_roundtrip_census
 
@@ -544,6 +550,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # state_duration + interval_coverage rep the LAG/gap family,
         # corr_value_props + type_cross_correlation the int64 moment
         # lanes; both bit-exact-probed and in the committed local gate)
+        # round-4 wave 45: Wilson-interval daily conversion banding and
+        # the deterministic md5-bucket train/val/test split census.
+        # (two more TPC-H composites slide past the cap; all in the
+        # committed local gate)
+        "daily_conversion_wilson": ST.daily_conversion_wilson,
+        "dataset_split_census": ST.dataset_split_census,
+        # round-4 wave 44: incremental dedup of a new drop against a
+        # prior-snapshot fingerprint index (prefix fingerprints; 16
+        # bytes/doc ship, never text) and the part-name token census
+        # with brand/type diversity.
+        # (dod_revenue / percentile_rank_users slide past the cap —
+        # value_percentile_transform (local gate) + grouping_sets rep
+        # those shapes; all in the committed local gate)
+        "incremental_dedup": _incremental_dedup,
+        "part_token_census": T.part_token_census,
         # round-4 wave 43: global vocabulary build + broadcast
         # dictionary encode (the tokenizer-fitting id mapping, pinned
         # by per-doc integer signatures).
@@ -2255,6 +2276,92 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MAX(cmx) AS DOUBLE) / 1024.0 AS peak_cum,
                    CAST(SUM(q) AS DOUBLE) / 1024.0 AS final_cum
             FROM m GROUP BY user_id ORDER BY user_id
+        """,
+        # Wilson interval: fixed arithmetic chain over (k, n) ints,
+        # mirrored op-for-op (sqrt(4.0) is exact on both sides)
+        "daily_conversion_wilson": """
+            WITH d AS (
+                SELECT epoch_us(ts) // 86400000000 AS day,
+                       CAST(SUM(CASE WHEN event_type = 'purchase'
+                                     THEN 1 ELSE 0 END) AS BIGINT) AS k,
+                       CAST(COUNT(*) AS BIGINT) AS n
+                FROM events GROUP BY 1
+            ), c AS (
+                SELECT day, k, n,
+                       CAST(k AS DOUBLE) / CAST(n AS DOUBLE) AS p,
+                       CAST(n AS DOUBLE) AS nf
+                FROM d
+            )
+            SELECT CAST(day AS BIGINT) AS day, n AS n_events,
+                   k AS n_purchases,
+                   ROUND(p, 6) AS rate,
+                   ROUND((p + 4.0 / (2.0 * nf)) / (1.0 + 4.0 / nf)
+                         - SQRT(4.0)
+                           * SQRT(p * (1.0 - p) / nf
+                                  + 4.0 / (4.0 * (nf * nf)))
+                           / (1.0 + 4.0 / nf), 6) AS wilson_lo,
+                   ROUND((p + 4.0 / (2.0 * nf)) / (1.0 + 4.0 / nf)
+                         + SQRT(4.0)
+                           * SQRT(p * (1.0 - p) / nf
+                                  + 4.0 / (4.0 * (nf * nf)))
+                           / (1.0 + 4.0 / nf), 6) AS wilson_hi
+            FROM c ORDER BY day
+        """,
+        # split census: membership is a pure function of md5(doc_id)
+        "dataset_split_census": """
+            WITH s AS (
+                SELECT source, doc_id,
+                       CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)),
+                                        1, 1) <= 'a' THEN 'train'
+                            WHEN substr(md5(CAST(doc_id AS VARCHAR)),
+                                        1, 1) <= 'c' THEN 'val'
+                            ELSE 'test' END AS split
+                FROM documents
+            )
+            SELECT source, split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+            FROM s GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        # incremental dedup: 4-token prefix fingerprints, lower-half
+        # snapshot vs upper-half drop, LEFT JOIN membership
+        "incremental_dedup": """
+            WITH b AS (
+                SELECT (MIN(doc_id) + MAX(doc_id)) // 2 AS cut
+                FROM documents
+            ), f AS (
+                SELECT doc_id, source,
+                       md5(array_to_string(
+                           string_split(text, ' ')[1:4], ' ')) AS fp
+                FROM documents
+            ), prior AS (
+                SELECT DISTINCT fp FROM f
+                WHERE doc_id <= (SELECT cut FROM b)
+            ), nw AS (
+                SELECT source, fp FROM f
+                WHERE doc_id > (SELECT cut FROM b)
+            )
+            SELECT source, CAST(COUNT(*) AS BIGINT) AS n_new,
+                   CAST(SUM(CASE WHEN p.fp IS NOT NULL
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_dup_vs_prior
+            FROM nw n LEFT JOIN prior p ON p.fp = n.fp
+            GROUP BY 1 ORDER BY 1
+        """,
+        # part-name token census: explode + tri-attribute distinct
+        "part_token_census": """
+            WITH toks AS (
+                SELECT p_partkey, p_brand, p_type,
+                       unnest(string_split(p_name, ' ')) AS token
+                FROM part
+            ), tt AS (
+                SELECT DISTINCT token, p_partkey, p_brand, p_type
+                FROM toks WHERE token <> ''
+            )
+            SELECT token,
+                   CAST(COUNT(DISTINCT p_partkey) AS BIGINT) AS n_parts,
+                   CAST(COUNT(DISTINCT p_brand) AS BIGINT) AS n_brands,
+                   CAST(COUNT(DISTINCT p_type) AS BIGINT) AS n_types
+            FROM tt GROUP BY 1 ORDER BY 1
         """,
         # vocab encode: ids are ranks in the sorted global vocabulary
         # (binary collation on both sides); per-doc integer signature

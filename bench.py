@@ -326,6 +326,10 @@ def run_bench() -> dict:
         "seasonal_baseline_anomaly", "customer_repeat_cohorts",
         "jsonl_roundtrip_census", "csv_roundtrip_census",
         "vocab_encode_docs",
+        # round-4 wave 44 (incremental dedup, part token census)
+        "incremental_dedup", "part_token_census",
+        # round-4 wave 45 (Wilson banding, split census)
+        "daily_conversion_wilson", "dataset_split_census",
     ]
     q_steal: dict[str, float] = {}
     for name in q_list:

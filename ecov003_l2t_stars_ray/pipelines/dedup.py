@@ -1331,3 +1331,89 @@ def sorted_neighborhood_pairs(sf_dir: str, w: int = 3) -> pd.DataFrame:
     return pairs.sort_values(
         ["lang", "doc_a", "doc_b"], ignore_index=True
     )
+
+
+# ----------------------------------------------------- incremental dedup
+def incremental_dedup(sf_dir: str) -> pd.DataFrame:
+    """Incremental dedup against a PRIOR snapshot: treating the lower
+    half of doc_ids as the already-curated corpus and the upper half as
+    the new drop, count per source how many NEW docs duplicate a prior
+    doc's 4-token-PREFIX fingerprint (the boilerplate-prefix heuristic;
+    exact-text dups are zero across halves in this corpus, prefix
+    collisions are real) — the day-2 ingest path of a curation pipeline
+    (``dedup_exact`` dedups a corpus against itself; at 100 TB you
+    never re-scan the old corpus, you join new fingerprints against the
+    stored fingerprint index).
+
+    Shape: both halves project to (md5(text), source) partials and
+    meet on ONE fingerprint-hash exchange; the reduce is
+    source-vocabulary sized.  The prior half ships ONLY fingerprints
+    (16 bytes/doc), never text.
+
+    Determinism: md5 on both sides; pure integer counts."""
+    import hashlib
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "source", "text"],
+    )
+    # the split point: lower half = prior snapshot, upper half = new
+    cut = int(
+        ds.map_batches(
+            lambda df: pd.DataFrame(
+                {"lo": [int(df["doc_id"].min())],
+                 "hi": [int(df["doc_id"].max())]}
+            ),
+            batch_format="pandas",
+        )
+        .to_pandas()
+        .agg({"lo": "min", "hi": "max"})
+        .pipe(lambda s: (s["lo"] + s["hi"]) // 2)
+    )
+
+    def project(df: pd.DataFrame) -> pd.DataFrame:
+        fp = df["text"].astype(str).map(
+            lambda t: hashlib.md5(
+                " ".join(t.split(" ")[:4]).encode()
+            ).hexdigest()
+        )
+        new = df["doc_id"].to_numpy(np.int64) > cut
+        return pd.DataFrame(
+            {"fp": fp, "source": df["source"].astype(str),
+             "is_new": new.astype(np.int64)}
+        )
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        # per fingerprint: does a prior copy exist; count new docs per
+        # (source) split by dup-vs-prior
+        prior = g[g["is_new"] == 0].groupby("fp").size()
+        new = g[g["is_new"] == 1]
+        if len(new) == 0:
+            return pd.DataFrame(
+                {"source": pd.Series(dtype=str),
+                 "n_new": pd.Series(dtype=np.int64),
+                 "n_dup_vs_prior": pd.Series(dtype=np.int64)}
+            )
+        dup = new["fp"].map(prior).notna()
+        return (
+            pd.DataFrame({"source": new["source"].astype(str),
+                          "dup": dup.astype(np.int64)})
+            .groupby("source", as_index=False)
+            .agg(n_new=("dup", "size"), n_dup_vs_prior=("dup", "sum"))
+        )
+
+    from ..functions.shuffle import hash_combine
+
+    out = (
+        hash_combine(
+            ds.map_batches(project, batch_format="pandas"), ["fp"],
+            combine,
+        )
+        .to_pandas()
+        .groupby("source", as_index=False)[["n_new", "n_dup_vs_prior"]]
+        .sum()
+        .sort_values("source", ignore_index=True)
+    )
+    out["n_new"] = out["n_new"].astype(np.int64)
+    out["n_dup_vs_prior"] = out["n_dup_vs_prior"].astype(np.int64)
+    return out

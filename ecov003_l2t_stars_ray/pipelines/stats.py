@@ -2048,3 +2048,113 @@ def seasonal_baseline_anomaly(sf_dir: str) -> pd.DataFrame:
     ).sort_values(["event_type", "week", "dow", "hod"],
                   ignore_index=True)
     return out
+
+
+# ---------------------------------------------------- Wilson conversion
+def daily_conversion_wilson(sf_dir: str, z2: int = 4) -> pd.DataFrame:
+    """Daily purchase-conversion rate with a Wilson score interval
+    (z^2 = 4, i.e. ~95.4%): the uncertainty-aware KPI readout an
+    experimenter trusts over the raw ratio (``ab_conversion`` compares
+    two arms; this bands ONE series day by day).
+
+    Shape: per-day (events, purchases) int partials ride one exchange;
+    the interval is a fixed arithmetic chain over the two integers, so
+    both sides compute identical doubles.
+
+    Determinism: k, n exact ints; rate/lo/hi are mirrored chains
+    rounded at emit."""
+    ds = _events(sf_dir, ["ts", "event_type"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        day = df["ts"].astype("datetime64[us]").astype(np.int64) // DAY_US
+        isp = (df["event_type"].astype(str) == "purchase").astype(
+            np.int64
+        )
+        return (
+            pd.DataFrame({"day": day, "k": isp,
+                          "n": np.ones(len(df), np.int64)})
+            .groupby("day", as_index=False)[["k", "n"]]
+            .sum()
+        )
+
+    cells = (
+        hash_combine(
+            ds.map_batches(partial, batch_format="pandas"), ["day"],
+            lambda g: g.groupby("day", as_index=False)[["k", "n"]].sum(),
+        )
+        .to_pandas()
+        .groupby("day", as_index=False)[["k", "n"]]
+        .sum()
+        .sort_values("day", ignore_index=True)
+    )
+    k = cells["k"].to_numpy(np.int64).astype(np.float64)
+    n = cells["n"].to_numpy(np.int64).astype(np.float64)
+    p = k / n
+    z2f = float(z2)
+    center = (p + z2f / (2.0 * n)) / (1.0 + z2f / n)
+    half = (
+        np.sqrt(z2f)
+        * np.sqrt(p * (1.0 - p) / n + z2f / (4.0 * (n * n)))
+        / (1.0 + z2f / n)
+    )
+    out = pd.DataFrame(
+        {"day": cells["day"].to_numpy(np.int64),
+         "n_events": cells["n"].to_numpy(np.int64),
+         "n_purchases": cells["k"].to_numpy(np.int64),
+         "rate": _r6away(p),
+         "wilson_lo": _r6away(center - half),
+         "wilson_hi": _r6away(center + half)}
+    )
+    return out
+
+
+# ------------------------------------------------------- split census
+def dataset_split_census(sf_dir: str) -> pd.DataFrame:
+    """Deterministic train/val/test assignment census: each doc's split
+    is a pure function of md5(doc_id) (first hex char: 0-9,a -> train
+    11/16, b-c -> val 2/16, d-f -> test 3/16) — the reproducible split
+    every training pipeline needs to survive restarts and re-shards
+    (``epoch_shuffle`` orders within a split; this assigns membership).
+
+    Shape: map-only fingerprint + one (source, split)-keyed reduce.
+
+    Determinism: md5 both sides; integer counts."""
+    import hashlib
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        h1 = df["doc_id"].astype(str).map(
+            lambda s: hashlib.md5(s.encode()).hexdigest()[0]
+        )
+        split = np.where(
+            h1 <= "a", "train", np.where(h1 <= "c", "val", "test")
+        )
+        return (
+            pd.DataFrame({"source": df["source"].astype(str),
+                          "split": split,
+                          "doc_id": df["doc_id"].to_numpy(np.int64)})
+            .groupby(["source", "split"], as_index=False)
+            .agg(n_docs=("doc_id", "size"), sum_ids=("doc_id", "sum"))
+        )
+
+    out = (
+        hash_combine(
+            ds.map_batches(partial, batch_format="pandas"),
+            ["source", "split"],
+            lambda g: g.groupby(["source", "split"], as_index=False)[
+                ["n_docs", "sum_ids"]
+            ].sum(),
+        )
+        .to_pandas()
+        .groupby(["source", "split"], as_index=False)[
+            ["n_docs", "sum_ids"]
+        ]
+        .sum()
+        .sort_values(["source", "split"], ignore_index=True)
+    )
+    out["n_docs"] = out["n_docs"].astype(np.int64)
+    out["sum_ids"] = out["sum_ids"].astype(np.int64)
+    return out

@@ -1306,3 +1306,65 @@ def vocab_encode_docs(sf_dir: str) -> pd.DataFrame:
     )
     out["doc_id"] = out["doc_id"].astype(np.int64)
     return out
+
+
+# ------------------------------------------------------ part token census
+def part_token_census(sf_dir: str) -> pd.DataFrame:
+    """Token census over part NAMES with group diversity: per name
+    token — how many parts carry it, how many distinct brands and
+    types those parts span (the catalog-attribute diversity a search
+    facet needs; the explode family applied to a dimension table
+    rather than the corpus).
+
+    Shape: one Arrow split + explode per batch, (token, brand, type)
+    distinct partials on ONE token-hash exchange, token-vocabulary
+    bounded reduce.
+
+    Determinism: pure integer distinct counts."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..functions.shuffle import hash_combine
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name",
+                                           "p_brand", "p_type"]
+    )
+
+    def explode(t: pa.Table) -> pd.DataFrame:
+        toks = pc.split_pattern(t["p_name"], pattern=" ").combine_chunks()
+        offs = toks.offsets.to_numpy(zero_copy_only=False)
+        offs = offs - offs[0]
+        flat = toks.flatten().to_pandas().astype(str)
+        reps = np.diff(offs)
+        idx = np.repeat(np.arange(len(t)), reps)
+        df = pd.DataFrame(
+            {"tok": flat.to_numpy(),
+             "part": t["p_partkey"].to_numpy()[idx],
+             "brand": t["p_brand"].to_pandas().astype(str)
+             .to_numpy()[idx],
+             "ptype": t["p_type"].to_pandas().astype(str)
+             .to_numpy()[idx]}
+        )
+        df = df[df["tok"] != ""]
+        return df.drop_duplicates()
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates()
+        return g.groupby("tok", as_index=False).agg(
+            n_parts=("part", "nunique"), n_brands=("brand", "nunique"),
+            n_types=("ptype", "nunique"),
+        )
+
+    out = (
+        hash_combine(
+            ds.map_batches(explode, batch_format="pyarrow"), ["tok"],
+            combine,
+        )
+        .to_pandas()
+        .sort_values("tok", ignore_index=True)
+    )
+    for c in ("n_parts", "n_brands", "n_types"):
+        out[c] = out[c].astype(np.int64)
+    out = out.rename(columns={"tok": "token"})
+    return out

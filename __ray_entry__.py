@@ -550,6 +550,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # state_duration + interval_coverage rep the LAG/gap family,
         # corr_value_props + type_cross_correlation the int64 moment
         # lanes; both bit-exact-probed and in the committed local gate)
+        # round-4 wave 46: order-size histogram with the Poisson
+        # dispersion index and the per-day peak/mean load factor.
+        # (two more long-green entries slide past the cap; all in the
+        # committed local gate)
+        "order_size_dispersion": ST.order_size_dispersion,
+        "daily_load_factor": ST.daily_load_factor,
         # round-4 wave 45: Wilson-interval daily conversion banding and
         # the deterministic md5-bucket train/val/test split census.
         # (two more TPC-H composites slide past the cap; all in the
@@ -2276,6 +2282,52 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MAX(cmx) AS DOUBLE) / 1024.0 AS peak_cum,
                    CAST(SUM(q) AS DOUBLE) / 1024.0 AS final_cum
             FROM m GROUP BY user_id ORDER BY user_id
+        """,
+        # order-size histogram + exact moment lanes; dispersion =
+        # (n*s2 - s1^2)/n^2 then /mean, mirrored chains
+        "order_size_dispersion": """
+            WITH s AS (
+                SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS c
+                FROM lineitem GROUP BY 1
+            ), h AS (
+                SELECT c, CAST(COUNT(*) AS BIGINT) AS n_orders
+                FROM s GROUP BY 1
+            ), m AS (
+                SELECT CAST(SUM(n_orders) AS HUGEINT) AS tot,
+                       CAST(SUM(c * n_orders) AS HUGEINT) AS s1,
+                       CAST(SUM(c * c * n_orders) AS HUGEINT) AS s2
+                FROM h
+            )
+            SELECT h.c AS n_lines, h.n_orders,
+                   ROUND(CAST(s1 AS DOUBLE) / CAST(tot AS DOUBLE), 6)
+                       AS mean_size,
+                   ROUND(CAST(tot * s2 - s1 * s1 AS DOUBLE)
+                         / CAST(tot * tot AS DOUBLE), 6) AS var_size,
+                   ROUND((CAST(tot * s2 - s1 * s1 AS DOUBLE)
+                          / CAST(tot * tot AS DOUBLE))
+                         / (CAST(s1 AS DOUBLE) / CAST(tot AS DOUBLE)),
+                         6) AS dispersion
+            FROM h, m ORDER BY n_lines
+        """,
+        # load factor: peak * n_hours / total in exact ints, one division
+        "daily_load_factor": """
+            WITH c AS (
+                SELECT epoch_us(ts) // 86400000000 AS day,
+                       (epoch_us(ts) // 3600000000) % 24 AS hod,
+                       CAST(COUNT(*) AS BIGINT) AS n
+                FROM events GROUP BY 1, 2
+            ), a AS (
+                SELECT day, CAST(COUNT(*) AS BIGINT) AS n_hours,
+                       CAST(MAX(n) AS BIGINT) AS peak_hour_events,
+                       CAST(SUM(n) AS BIGINT) AS total_events
+                FROM c GROUP BY 1
+            )
+            SELECT CAST(day AS BIGINT) AS day, n_hours,
+                   peak_hour_events, total_events,
+                   ROUND(CAST(peak_hour_events * n_hours AS DOUBLE)
+                         / CAST(total_events AS DOUBLE), 6)
+                       AS load_factor
+            FROM a ORDER BY day
         """,
         # Wilson interval: fixed arithmetic chain over (k, n) ints,
         # mirrored op-for-op (sqrt(4.0) is exact on both sides)

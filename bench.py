@@ -330,6 +330,8 @@ def run_bench() -> dict:
         "incremental_dedup", "part_token_census",
         # round-4 wave 45 (Wilson banding, split census)
         "daily_conversion_wilson", "dataset_split_census",
+        # round-4 wave 46 (size dispersion, load factor)
+        "order_size_dispersion", "daily_load_factor",
     ]
     q_steal: dict[str, float] = {}
     for name in q_list:

@@ -2158,3 +2158,117 @@ def dataset_split_census(sf_dir: str) -> pd.DataFrame:
     out["n_docs"] = out["n_docs"].astype(np.int64)
     out["sum_ids"] = out["sum_ids"].astype(np.int64)
     return out
+
+
+# ------------------------------------------------------ size dispersion
+def order_size_dispersion(sf_dir: str) -> pd.DataFrame:
+    """Order-size distribution with the Poisson dispersion index: the
+    line-count histogram plus one row of exact moments (mean, biased
+    variance, variance/mean) — the overdispersion screen that tells a
+    capacity planner whether baskets are Poisson-like or bursty
+    (``interarrival_stats`` asks the same of time gaps).
+
+    Shape: per-order line counts ride ONE orderkey-hash exchange; the
+    histogram reduce is size-vocabulary bounded and the moment lanes
+    are exact integers.
+
+    Determinism: HUGEINT-safe integer sums; the three floats are
+    mirrored division chains."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey"]
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            pd.DataFrame({"k": df["l_orderkey"].to_numpy(np.int64)})
+            .groupby("k", as_index=False)
+            .size()
+            .rename(columns={"size": "c"})
+        )
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.groupby("k", as_index=False)["c"].sum()
+        return (
+            g.groupby("c", as_index=False)
+            .size()
+            .rename(columns={"size": "n_orders"})
+        )
+
+    hist = (
+        hash_combine(
+            ds.map_batches(partial, batch_format="pandas"), ["k"],
+            combine,
+        )
+        .to_pandas()
+        .groupby("c", as_index=False)["n_orders"]
+        .sum()
+        .sort_values("c", ignore_index=True)
+    )
+    c = hist["c"].to_numpy(np.int64)
+    n = hist["n_orders"].to_numpy(np.int64)
+    tot = int(n.sum())
+    s1 = int((c * n).sum())
+    s2 = int((c * c * n).sum())
+    mean = float(s1) / float(tot)
+    var = float(tot * s2 - s1 * s1) / float(tot * tot)
+    out = pd.DataFrame(
+        {"n_lines": c, "n_orders": n.astype(np.int64),
+         "mean_size": np.full(len(c), _r6away(np.float64(mean))),
+         "var_size": np.full(len(c), _r6away(np.float64(var))),
+         "dispersion": np.full(
+             len(c), _r6away(np.float64(var / mean))
+         )}
+    )
+    return out
+
+
+# ------------------------------------------------------- load factor
+def daily_load_factor(sf_dir: str) -> pd.DataFrame:
+    """Daily load factor: each day's PEAK hourly event count over its
+    MEAN hourly count (observed hours only) — the burstiness KPI a
+    capacity dashboard tracks per day (``peak_concurrency`` finds the
+    all-time peak instant; this normalizes per day).
+
+    Shape: (day, hod) count cells ride one exchange (calendar
+    bounded); max and mean reduce per day on the tiny cell table.
+
+    Determinism: integer counts; load_factor is the chain
+    max * n_hours / total in exact ints, ONE division."""
+    ds = _events(sf_dir, ["ts"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        us = df["ts"].astype("datetime64[us]").astype(np.int64)
+        return (
+            pd.DataFrame({"day": us // DAY_US,
+                          "hod": (us // HOUR_US) % 24})
+            .groupby(["day", "hod"], as_index=False)
+            .size()
+            .rename(columns={"size": "n"})
+        )
+
+    cells = (
+        hash_combine(
+            ds.map_batches(partial, batch_format="pandas"), ["day"],
+            lambda g: g.groupby(["day", "hod"], as_index=False)[
+                "n"
+            ].sum(),
+        )
+        .to_pandas()
+        .groupby(["day", "hod"], as_index=False)["n"]
+        .sum()
+    )
+    agg = cells.groupby("day").agg(
+        peak=("n", "max"), total=("n", "sum"), n_hours=("n", "size")
+    )
+    out = pd.DataFrame(
+        {"day": agg.index.to_numpy(np.int64),
+         "n_hours": agg["n_hours"].to_numpy(np.int64),
+         "peak_hour_events": agg["peak"].to_numpy(np.int64),
+         "total_events": agg["total"].to_numpy(np.int64)}
+    ).sort_values("day", ignore_index=True)
+    out["load_factor"] = _r6away(
+        (out["peak_hour_events"].to_numpy(np.int64)
+         * out["n_hours"].to_numpy(np.int64)).astype(np.float64)
+        / out["total_events"].to_numpy(np.int64).astype(np.float64)
+    )
+    return out

@@ -1385,10 +1385,13 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(u) AS BIGINT) / 10000.0 AS profit
             FROM j GROUP BY 1, 2 ORDER BY 1, 2
         """,
-        # HAVING vs global scalar, evaluated ENTIRELY in int64:
-        # value_u * denom > total  <=>  value_u > total // denom, because
-        # u > floor(t/d) <=> u >= floor(t/d)+1 <=> u*d >= (floor(t/d)+1)*d
-        # > t, and u = floor(t/d) gives u*d <= t
+        # HAVING vs global scalar, evaluated ENTIRELY in integers:
+        # u * d > T  <=>  u > T // d for positive ints, because
+        # u > floor(T/d) <=> u >= floor(T/d)+1 <=> u*d >= (floor(T/d)+1)*d
+        # > T, and u = floor(T/d) gives u*d <= T.  The threshold is
+        # SCALE-FREE (1.25x the mean part share: d = 4*n_parts, T =
+        # 5*total) so survivors exist at every sf; HUGEINT keeps 5*total
+        # exact at any scale.
         "q11_concentrated_parts": """
             WITH v AS (
                 SELECT l_partkey AS partkey,
@@ -1400,10 +1403,13 @@ def oracle_sql() -> dict[str, str]:
                        ) AS BIGINT) AS value_u
                 FROM lineitem GROUP BY 1
             ), t AS (
-                SELECT CAST(SUM(value_u) AS BIGINT) AS total FROM v
+                SELECT CAST(SUM(CAST(value_u AS HUGEINT)) AS HUGEINT)
+                           AS total,
+                       CAST(COUNT(*) AS HUGEINT) AS n_parts
+                FROM v
             )
             SELECT partkey, value_u, value_u / 10000.0 AS part_value
-            FROM v, t WHERE value_u > t.total // 1600
+            FROM v, t WHERE value_u > (5 * t.total) // (4 * t.n_parts)
             ORDER BY value_u DESC, partkey
         """,
         # double-correlated EXISTS/NOT-EXISTS as a per-order grouped

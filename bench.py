@@ -334,9 +334,20 @@ def run_bench() -> dict:
         "order_size_dispersion", "daily_load_factor",
     ]
     q_steal: dict[str, float] = {}
+    q_errors: dict[str, str] = {}
     for name in q_list:
+        # per-query fault isolation (VERDICT r4 item 2): one crashing
+        # query must never void the already-measured headline — record
+        # the traceback tail and keep going; JSON is always emitted.
         t0 = time.perf_counter()
-        qs[name](SF_DIR)
+        try:
+            qs[name](SF_DIR)
+        except Exception:
+            import traceback as _tb
+            q_errors[name] = _tb.format_exc()[-2000:]
+            q_times[name] = round(time.perf_counter() - t0, 3)
+            q_steal[name] = steal_pct()
+            continue
         q_times[name] = round(time.perf_counter() - t0, 3)
         st = steal_pct()
         q_steal[name] = st
@@ -345,10 +356,14 @@ def run_bench() -> dict:
             # its wall 4-10x (measured r3); keep the better quiet sample
             wait_for_quiet(max_wait_s=120)
             t0 = time.perf_counter()
-            qs[name](SF_DIR)
-            q_times[name] = min(
-                q_times[name], round(time.perf_counter() - t0, 3)
-            )
+            try:
+                qs[name](SF_DIR)
+                q_times[name] = min(
+                    q_times[name], round(time.perf_counter() - t0, 3)
+                )
+            except Exception:
+                import traceback as _tb
+                q_errors[name] = _tb.format_exc()[-2000:]
 
     ray.shutdown()
     return {
@@ -358,6 +373,7 @@ def run_bench() -> dict:
         "turns": n_turns,
         "turns_per_sec": round(turns_per_sec, 1),
         "queries": q_times,
+        "query_errors": q_errors,
         "sf": os.path.basename(SF_DIR.rstrip("/")),
         "num_cpus": NUM_CPUS,
         "steal_guard": {

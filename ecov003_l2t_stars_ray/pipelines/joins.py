@@ -1465,21 +1465,34 @@ def q9_nation_profit(sf_dir: str, keyword: str = "red") -> pd.DataFrame:
 
 
 # --------------------------------------- Q11 global-share concentration
-def q11_concentrated_parts(sf_dir: str, denom: int = 1_600) -> pd.DataFrame:
+def q11_concentrated_parts(
+    sf_dir: str, denom: int | None = None
+) -> pd.DataFrame:
     """TPC-H Q11 shape (important stock): parts whose total discounted
-    lineitem value exceeds 1/``denom`` (default: 1.25x the mean part share) of the GLOBAL total — the
-    HAVING-against-a-global-scalar-subquery composite.  The testdata has
-    no partsupp, so "stock value" is the part's lineitem revenue; the
-    plan shape (grouped aggregate filtered by a second, global aggregate
-    of the same stream) is Q11's.
+    lineitem value exceeds 1.25x the MEAN part share of the GLOBAL
+    total — the HAVING-against-a-global-scalar-subquery composite.  The
+    testdata has no partsupp, so "stock value" is the part's lineitem
+    revenue; the plan shape (grouped aggregate filtered by a second,
+    global aggregate of the same stream) is Q11's.
 
-    Exactness: value_u > total/denom is evaluated ENTIRELY in int64 —
-    value_u > total // denom is equivalent for integer value_u (proof in
-    oracle comment), so no float threshold ever exists.  Shape: one
-    partkey hash exchange builds the bounded per-part table ONCE
-    (materialized — it is the reduced output, |parts| rows, not the
-    fact stream); the global total reduces from the same table; the
-    filter is a broadcast-scalar map."""
+    The threshold is SCALE-FREE: with ``denom=None`` (default) it is
+    derived from the data as value_u * 4 * n_parts > 5 * total, i.e.
+    "share > 1.25x the mean share" at EVERY sf (the r4 fixed
+    ``denom=1600`` encoded that ratio only for sf0.01's 2,000 parts and
+    left zero survivors at sf0.1 — VERDICT r4 item 1).  An explicit
+    ``denom`` keeps the old fixed 1/denom-of-total semantics for tests.
+
+    Exactness: the share test is evaluated ENTIRELY in integers —
+    u * d > T  <=>  u > T // d for positive ints (u > floor(T/d) <=>
+    u >= floor(T/d)+1 <=> u*d >= d*(floor(T/d)+1) > T; u <= floor(T/d)
+    gives u*d <= T), so no float threshold ever exists; the driver
+    computes T and d in unbounded Python ints, the oracle in HUGEINT.
+    Shape: one partkey hash exchange builds the bounded per-part table
+    ONCE (materialized — it is the reduced output, |parts| rows, not
+    the fact stream); the global total and part count reduce from the
+    same table; the filter is a broadcast-scalar map.  The empty path
+    is TYPED (reindex over the declared columns) so a threshold that
+    eliminates every part yields a 0-row frame, never a KeyError."""
     li = ray.data.read_parquet(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_partkey", "l_extendedprice", "l_discount"],
@@ -1509,15 +1522,19 @@ def q11_concentrated_parts(sf_dir: str, denom: int = 1_600) -> pd.DataFrame:
         lambda g: g.groupby("partkey", as_index=False)["value_u"].sum(),
     ).materialize()  # bounded: |parts| rows (the REDUCED table, reused twice)
 
-    total = int(
-        per_part.map_batches(
-            lambda df: pd.DataFrame({"s": [np.int64(df["value_u"].sum())]}),
-            batch_format="pandas",
-        )
-        .to_pandas()["s"]
-        .sum()
-    )
-    thr = total // denom  # value_u*denom > total  <=>  value_u > thr (ints)
+    sums = per_part.map_batches(
+        lambda df: pd.DataFrame(
+            {"s": [np.int64(df["value_u"].sum())], "n": [np.int64(len(df))]}
+        ),
+        batch_format="pandas",
+    ).to_pandas()
+    total = int(sums["s"].sum())
+    n_parts = int(sums["n"].sum())
+    if denom is None:
+        # scale-free: u * (4*n_parts) > 5*total  <=>  u > (5*total)//(4*n)
+        thr = (5 * total) // (4 * n_parts) if n_parts else 0
+    else:
+        thr = total // denom  # u*denom > total  <=>  u > thr (ints)
 
     out = (
         per_part.map_batches(
@@ -1525,6 +1542,7 @@ def q11_concentrated_parts(sf_dir: str, denom: int = 1_600) -> pd.DataFrame:
             batch_format="pandas",
         )
         .to_pandas()
+        .reindex(columns=["partkey", "value_u"])  # typed even when empty
         .sort_values(["value_u", "partkey"], ascending=[False, True],
                      ignore_index=True)
     )

@@ -59,15 +59,18 @@ def test_q11_threshold_is_int_exact_and_bites():
     per = li.groupby("l_partkey")["u"].sum()
     total = int(per.sum())
 
-    # default denom (oracle parity: 1600)
+    # default: scale-free 1.25x-mean-share threshold (oracle parity)
     got = q11_concentrated_parts(SF)
-    thr = total // 1600
+    n_parts = int(per.size)
+    thr = (5 * total) // (4 * n_parts)
     want = per[per > thr].sort_values(ascending=False)
+    assert 0 < len(want) < per.size  # the filter bites at every sf
     assert set(got["partkey"]) == set(want.index)
     assert int(got["value_u"].sum()) == int(want.sum())
-    # integer-threshold equivalence: u*1600 > total <=> u > total//1600
+    # integer-threshold equivalence: u*4n > 5*total <=> u > (5t)//(4n)
     u = per.to_numpy(np.int64)
-    assert (((u * 1600) > total) == (u > thr)).all()
+    assert (((u.astype(object) * 4 * n_parts) > 5 * total)
+            == (u > thr)).all()
     # ordering: value desc, partkey asc on ties
     key = list(zip(-got["value_u"], got["partkey"]))
     assert key == sorted(key)
@@ -78,6 +81,13 @@ def test_q11_threshold_is_int_exact_and_bites():
     want_t = per[per > total // 160]
     assert 0 < len(want_t) < per.size
     assert set(tight["partkey"]) == set(want_t.index)
+
+    # zero-survivor path stays TYPED (the r4 sf0.1 crash class):
+    # denom=1 -> thr = total -> nothing passes; must return a 0-row
+    # frame with the declared columns, not raise KeyError
+    empty = q11_concentrated_parts(SF, denom=1)
+    assert len(empty) == 0
+    assert list(empty.columns) == ["partkey", "value_u", "part_value"]
 
 
 def test_q21_sole_late_supplier_reduction():

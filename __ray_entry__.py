@@ -28,6 +28,7 @@ from collections.abc import Callable
 from typing import Any
 
 import ecov003_l2t_stars_ray  # noqa: F401  (flips the numpy THP switch)
+from ecov003_l2t_stars_ray.functions.scalars import round6_away as _r6away
 import numpy as np
 import pandas as pd
 
@@ -115,9 +116,9 @@ def _transcript_latency_1m(sf_dir: str) -> pd.DataFrame:
             "conv_id": t["conv_id"].to_numpy(),
             "bucket_start": t["bucket_start"].to_numpy(),
             "n": t["count"].to_numpy(),
-            "min_gap": np.round(t["min"].to_numpy(), 6),
-            "max_gap": np.round(t["max"].to_numpy(), 6),
-            "sum_gap": np.round(t["sum"].to_numpy(), 6),
+            "min_gap": _r6away(t["min"].to_numpy()),
+            "max_gap": _r6away(t["max"].to_numpy()),
+            "sum_gap": _r6away(t["sum"].to_numpy()),
         }
     )
     return out.sort_values(["conv_id", "bucket_start"], ignore_index=True)
@@ -193,7 +194,7 @@ def _ann_topk(sf_dir: str) -> pd.DataFrame:
         np.stack(qdf["embedding"].to_numpy()),
         k=5,
     )
-    out["cosine"] = out["cosine"].round(6)
+    out["cosine"] = _r6away(out["cosine"])
     return out[["query_id", "vec_id", "cosine"]]
 
 
@@ -210,7 +211,7 @@ def _srp_ann(sf_dir: str) -> pd.DataFrame:
     out = idx.search(
         indexed, qdf["vec_id"].to_numpy(), np.stack(qdf["embedding"].to_numpy()), k=5
     )
-    out["cosine"] = out["cosine"].round(6)
+    out["cosine"] = _r6away(out["cosine"])
     return out[["query_id", "vec_id", "cosine"]]
 
 
@@ -225,7 +226,7 @@ def _minhash_near_dups(sf_dir: str) -> pd.DataFrame:
     docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     pairs = minhash_candidates_ds(docs, k=5)  # pair stream stays a Dataset
     verified = jaccard_verify(docs, pairs, k=5, threshold=0.5)
-    verified["jaccard"] = verified["jaccard"].round(6)
+    verified["jaccard"] = _r6away(verified["jaccard"])
     return verified
 
 
@@ -247,7 +248,7 @@ def _embedding_near_dups(sf_dir: str) -> pd.DataFrame:
     # synthetic embeddings are near-orthogonal (max offdiag cosine ~0.48);
     # 0.35 keeps the candidate set non-empty yet selective
     out = embedding_near_dups(emb, threshold=0.35)
-    out["cosine"] = out["cosine"].round(6)
+    out["cosine"] = _r6away(out["cosine"])
     return out
 
 
@@ -264,7 +265,7 @@ def _ivf_ann(sf_dir: str) -> pd.DataFrame:
         idx.build(emb), qdf["vec_id"].to_numpy(),
         np.stack(qdf["embedding"].to_numpy()), k=5,
     )
-    out["cosine"] = out["cosine"].round(6)
+    out["cosine"] = _r6away(out["cosine"])
     return out[["query_id", "vec_id", "cosine"]]
 
 
@@ -363,7 +364,7 @@ def _media_thumbnails(sf_dir: str) -> pd.DataFrame:
         lambda t: 0 if t is None else len(t)
     ).astype("int64")
     for c in ("thumb_mean_r", "thumb_mean_g", "thumb_mean_b"):
-        out[c] = out[c].round(6)
+        out[c] = _r6away(out[c])
     return out[
         ["media_id", "modality", "thumb_bytes",
          "thumb_mean_r", "thumb_mean_g", "thumb_mean_b"]
@@ -411,8 +412,8 @@ def _trend_1h(sf_dir: str) -> pd.DataFrame:
 
     tiers = rollup_tiers(_derive_transcripts(sf_dir), smooth=True)
     out = trend_stage(tiers, tier="1h", window=16).to_pandas()
-    out["slope"] = out["slope"].round(6)
-    out["r2"] = out["r2"].round(6)
+    out["slope"] = _r6away(out["slope"])
+    out["r2"] = _r6away(out["r2"])
     return out.sort_values(["conv_id", "metric", "bucket_start"], ignore_index=True)
 
 
@@ -427,8 +428,11 @@ def _text_invariant(sf_dir: str) -> pd.DataFrame:
 
     left = _derive_transcripts(sf_dir).to_pandas()
     right = left.copy()
-    right.loc[3, "text"] = "__CORRUPTED__"
-    right = right.drop(index=7)
+    n = len(left)
+    if n > 0:  # degenerate corpora: clamp the corrupt/drop positions
+        right.loc[min(3, n - 1), "text"] = "__CORRUPTED__"
+    if n > 1:
+        right = right.drop(index=min(7, n - 1))
     return verify_text_invariant(
         ray.data.from_pandas(left), ray.data.from_pandas(right.reset_index(drop=True))
     )
@@ -441,7 +445,7 @@ def _ivf_near_dups(sf_dir: str) -> pd.DataFrame:
 
     emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
     out = ivf_near_dups(emb, threshold=0.35, n_centroids=8, n_probe=4, seed=11)
-    out["cosine"] = out["cosine"].round(6)
+    out["cosine"] = _r6away(out["cosine"])
     return out
 
 
@@ -458,7 +462,7 @@ def _ngram_jaccard_pairs(sf_dir: str) -> pd.DataFrame:
 
     docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     out = ngram_jaccard_pairs(docs, threshold=0.5)
-    out["jaccard"] = out["jaccard"].round(6)
+    out["jaccard"] = _r6away(out["jaccard"])
     return out
 
 
@@ -3828,14 +3832,21 @@ def oracle_sql() -> dict[str, str]:
         """,
         "spinup_variance": """
             WITH w AS (
-                SELECT user_id, value,
+                SELECT user_id, CAST(ROUND(value * 100) AS HUGEINT) AS c,
                        MIN(ts) OVER (PARTITION BY user_id) AS first_ts, ts
                 FROM events
+            ), a AS (
+                SELECT user_id, COUNT(*) AS n,
+                       SUM(c) AS s, SUM(c * c) AS s2
+                FROM w WHERE ts < first_ts + INTERVAL 7 DAY
+                GROUP BY user_id
             )
-            SELECT user_id, COUNT(*) AS n,
-                   ROUND(VAR_SAMP(value), 6) AS var_value
-            FROM w WHERE ts < first_ts + INTERVAL 7 DAY
-            GROUP BY user_id
+            SELECT user_id, n,
+                   CASE WHEN n > 1 THEN
+                        ROUND(CAST(n * s2 - s * s AS DOUBLE)
+                              / CAST(n * (n - 1) AS DOUBLE) / 10000.0, 6)
+                   END AS var_value
+            FROM a
         """,
         "gap_flag_1m": """
             WITH bounds AS (

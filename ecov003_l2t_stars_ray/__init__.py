@@ -74,4 +74,215 @@ try:
 except Exception:  # pragma: no cover - build-dependent pools
     pass
 
+try:
+    # TYPED-EMPTY SHIM (round 5, VERDICT r4 items 4/6): Ray 2.49's
+    # ``Dataset.to_pandas()`` returns a COLUMN-LESS frame whenever every
+    # block of the (executed) dataset is empty — e.g. a threshold filter
+    # that eliminates all rows at some sf — even though the dataset's
+    # schema is still known (``schema(fetch_if_missing=True)`` answers
+    # from plan metadata in ~0.1 s, no re-execution). Driver-side code
+    # that then does ``pdf["col"]`` / ``sort_values`` raises KeyError
+    # (the q11 sf0.1 crash class). Rebuild the typed empty frame from
+    # the dataset schema so every reduced-result materialization stays
+    # TYPED; Arrow-typed schemas give exact dtypes (int64 stays int64,
+    # timestamps stay datetime64), pandas-block schemas give numpy
+    # dtypes. Activates ONLY on the degenerate all-empty path.
+    import pandas as _pd  # noqa: E402
+    from ray.data import Dataset as _Dataset  # noqa: E402
+
+    _orig_to_pandas = _Dataset.to_pandas
+
+    def _typed_to_pandas(self, *args, **kwargs):
+        pdf = _orig_to_pandas(self, *args, **kwargs)
+        if pdf.shape[1] == 0 and len(pdf) == 0:
+            # operators that know their output schema only through their
+            # UDF (hash_combine) attach a lazy recovery closure — prefer
+            # it: it yields EXACT output dtypes
+            rec = getattr(self, "_typed_empty_recover", None)
+            if rec is not None:
+                try:
+                    typed = rec()
+                except Exception:
+                    typed = None
+                if typed is not None and len(typed.columns) > 0:
+                    return typed.iloc[0:0]
+            try:
+                sch = self.schema(fetch_if_missing=True)
+            except Exception:
+                sch = None
+            names = list(getattr(sch, "names", None) or [])
+            if names:
+                types = list(getattr(sch, "types", None) or [])
+                cols = {}
+                for i, n in enumerate(names):
+                    t = types[i] if i < len(types) else None
+                    if isinstance(t, _pa.DataType):
+                        cols[n] = _pa.array([], type=t).to_pandas()
+                    else:
+                        try:
+                            cols[n] = _pd.Series(dtype=t)
+                        except Exception:
+                            cols[n] = _pd.Series(dtype="object")
+                pdf = _pd.DataFrame(cols)
+        return pdf
+
+    _typed_to_pandas.__wrapped__ = _orig_to_pandas
+    _Dataset.to_pandas = _typed_to_pandas
+except Exception:  # pragma: no cover - ray-version dependent
+    pass
+
+try:
+    # SCHEMA-THROUGH-EMPTY SHIM (round 5, the root of the q11 crash
+    # class): Ray 2.49 destroys schemas on the all-rows-filtered path in
+    # two stacked ways —
+    #   (a) ``BlocksToBatchesMapTransformFn`` falls back to
+    #       ``builder().build()`` (a COLUMN-LESS block) when every input
+    #       block of a map task is empty, and
+    #   (b) ``_generate_transform_fn_for_map_batches`` passes empty
+    #       batches through WITHOUT calling the UDF, so even a typed
+    #       empty batch exits with its INPUT schema, not the map's
+    #       output schema.
+    # Together a single vacuous filter makes every downstream schema
+    # None and ``to_pandas()`` column-less (KeyError in driver code).
+    # Patch (a) to slice a 0-row TYPED batch off the first block and
+    # (b) to CALL the UDF on empty batches that still carry >=1 column
+    # (our batch fns are vectorized and total on empty typed input, so
+    # they emit typed empty output and the schema flows end-to-end).
+    # Schema-less empties (all-to-all outputs) keep the old passthrough.
+    # Workers apply this too: every shipped UDF lives in this package,
+    # so unpickling it imports this module before the task body runs.
+    import collections.abc as _cabc  # noqa: E402
+    import itertools as _it  # noqa: E402
+    from types import GeneratorType as _GenType  # noqa: E402
+
+    import ray.data._internal.planner.plan_udf_map_op as _pudf  # noqa: E402
+    import ray.data._internal.execution.operators.map_transformer as _mt  # noqa: E402
+    from ray.data._internal.block_batching.block_batching import (  # noqa: E402
+        batch_blocks as _batch_blocks,
+    )
+    from ray.data.block import BlockAccessor as _BA  # noqa: E402
+
+    if not getattr(_mt.BlocksToBatchesMapTransformFn, "_typed_empty_shim", False):
+
+        def _b2b_call(self, blocks, _):
+            block_iter = iter(blocks)
+            first = next(block_iter, None)
+            if first is None:
+                return []
+            blocks = _it.chain([first], block_iter)
+            acc = _BA.for_block(first)
+            try:  # 0-row slice keeps the block's schema; format it so the
+                # downstream transform sees a real (typed) empty batch
+                eb = acc.slice(0, 0, copy=True)
+                empty_batch = _BA.for_block(eb).to_batch_format(self._batch_format)
+            except Exception:  # pragma: no cover - exotic block types
+                empty_batch = acc.builder().build()
+            first = None
+            fbi = _batch_blocks(
+                blocks=blocks, stats=None, batch_size=self._batch_size,
+                batch_format=self._batch_format, ensure_copy=self._ensure_copy,
+            )
+            first = next(fbi, None)
+            if first is None:
+                return [empty_batch]
+            return _it.chain([first], fbi)
+
+        _mt.BlocksToBatchesMapTransformFn.__call__ = _b2b_call
+        _mt.BlocksToBatchesMapTransformFn._typed_empty_shim = True
+
+    if not getattr(_pudf._generate_transform_fn_for_map_batches,
+                   "_typed_empty_shim", False):
+        _orig_gen_mb = _pudf._generate_transform_fn_for_map_batches
+
+        def _gen_mb(fn):
+            tf = _orig_gen_mb(fn)
+
+            def transform_fn(batches, ctx):
+                def gen():
+                    for batch in batches:
+                        if (not isinstance(batch, _cabc.Mapping)
+                                and _BA.for_block(batch).num_rows() == 0):
+                            if isinstance(batch, _pd.DataFrame):
+                                ncols = len(batch.columns)
+                            elif isinstance(batch, _pa.Table):
+                                ncols = len(batch.schema)
+                            else:
+                                ncols = 0
+                            if ncols > 0:
+                                res = fn(batch)
+                                if not isinstance(res, _GenType):
+                                    res = [res]
+                                yield from res
+                                continue
+                        yield from tf([batch], ctx)
+                return gen()
+
+            return transform_fn
+
+        _gen_mb._typed_empty_shim = True
+        _pudf._generate_transform_fn_for_map_batches = _gen_mb
+
+    # (c) a ReadTask over a 0-row parquet yields ZERO batches (no row
+    # groups to iterate), so the read stage's block builder falls back
+    # to a COLUMN-LESS ``pa.table({})`` — the schema is destroyed at
+    # birth even though the task object carries it. Emit one 0-row
+    # block WITH the task's schema instead.
+    from ray.data.datasource.datasource import ReadTask as _ReadTask  # noqa: E402
+
+    if not getattr(_ReadTask, "_typed_empty_shim", False):
+        _orig_rt_call = _ReadTask.__call__
+
+        def _rt_call(self):
+            n = 0
+            for b in _orig_rt_call(self):
+                if n >= 0:
+                    try:
+                        n += _BA.for_block(b).num_rows()
+                    except Exception:  # pragma: no cover - exotic blocks
+                        n = -1
+                yield b
+            if n == 0:
+                sch = getattr(self, "_schema", None)
+                base = getattr(sch, "base_schema", sch)
+                if isinstance(base, _pa.Schema) and len(base) > 0:
+                    yield base.empty_table()
+
+        _ReadTask.__call__ = _rt_call
+        _ReadTask._typed_empty_shim = True
+
+    # (d) the (a)-(c) shims only activate inside workers that import
+    # this package (every shipped UDF lives here, so any fused
+    # map stage qualifies) — but a BARE read stage ships no package
+    # code, so a 0-row parquet still reaches the driver column-less.
+    # Catch it at the source instead: reading a single 0-row parquet
+    # FILE returns a typed empty MaterializedDataset built from the
+    # file's schema (driver-side metadata probe, ~ms). Multi-file /
+    # directory reads fall through untouched.
+    import ray.data as _rd  # noqa: E402
+    import pyarrow.parquet as _pq  # noqa: E402
+
+    if not getattr(_rd.read_parquet, "_typed_empty_shim", False):
+        _orig_read_parquet = _rd.read_parquet
+
+        def _read_parquet(paths, *args, **kwargs):
+            try:
+                if (not args and isinstance(paths, str)
+                        and paths.endswith(".parquet")
+                        and _os.path.isfile(paths)
+                        and _pq.read_metadata(paths).num_rows == 0):
+                    sch = _pq.read_schema(paths)
+                    cols = kwargs.get("columns")
+                    if cols:
+                        sch = _pa.schema([sch.field(c) for c in cols])
+                    return _rd.from_arrow(sch.empty_table())
+            except Exception:  # pragma: no cover - fall through to real read
+                pass
+            return _orig_read_parquet(paths, *args, **kwargs)
+
+        _read_parquet._typed_empty_shim = True
+        _read_parquet.__wrapped__ = _orig_read_parquet
+        _rd.read_parquet = _read_parquet
+except Exception:  # pragma: no cover - ray-version dependent internals
+    pass
+
 from . import schema  # noqa: F401,E402

@@ -80,3 +80,16 @@ def parse_fragment_name(name: str) -> dict:
         "epoch": int(m["epoch"]),
         "partition": int(m["partition"]),
     }
+
+
+def round6_away(x):
+    """ROUND(x, 6) half-AWAY-from-zero — the bit-mirror of DuckDB ROUND
+    on DOUBLE. ``np.round`` / pandas ``.round`` are half-EVEN and flip
+    exact 6-dp ties the other way (first seen at sf0.1, where ~95k-row
+    outputs land real ties: 60.8816825 -> 60.881682 vs the oracle's
+    60.881683 — r5 gate). Every float column that is SQL-ROUND-mirrored
+    must round through this helper."""
+    import numpy as np
+
+    x = np.asarray(x, dtype=np.float64)
+    return np.sign(x) * np.floor(np.abs(x) * 1e6 + 0.5) / 1e6

@@ -45,11 +45,62 @@ def hash_combine(
     def _combine(g: pd.DataFrame) -> pd.DataFrame:
         return combine_fn(g.drop(columns="__pid"))
 
-    return (
+    out = (
         partials.map_batches(_add_pid, batch_format="pandas")
         .groupby("__pid")
         .map_groups(_combine, batch_format="pandas")
     )
+
+    def _typed_empty_recover() -> pd.DataFrame | None:
+        """Rebuild the TYPED empty output frame on the all-rows-filtered
+        path (the q11 sf0.1 crash class): derive the partial schema from
+        the (already empty, so cheap to execute) upstream dataset, run
+        ``combine_fn`` on a typed empty frame, and hand the result to the
+        package ``to_pandas`` shim. Never called on the non-empty path —
+        zero hot-path cost."""
+        try:
+            sch = partials.schema(fetch_if_missing=True)
+            if sch is None or not sch.names:
+                return None
+            import pyarrow as pa
+
+            types = list(getattr(sch, "types", None) or [])
+            cols = {}
+            for i, n in enumerate(sch.names):
+                t = types[i] if i < len(types) else None
+                if isinstance(t, pa.DataType):
+                    cols[n] = pa.array([], type=t).to_pandas()
+                else:
+                    try:
+                        cols[n] = pd.Series(dtype=t)
+                    except Exception:
+                        cols[n] = pd.Series(dtype="object")
+            return combine_fn(pd.DataFrame(cols))
+        except Exception:
+            return None
+
+    out._typed_empty_recover = _typed_empty_recover
+    return out
+
+
+def typed_pandas(ds: ray.data.Dataset, dtypes: dict[str, str]) -> pd.DataFrame:
+    """Materialize a REDUCED (bounded) dataset as pandas with a TYPED
+    empty fallback.
+
+    Ray 2.49 loses the schema entirely when a pipeline stage produces
+    zero blocks (its map/combine fns never ran, so not even
+    ``schema(fetch_if_missing=True)`` can answer — the package-level
+    ``to_pandas`` shim in ``__init__`` only covers the schema-known
+    case). Any driver-side column access on the resulting column-less
+    frame raises KeyError (the q11 sf0.1 crash class, VERDICT r4).
+    ``dtypes`` declares the stage's output columns; they are
+    guaranteed present (and typed) even on the fully-empty path."""
+    pdf = ds.to_pandas()
+    if pdf.shape[1] == 0 and len(pdf) == 0:
+        pdf = pd.DataFrame(
+            {c: pd.Series(dtype=t) for c, t in dtypes.items()}
+        )
+    return pdf
 
 
 def _restore_dtypes(df: pd.DataFrame, dtypes: dict[str, str]) -> pd.DataFrame:
@@ -85,7 +136,22 @@ def hash_join(
     """
     if how not in ("inner", "left"):
         raise ValueError(f"unsupported join type: {how}")
-    ls, rs = left.schema(), right.schema()
+    ls = left.schema(fetch_if_missing=True)
+    rs = right.schema(fetch_if_missing=True)
+    if ls is None or rs is None:
+        # a side produced ZERO blocks (its upstream maps never ran), so
+        # even its column names are unknowable. An INNER join with an
+        # empty side is empty — degrade to an empty dataset; driver-side
+        # consumers type their reduced outputs via typed_pandas. A LEFT
+        # join with a schema-less RIGHT side would need fabricated null
+        # right columns we cannot name — refuse loudly rather than drop
+        # rows.
+        if how == "left" and rs is None and ls is not None:
+            raise ValueError(
+                "hash_join(how='left'): right side has no schema "
+                "(zero blocks); cannot fabricate its null columns"
+            )
+        return ray.data.from_items([])
     for k in on:
         if k not in ls.names or k not in rs.names:
             raise KeyError(f"join key {k!r} missing from a side")

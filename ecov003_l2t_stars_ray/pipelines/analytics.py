@@ -24,7 +24,8 @@ import pyarrow as pa
 import ray
 import ray.data
 
-from ..functions.shuffle import hash_combine
+from ..functions.scalars import round6_away as _r6away
+from ..functions.shuffle import hash_combine, typed_pandas
 
 US = 1_000_000
 WIDTHS = {"1m": 60 * US, "1h": 3600 * US, "1d": 86400 * US}
@@ -36,7 +37,7 @@ def _events(sf_dir: str, columns=None) -> ray.data.Dataset:
 
 def _round6(df: pd.DataFrame, cols) -> pd.DataFrame:
     for c in cols:
-        df[c] = df[c].round(6)
+        df[c] = _r6away(df[c])
     return df
 
 
@@ -153,8 +154,8 @@ def _dense_1m(sf_dir: str, columns: list[str]) -> pd.DataFrame:
                 "n": n,
                 "gap_filled": ~obs,
                 "observed_recently": roll > 0,
-                "value": np.round(value, 6),
-                "value_sd": np.round(sd, 6),
+                "value": _r6away(value),
+                "value_sd": _r6away(sd),
             }
         )
 
@@ -286,13 +287,13 @@ def pricing_summary(sf_dir: str) -> pd.DataFrame:
         {
             "l_returnflag": out["l_returnflag"],
             "l_linestatus": out["l_linestatus"],
-            "sum_qty": np.round(qty, 6),
-            "sum_base_price": np.round(price / 100.0, 6),
-            "sum_disc_price": np.round(out["dp_i"].to_numpy(dtype=np.float64) / 10000.0, 6),
-            "sum_charge": np.round(out["ch_i"].to_numpy(dtype=np.float64) / 1000000.0, 6),
-            "avg_qty": np.round(qty / n, 6),
-            "avg_price": np.round(price / n / 100.0, 6),
-            "avg_disc": np.round(disc / n / 100.0, 6),
+            "sum_qty": _r6away(qty),
+            "sum_base_price": _r6away(price / 100.0),
+            "sum_disc_price": _r6away(out["dp_i"].to_numpy(dtype=np.float64) / 10000.0),
+            "sum_charge": _r6away(out["ch_i"].to_numpy(dtype=np.float64) / 1000000.0),
+            "avg_qty": _r6away(qty / n),
+            "avg_price": _r6away(price / n / 100.0),
+            "avg_disc": _r6away(disc / n / 100.0),
             "count_order": out["n"],
         }
     )
@@ -326,12 +327,16 @@ def revenue_per_nation(sf_dir: str) -> pd.DataFrame:
     def combine(g: pd.DataFrame) -> pd.DataFrame:
         return g.groupby("n_name", as_index=False).sum()
 
-    out = hash_combine(
-        ray.data.read_parquet(
-            f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
-        ).map_batches(partial, batch_format="pandas"),
-        ["n_name"], combine, num_partitions=4,
-    ).to_pandas()
+    out = typed_pandas(
+        hash_combine(
+            ray.data.read_parquet(
+                f"{sf_dir}/orders.parquet",
+                columns=["o_custkey", "o_totalprice"],
+            ).map_batches(partial, batch_format="pandas"),
+            ["n_name"], combine, num_partitions=4,
+        ),
+        {"n_name": "object", "revenue": "float64", "n_orders": "int64"},
+    )
     out = _round6(out, ["revenue"])
     return out[["n_name", "revenue", "n_orders"]].sort_values("n_name", ignore_index=True)
 
@@ -449,11 +454,13 @@ def late_events(sf_dir: str) -> pd.DataFrame:
         return g.groupby("user_id", as_index=False)["n_late"].sum()
 
     return (
-        hash_combine(
-            ds.map_batches(partial, batch_format="pyarrow"), ["user_id"], combine,
-            num_partitions=4,
+        typed_pandas(
+            hash_combine(
+                ds.map_batches(partial, batch_format="pyarrow"),
+                ["user_id"], combine, num_partitions=4,
+            ),
+            {"user_id": "int64", "n_late": "int64"},
         )
-        .to_pandas()
         .sort_values("user_id", ignore_index=True)[["user_id", "n_late"]]
     )
 
@@ -484,13 +491,18 @@ def calibrate_purchase_to_click(sf_dir: str) -> pd.DataFrame:
     def combine(g: pd.DataFrame) -> pd.DataFrame:
         return g.groupby(["user_id", "d", "event_type"], as_index=False).sum()
 
-    agg = hash_combine(
-        ds.map_batches(partial, batch_format="pandas"), ["user_id", "d"], combine
-    ).to_pandas()
+    agg = typed_pandas(
+        hash_combine(
+            ds.map_batches(partial, batch_format="pandas"),
+            ["user_id", "d"], combine,
+        ),
+        {"user_id": "int64", "d": "int64", "event_type": "object",
+         "s": "float64", "n": "int64"},
+    )
     agg["avg"] = agg["s"] / agg["n"]
     piv = agg.pivot_table(
         index=["user_id", "d"], columns="event_type", values="avg", aggfunc="first"
-    ).dropna()
+    ).reindex(columns=["purchase", "click"]).dropna()
     x = piv["purchase"].to_numpy(dtype=np.float64)
     y = piv["click"].to_numpy(dtype=np.float64)
     n = len(x)
@@ -508,25 +520,40 @@ def calibrate_purchase_to_click(sf_dir: str) -> pd.DataFrame:
 
 def spinup_variance(sf_dir: str) -> pd.DataFrame:
     """K2 analog (windowed variance over the spin-up stack, ``jl:151-183``):
-    sample variance of value per user over the user's first 7 days."""
+    sample variance of value per user over the user's first 7 days.
+
+    Exactness: DuckDB ``VAR_SAMP`` is a Welford recurrence whose float
+    chain differs from a moments chain by 1 ulp at 6-dp ties (surfaced at
+    sf0.1). Both sides therefore accumulate exact integer cents and take
+    ONE mirrored division chain:
+    ``(n*S2 - S^2) / (n*(n-1)) / 1e4`` with S, S2 exact integers."""
     ds = _events(sf_dir, ["user_id", "ts", "value"])
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         t = df["ts"].astype("datetime64[us]").astype(np.int64)
-        return pd.DataFrame(
-            {"user_id": df["user_id"], "ts_us": t, "v": df["value"],
-             "v2": df["value"] * df["value"]}
-        )
+        c = np.round(df["value"].to_numpy() * 100).astype(np.int64)
+        return pd.DataFrame({"user_id": df["user_id"], "ts_us": t, "c": c})
 
     def combine(g: pd.DataFrame) -> pd.DataFrame:
         first = g.groupby("user_id")["ts_us"].transform("min")
-        keep = g[g["ts_us"] < first + 7 * WIDTHS["1d"]]
+        keep = g[g["ts_us"] < first + 7 * WIDTHS["1d"]].copy()
+        keep["c2"] = keep["c"] * keep["c"]  # c<=~1e5 cents, c2<=1e10; x1e5 rows fits int64
         agg = keep.groupby("user_id", as_index=False).agg(
-            n=("v", "count"), s=("v", "sum"), s2=("v2", "sum")
+            n=("c", "count"), s=("c", "sum"), s2=("c2", "sum")
         )
-        n = agg["n"].to_numpy(dtype=np.float64)
-        var = (agg["s2"] - agg["s"] * agg["s"] / n) / (n - 1)
-        agg["var_value"] = np.round(var, 6)
+        # exact numerator in Python ints (per-user rows only, ~1.5k at sf0.1)
+        n_i = agg["n"].to_numpy()
+        num = np.array(
+            [int(n) * int(s2) - int(s) * int(s)
+             for n, s, s2 in zip(n_i, agg["s"].to_numpy(), agg["s2"].to_numpy())],
+            dtype=object,
+        )
+        nn1 = (n_i.astype(np.int64) * (n_i.astype(np.int64) - 1)).astype(np.float64)
+        num_f = np.array([float(v) for v in num], dtype=np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            var = num_f / nn1 / 1e4
+        var = np.where(n_i > 1, _r6away(var), np.nan)
+        agg["var_value"] = var
         return agg[["user_id", "n", "var_value"]]
 
     return (
@@ -606,7 +633,7 @@ def moving_avg_1h(sf_dir: str, window: int = 3) -> pd.DataFrame:
         g = g.groupby(["user_id", "bucket_us"], as_index=False)["v"].sum()
         g = g.sort_values(["user_id", "bucket_us"], kind="mergesort")
         u = g["user_id"].to_numpy()
-        s = g["v"].to_numpy().round(6)  # the oracle's rounded hourly sums
+        s = _r6away(g["v"].to_numpy())  # the oracle's rounded hourly sums
         m = len(g)
         # explicit left-to-right adds (p2 + p1 + s) — the SQL window frame's
         # oldest-first accumulation order
@@ -624,7 +651,7 @@ def moving_avg_1h(sf_dir: str, window: int = 3) -> pd.DataFrame:
             {
                 "user_id": u,
                 "bucket_start": g["bucket_us"].to_numpy().view("datetime64[us]"),
-                "ma3": np.round(tot / nn, 6),
+                "ma3": _r6away(tot / nn),
             }
         )
 
@@ -675,8 +702,8 @@ def time_features(sf_dir: str) -> pd.DataFrame:
         return pd.DataFrame(
             {
                 "event_id": df["event_id"],
-                "tod_sin": np.round(np.sin(ang), 6),
-                "tod_cos": np.round(np.cos(ang), 6),
+                "tod_sin": _r6away(np.sin(ang)),
+                "tod_cos": _r6away(np.cos(ang)),
             }
         )
 
@@ -710,7 +737,7 @@ def global_mean_fallback(sf_dir: str) -> pd.DataFrame:
         v = df["value"].to_numpy(dtype=np.float64)
         return pd.DataFrame(
             {"event_id": df["event_id"],
-             "value_filled": np.round(np.where(v == 0, gm, v), 6)}
+             "value_filled": _r6away(np.where(v == 0, gm, v))}
         )
 
     return (
@@ -755,9 +782,9 @@ def range_clamp(sf_dir: str) -> pd.DataFrame:
         return pd.DataFrame(
             {
                 "event_id": df["event_id"],
-                "value_clamped": np.round(clamped, 6),
+                "value_clamped": _r6away(clamped),
                 "valid": (v >= lo_v) & (v <= hi_v),
-                "rel_angle": np.round(rel, 6),
+                "rel_angle": _r6away(rel),
             }
         )
 
@@ -872,7 +899,7 @@ def blend_two_source(sf_dir: str) -> pd.DataFrame:
             {
                 "l_orderkey": df["l_orderkey"],
                 "l_linenumber": df["l_linenumber"],
-                "blend_value": np.round(w * a + (1.0 - w) * b, 6),
+                "blend_value": _r6away(w * a + (1.0 - w) * b),
             }
         )
 
@@ -923,8 +950,8 @@ def latency_quantiles(sf_dir: str) -> pd.DataFrame:
             {
                 "user_id": uu[starts],
                 "n_gaps": n,
-                "p50_s": np.round(gv[i50].astype(np.float64) / 1e6, 6),
-                "p95_s": np.round(gv[i95].astype(np.float64) / 1e6, 6),
+                "p50_s": _r6away(gv[i50].astype(np.float64) / 1e6),
+                "p95_s": _r6away(gv[i95].astype(np.float64) / 1e6),
             }
         )
 
@@ -1059,7 +1086,7 @@ def ewma_1h(sf_dir: str, alpha: float = 0.3) -> pd.DataFrame:
             {
                 "user_id": u,
                 "bucket_start": g["bucket_us"].to_numpy().view("datetime64[us]"),
-                "ewma": np.round(out, 6),
+                "ewma": _r6away(out),
             }
         )
 
@@ -1187,8 +1214,8 @@ def counter_rate_1h(sf_dir: str) -> pd.DataFrame:
         return pd.DataFrame(
             {"user_id": d["user_id"], "bucket_us": d["bucket_us"],
              "n_deltas": d["n_deltas"],
-             "rate_sum": np.round(
-                 d["sum_c"].to_numpy(dtype=np.float64) / 100.0, 6)}
+             "rate_sum": _r6away(
+                 d["sum_c"].to_numpy(dtype=np.float64) / 100.0)}
         )
 
     out = hash_combine(ds, ["user_id"], combine).to_pandas()
@@ -1324,8 +1351,8 @@ def zscore_anomaly_24h(sf_dir: str) -> pd.DataFrame:
         return pd.DataFrame(
             {"user_id": u, "bucket_us": g["bucket_us"].to_numpy(),
              "n": n, "win_n": wn,
-             "win_mean": np.round(m, 6), "win_sd": np.round(sd, 6),
-             "zscore": np.round(z, 6), "is_anomaly": np.abs(z) > 2.0}
+             "win_mean": _r6away(m), "win_sd": _r6away(sd),
+             "zscore": _r6away(z), "is_anomaly": np.abs(z) > 2.0}
         )
 
     out = hash_combine(
@@ -1459,9 +1486,9 @@ def window_rank(sf_dir: str) -> pd.DataFrame:
         return pd.DataFrame(
             {"event_id": g["event_id"].to_numpy(), "user_id": u,
              "rn": rn, "value_rank": value_rank,
-             "prev_value": np.round(prev_v, 6),
-             "next_value": np.round(next_v, 6),
-             "running_sum": np.round(running.astype(np.float64) / 100.0, 6)}
+             "prev_value": _r6away(prev_v),
+             "next_value": _r6away(next_v),
+             "running_sum": _r6away(running.astype(np.float64) / 100.0)}
         )
 
     return (
@@ -1585,7 +1612,7 @@ def grouping_sets_day(sf_dir: str) -> pd.DataFrame:
         ["event_type", "day_us"], combine, num_partitions=8,
     ).to_pandas()
     out["bucket_day"] = out.pop("day_us").to_numpy().view("datetime64[us]")
-    out["sum_value"] = np.round(out.pop("s").to_numpy(dtype=np.float64) / 100.0, 6)
+    out["sum_value"] = _r6away(out.pop("s").to_numpy(dtype=np.float64) / 100.0)
     return out[["event_type", "bucket_day", "n", "sum_value"]].sort_values(
         ["event_type", "bucket_day"], ignore_index=True
     )

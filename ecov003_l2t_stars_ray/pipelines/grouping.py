@@ -22,7 +22,7 @@ import pandas as pd
 import ray
 import ray.data
 
-from ..functions.shuffle import hash_combine
+from ..functions.shuffle import hash_combine, typed_pandas
 
 US = 1_000_000
 HOUR_US = 3600 * US
@@ -263,7 +263,7 @@ def rolling_median_24h(sf_dir: str) -> pd.DataFrame:
         med = np.nanmedian(mat, axis=1)
         out = c[["user_id", "bucket_us"]].copy()
         out["n"] = c["n"]
-        out["med_24h"] = np.round(med, 6)
+        out["med_24h"] = _r6away(med)
         return out
 
     out = hash_combine(
@@ -1962,7 +1962,8 @@ def user_top_types_concat(sf_dir: str, k: int = 3) -> pd.DataFrame:
         cols = [
             pa.array(
                 wide[r].to_numpy(object) if r in wide.columns
-                else np.full(len(wide), None, object)
+                else np.full(len(wide), None, object),
+                type=pa.string(),  # all-None infers null type otherwise
             )
             for r in range(k)
         ]

@@ -32,7 +32,8 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
-from ..functions.shuffle import hash_combine, hash_join
+from ..functions.scalars import round6_away as _r6away
+from ..functions.shuffle import hash_combine, hash_join, typed_pandas
 
 CUTOFF = pd.Timestamp("2000-01-01")
 
@@ -115,7 +116,12 @@ def join_topk_revenue(sf_dir: str, k: int = 10) -> pd.DataFrame:
             ["revenue", "orderkey"], ascending=[False, True], kind="mergesort"
         ).head(k)
 
-    out = joined.map_batches(topk_part, batch_format="pandas").to_pandas()
+    out = typed_pandas(
+        joined.map_batches(topk_part, batch_format="pandas"),
+        {"orderkey": "int64", "o_orderdate": "datetime64[us]",
+         "o_orderpriority": "object", "n_lines": "int64",
+         "rev_u": "int64", "revenue": "float64"},
+    )
     return (
         out.sort_values(["revenue", "orderkey"], ascending=[False, True],
                         kind="mergesort")
@@ -295,14 +301,17 @@ def q5_local_supplier(sf_dir: str) -> pd.DataFrame:
         m = df[df["snat"] == df["cnat"]]
         return m.groupby("snat", as_index=False)["rev_u"].sum()
 
-    out = hash_combine(
-        joined.map_batches(nation_partial, batch_format="pandas"),
-        ["snat"],
-        lambda g: g.groupby("snat", as_index=False)["rev_u"].sum(),
-        num_partitions=4,
-    ).to_pandas()
+    out = typed_pandas(
+        hash_combine(
+            joined.map_batches(nation_partial, batch_format="pandas"),
+            ["snat"],
+            lambda g: g.groupby("snat", as_index=False)["rev_u"].sum(),
+            num_partitions=4,
+        ),
+        {"snat": "int64", "rev_u": "int64"},
+    )
     out["n_name"] = out["snat"].map(name_of)
-    out["revenue"] = np.round(out["rev_u"].to_numpy(dtype=np.float64) / 10000.0, 6)
+    out["revenue"] = _r6away(out["rev_u"].to_numpy(dtype=np.float64) / 10000.0)
     return out[["n_name", "revenue"]].sort_values("n_name", ignore_index=True)
 
 
@@ -355,7 +364,10 @@ def q22_no_orders(
         pos = pos[pos > 0]
         return pd.DataFrame({"n": [len(pos)], "s": [pos.sum()]})
 
-    pool = filtered.map_batches(pool_partial, batch_format="pandas").to_pandas()
+    pool = typed_pandas(
+        filtered.map_batches(pool_partial, batch_format="pandas"),
+        {"n": "int64", "s": "int64"},
+    )
     n_pos, s_pos = int(pool["n"].sum()), int(pool["s"].sum())
 
     def order_rows(df: pd.DataFrame) -> pd.DataFrame:
@@ -385,7 +397,10 @@ def q22_no_orders(
             numcust=("k", "size"), s_cents=("cents", "sum")
         )
 
-    parts = hash_combine(filtered.union(orders), ["k"], combine).to_pandas()
+    parts = typed_pandas(
+        hash_combine(filtered.union(orders), ["k"], combine),
+        {"nat": "int64", "numcust": "int64", "s_cents": "int64"},
+    )
     out = parts.groupby("nat", as_index=False).sum()
     out["numcust"] = out["numcust"].astype(np.int64)
     out["totacctbal"] = out["s_cents"].to_numpy(np.float64) / 100.0
@@ -588,11 +603,14 @@ def q16_supplier_cnt(
             .rename(columns={"supp": "supplier_cnt"})
         )
 
-    out = hash_combine(
-        li.map_batches(partial, batch_format="pandas"),
-        ["p_brand", "p_size"],
-        combine,
-    ).to_pandas()
+    out = typed_pandas(
+        hash_combine(
+            li.map_batches(partial, batch_format="pandas"),
+            ["p_brand", "p_size"],
+            combine,
+        ),
+        {"p_brand": "object", "p_size": "int64", "supplier_cnt": "int64"},
+    )
     out["supplier_cnt"] = out["supplier_cnt"].astype(np.int64)
     out["p_size"] = out["p_size"].astype(np.int64)
     return out.sort_values(["p_brand", "p_size"], ignore_index=True)
@@ -664,7 +682,9 @@ def q10_returned_items(sf_dir: str, k: int = 20) -> pd.DataFrame:
         .sort_values(["rev_u", "custkey"], ascending=[False, True],
                      kind="mergesort")
         .head(k),
-    ).to_pandas()
+    )
+    per_cust = typed_pandas(per_cust, {"custkey": "int64",
+                                       "rev_u": "int64"})
 
     top = (
         per_cust.sort_values(["rev_u", "custkey"], ascending=[False, True],
@@ -890,8 +910,10 @@ def q4_late_orders(sf_dir: str, grace_days: int = 30) -> pd.DataFrame:
         )
 
     out = (
-        joined.map_batches(part_counts, batch_format="pandas")
-        .to_pandas()
+        typed_pandas(
+            joined.map_batches(part_counts, batch_format="pandas"),
+            {"o_orderpriority": "object", "order_count": "int64"},
+        )
         .groupby("o_orderpriority", as_index=False)["order_count"]
         .sum()
     )
@@ -1034,13 +1056,15 @@ def q17_small_qty_revenue(sf_dir: str, brand: str = "Brand#23") -> pd.DataFrame:
         )
 
     thr = (
-        hash_combine(
-            li.map_batches(qty_partial, batch_format="pandas"),
-            ["pk"],
-            lambda g: g.groupby("pk", as_index=False)[["s", "n"]].sum(),
-            num_partitions=8,
+        typed_pandas(
+            hash_combine(
+                li.map_batches(qty_partial, batch_format="pandas"),
+                ["pk"],
+                lambda g: g.groupby("pk", as_index=False)[["s", "n"]].sum(),
+                num_partitions=8,
+            ),
+            {"pk": "int64", "s": "int64", "n": "int64"},
         )
-        .to_pandas()
         .groupby("pk", as_index=False)[["s", "n"]]
         .sum()
     )
@@ -1117,10 +1141,13 @@ def q15_top_supplier(sf_dir: str) -> pd.DataFrame:
             return per
         return per[per["u"] == per["u"].max()]
 
-    cand = hash_combine(
-        li.map_batches(partial, batch_format="pandas"), ["sk"], local_max,
-        num_partitions=8,
-    ).to_pandas()
+    cand = typed_pandas(
+        hash_combine(
+            li.map_batches(partial, batch_format="pandas"), ["sk"],
+            local_max, num_partitions=8,
+        ),
+        {"sk": "int64", "u": "int64"},
+    )
     best = cand[cand["u"] == cand["u"].max()]
     names = pd.read_parquet(
         f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"]
@@ -1326,8 +1353,10 @@ def q8_market_share(
         return df.groupby("o_year", as_index=False)[["u", "t"]].sum()
 
     agg = (
-        joined.map_batches(year_partial, batch_format="pandas")
-        .to_pandas()
+        typed_pandas(
+            joined.map_batches(year_partial, batch_format="pandas"),
+            {"o_year": "int64", "u": "int64", "t": "int64"},
+        )
         .groupby("o_year", as_index=False)[["u", "t"]]
         .sum()
     )
@@ -1954,9 +1983,13 @@ def q20_excess_suppliers(
         # only the distinct supplier ids leave the partition
         return q[["sk"]].drop_duplicates()
 
-    sks = hash_combine(
-        li.map_batches(li_prep, batch_format="pandas"), ["sk", "pk"], combine
-    ).to_pandas()
+    sks = typed_pandas(
+        hash_combine(
+            li.map_batches(li_prep, batch_format="pandas"), ["sk", "pk"],
+            combine,
+        ),
+        {"sk": "int64"},
+    )
     supp = pd.read_parquet(
         f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name",
                                                "s_nationkey"],
@@ -2048,7 +2081,10 @@ def copurchase_pairs(sf_dir: str, k: int = 20) -> pd.DataFrame:
             ["n", "pa", "pb"], ascending=[False, True, True]
         ).head(k)
 
-    cand = hash_combine(pair_counts, ["pa", "pb"], topk).to_pandas()
+    cand = typed_pandas(
+        hash_combine(pair_counts, ["pa", "pb"], topk),
+        {"pa": "int64", "pb": "int64", "n": "int64"},
+    )
     out = cand.sort_values(
         ["n", "pa", "pb"], ascending=[False, True, True], ignore_index=True
     ).head(k)
@@ -2222,6 +2258,7 @@ def triangle_stats(sf_dir: str) -> pd.DataFrame:
             batch_format="pandas",
         )
         .to_pandas()
+        .reindex(columns=["node", "d"])  # typed when edge stream is empty
         .groupby("node", as_index=False)["d"]
         .sum()
     )
@@ -2237,6 +2274,14 @@ def triangle_stats(sf_dir: str) -> pd.DataFrame:
         )
     nodes_sorted = d_by_node["node"].to_numpy(np.int64)
     dvals = d_by_node["d"].to_numpy(np.int64)
+    # (a<<32)|b packing is injective ONLY while node ids fit 32 bits
+    # (TPC-H partkey crosses 2^32 near sf ~21k — ADVICE r4); fail loudly
+    # rather than silently alias edges past that.
+    if n_nodes and int(nodes_sorted[-1]) >= 2**32:
+        raise ValueError(
+            f"triangle_stats: max node id {int(nodes_sorted[-1])} >= 2^32; "
+            "uint64 edge packing would alias — switch to 2-array keys"
+        )
     # the broadcast small side: packed sorted edge keys (a < b always)
     ep = edges.to_pandas()
     packed = np.sort(
@@ -2587,6 +2632,7 @@ def pagerank_parts(
             batch_format="pandas",
         )
         .to_pandas()
+        .reindex(columns=["node", "d"])  # typed when edge stream is empty
         .groupby("node", as_index=False)["d"]
         .sum()
         .sort_values("node", ignore_index=True)
@@ -2882,7 +2928,9 @@ def frequent_triples(sf_dir: str, min_support: int = 2) -> pd.DataFrame:
                 "n"
             ].sum(),
         )
-        .to_pandas()
+    )
+    out = typed_pandas(
+        out, {"a": "int64", "b": "int64", "c": "int64", "n": "int64"}
     )
     out = out[out["n"] >= min_support].sort_values(
         ["a", "b", "c"], ignore_index=True

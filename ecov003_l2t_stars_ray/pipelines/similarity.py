@@ -20,6 +20,8 @@ import pandas as pd
 import ray
 import ray.data
 
+from ..functions.scalars import round6_away as _r6away
+
 
 def _to_matrix(col: pd.Series) -> np.ndarray:
     m = np.stack(col.to_numpy()).astype(np.float64)
@@ -274,13 +276,14 @@ def ivf_near_dups(
     def assign_multi(df: pd.DataFrame) -> pd.DataFrame:
         cc = ray.get(ref)
         m = _to_matrix(df["embedding"])
-        order = np.argsort(-(m @ cc.T), axis=1)[:, :n_probe]
-        n = len(df)
+        # tiny corpora can fit fewer centroids than n_probe — clamp
+        p = min(n_probe, cc.shape[0])
+        order = np.argsort(-(m @ cc.T), axis=1)[:, :p]
         return pd.DataFrame(
             {
                 "centroid": order.reshape(-1).astype(np.int32),
-                "vec_id": np.repeat(df["vec_id"].to_numpy(), n_probe),
-                "emb": list(np.repeat(m, n_probe, axis=0)),
+                "vec_id": np.repeat(df["vec_id"].to_numpy(), p),
+                "emb": list(np.repeat(m, p, axis=0)),
             }
         )
 
@@ -401,7 +404,7 @@ def kmeans_embed(sf_dir: str, k: int = 8, iters: int = 8) -> pd.DataFrame:
             {
                 "vec_id": df["vec_id"].to_numpy(),
                 "cluster": a.astype(np.int64),
-                "cosine": np.round(sims[np.arange(len(a)), a], 6),
+                "cosine": _r6away(sims[np.arange(len(a)), a]),
             }
         )
 

@@ -36,7 +36,7 @@ import numpy as np
 import pandas as pd
 import ray.data
 
-from ..functions.shuffle import hash_combine
+from ..functions.shuffle import hash_combine, typed_pandas
 from .analytics import _events
 
 

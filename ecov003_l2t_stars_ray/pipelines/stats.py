@@ -25,7 +25,7 @@ import pandas as pd
 import ray
 import ray.data
 
-from ..functions.shuffle import hash_combine
+from ..functions.shuffle import hash_combine, typed_pandas
 
 US = 1_000_000
 HOUR_US = 3600 * US
@@ -497,12 +497,14 @@ def mann_whitney_auc(
     two_r1 = int((n1 * (2 * below + tot + 1)).sum())
     N1, N2 = int(n1.sum()), int(n2.sum())
     num = two_r1 - N1 * (N1 + 1)
+    # degenerate guard: AUC is undefined when either sample is empty
+    auc = float(_r6away(num / (2 * N1 * N2))) if N1 and N2 else float("nan")
     return pd.DataFrame(
         {
             "n_a": [np.int64(N1)],
             "n_b": [np.int64(N2)],
             "u_stat": [num / 2.0],
-            "auc": [float(_r6away(num / (2 * N1 * N2)))],
+            "auc": [auc],
         }
     )
 
@@ -616,13 +618,17 @@ def autocorr_lag1_hourly(sf_dir: str) -> pd.DataFrame:
         dense = np.zeros(H, np.int64)
         dense[g["hr"].to_numpy(np.int64) - lo] = g["c"].to_numpy(np.int64)
         x, y = dense[:-1], dense[1:]
-        n = np.int64(H - 1)
-        sx, sy = int(x.sum()), int(y.sum())
-        sxx, syy = int((x * x).sum()), int((y * y).sum())
-        sxy = int((x * y).sum())
+        n = H - 1
+        # moment lanes in PYTHON ints end-to-end (ADVICE r4: (x*x).sum()
+        # inside int64 overflows near per-hour counts ~3e9 where the
+        # HUGEINT oracle would not; the H-length loop is negligible)
+        sx, sy = sum(int(v) for v in x), sum(int(v) for v in y)
+        sxx = sum(int(v) * int(v) for v in x)
+        syy = sum(int(v) * int(v) for v in y)
+        sxy = sum(int(a) * int(b) for a, b in zip(x, y))
         num = float(n * sxy - sx * sy)
         den = np.sqrt(float(n * sxx - sx * sx) * float(n * syy - sy * sy))
-        rows.append((t, n, float(_r6away(num / den))))
+        rows.append((t, np.int64(n), float(_r6away(num / den))))
     return pd.DataFrame(
         rows, columns=["event_type", "n_pairs", "autocorr"]
     ).sort_values("event_type", ignore_index=True)
@@ -677,14 +683,17 @@ def ks_test_values(
     )
     c1 = np.cumsum(h["n1"].to_numpy(np.int64))
     c2 = np.cumsum(h["n2"].to_numpy(np.int64))
-    N1, N2 = int(c1[-1]), int(c2[-1])
-    dn = int(np.abs(c1 * N2 - c2 * N1).max())
+    N1 = int(c1[-1]) if len(c1) else 0
+    N2 = int(c2[-1]) if len(c2) else 0
+    dn = int(np.abs(c1 * N2 - c2 * N1).max()) if len(c1) else 0
+    # degenerate guard: the statistic is undefined on an empty sample
+    ks = float(_r6away(dn / (N1 * N2))) if N1 and N2 else float("nan")
     return pd.DataFrame(
         {
             "n_a": [np.int64(N1)],
             "n_b": [np.int64(N2)],
             "ks_num": [np.int64(dn)],
-            "ks_stat": [float(_r6away(dn / (N1 * N2)))],
+            "ks_stat": [ks],
         }
     )
 
@@ -1007,9 +1016,14 @@ def nation_revenue_hhi(sf_dir: str) -> pd.DataFrame:
     join, same contract as ``dq_audit``); per-nation (n, sum, sum-of-
     squares) int64 lanes reduce to a nation-sized table.
 
-    Exactness: cents^2 sums stay below 2^63 through ~sf1 on this schema
-    (documented two-lane split past that); the HHI is ONE mirrored
-    float chain over three exact int64 lanes."""
+    Exactness: cents^2 itself fits int64 (bound: per-customer cents
+    < 3.03e9, i.e. ~$30M — far past any sf here), but the SUM of
+    squares crosses 2^63 already at sf0.1 (~4e19; DuckDB's SUM(BIGINT)
+    returns HUGEINT, our int64 lane wrapped NEGATIVE — caught by the
+    r5 sf0.1 gate). The square therefore rides TWO int64 lanes
+    (hi = sq >> 30, lo = sq & (2^30-1)); each lane's sum stays exact
+    through ~6e8 customers per nation, and the driver reassembles the
+    exact Python-int total before the ONE mirrored float chain."""
     cust = pd.read_parquet(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
     )
@@ -1024,12 +1038,14 @@ def nation_revenue_hhi(sf_dir: str) -> pd.DataFrame:
     def lanes(df: pd.DataFrame) -> pd.DataFrame:
         nm = ray.get(nmap_ref)
         c = df["cents"].to_numpy(np.int64)
+        sq = c * c  # exact: cents < 3.03e9 by schema bound
         d = pd.DataFrame(
             {
                 "n_name": nm.reindex(df["cust"].to_numpy(np.int64)).to_numpy(),
                 "n_customers": np.ones(len(c), dtype=np.int64),
                 "total_cents": c,
-                "sq": c * c,
+                "sq_hi": sq >> np.int64(30),
+                "sq_lo": sq & np.int64((1 << 30) - 1),
             }
         )
         return d.groupby("n_name", as_index=False).sum()
@@ -1039,13 +1055,21 @@ def nation_revenue_hhi(sf_dir: str) -> pd.DataFrame:
         .map_batches(lanes, batch_format="pandas")
         .to_pandas()
         .groupby("n_name", as_index=False)[
-            ["n_customers", "total_cents", "sq"]
+            ["n_customers", "total_cents", "sq_hi", "sq_lo"]
         ]
         .sum()
         .sort_values("n_name", ignore_index=True)
     )
     s = out["total_cents"].to_numpy(np.int64).astype(np.float64)
-    sq = out["sq"].to_numpy(np.int64).astype(np.float64)
+    # exact HUGEINT-equivalent reassembly in Python ints, then ONE
+    # float cast per nation (mirrors the oracle's HUGEINT -> DOUBLE)
+    sq = np.array(
+        [
+            float((int(h) << 30) + int(lo))
+            for h, lo in zip(out["sq_hi"], out["sq_lo"])
+        ],
+        dtype=np.float64,
+    )
     return pd.DataFrame(
         {
             "n_name": out["n_name"].astype(str),

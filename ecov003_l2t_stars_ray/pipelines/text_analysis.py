@@ -11,6 +11,7 @@ import numpy as np
 import pandas as pd
 import ray.data
 
+from ..functions.scalars import round6_away as _r6away
 from ..functions.text import (
     detect_language,
     fingerprint_md5,
@@ -54,8 +55,8 @@ def doc_quality(sf_dir: str) -> pd.DataFrame:
                 "doc_id": out["doc_id"],
                 "n_tokens": out["n_tokens"],
                 "n_punct": out["n_punct"],
-                "avg_token_len": out["avg_token_len"].round(6),
-                "punct_ratio": out["punct_ratio"].round(6),
+                "avg_token_len": _r6away(out["avg_token_len"]),
+                "punct_ratio": _r6away(out["punct_ratio"]),
             }
         )
 
@@ -191,10 +192,10 @@ def doc_repetition(sf_dir: str) -> pd.DataFrame:
                 "doc_id": n_words.index.to_numpy(),
                 "n_words": n_words.to_numpy(dtype=np.int64),
                 "n_distinct": n_distinct.to_numpy(dtype=np.int64),
-                "dup_word_frac": np.round(
-                    1.0 - n_distinct.to_numpy(dtype=np.float64) / nw, 6),
-                "top_word_frac": np.round(
-                    top.to_numpy(dtype=np.float64) / nw, 6),
+                "dup_word_frac": _r6away(
+                    1.0 - n_distinct.to_numpy(dtype=np.float64) / nw),
+                "top_word_frac": _r6away(
+                    top.to_numpy(dtype=np.float64) / nw),
             }
         )
 

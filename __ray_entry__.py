@@ -29,6 +29,7 @@ from typing import Any
 
 import ecov003_l2t_stars_ray  # noqa: F401  (flips the numpy THP switch)
 from ecov003_l2t_stars_ray.functions.scalars import round6_away as _r6away
+from ecov003_l2t_stars_ray.functions.shuffle import typed_empty as _typed_empty
 import numpy as np
 import pandas as pd
 
@@ -88,6 +89,15 @@ def _derive_transcripts(sf_dir: str):
         except OSError:  # another process won the publish race
             shutil.rmtree(tmp_dir, ignore_errors=True)
     shards = sorted(glob.glob(os.path.join(out_dir, "*.parquet")))
+    if not shards:  # 0-row events: write_parquet emitted no files
+        import pyarrow as pa
+
+        sch = pa.schema(
+            [("conv_id", pa.string()), ("turn_idx", pa.int32()),
+             ("role", pa.string()), ("text", pa.string()),
+             ("tool", pa.string()), ("ts", pa.timestamp("us"))]
+        )
+        return ray.data.from_arrow(sch.empty_table())
     return ray.data.read_parquet(shards)
 
 
@@ -188,6 +198,9 @@ def _ann_topk(sf_dir: str) -> pd.DataFrame:
     emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
     qdf = emb.to_pandas()
     qdf = qdf[qdf["vec_id"] < 8].sort_values("vec_id")
+    if len(qdf) == 0:  # all rows filtered upstream (q11 class)
+        return _typed_empty(query_id=np.int64, vec_id=np.int64,
+                            cosine=np.float64)
     out = brute_force_topk(
         emb,
         qdf["vec_id"].to_numpy(),
@@ -206,6 +219,9 @@ def _srp_ann(sf_dir: str) -> pd.DataFrame:
     emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
     qdf = emb.to_pandas()
     qdf = qdf[qdf["vec_id"] < 8].sort_values("vec_id")
+    if len(qdf) == 0:  # all rows filtered upstream (q11 class)
+        return _typed_empty(query_id=np.int64, vec_id=np.int64,
+                            cosine=np.float64)
     idx = SRPIndexedSearch(n_planes=8, seed=7, dim=len(qdf["embedding"].iloc[0]))
     indexed = idx.build(emb)
     out = idx.search(
@@ -260,6 +276,9 @@ def _ivf_ann(sf_dir: str) -> pd.DataFrame:
     emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
     qdf = emb.to_pandas()
     qdf = qdf[qdf["vec_id"] < 8].sort_values("vec_id")
+    if len(qdf) == 0:  # all rows filtered upstream (q11 class)
+        return _typed_empty(query_id=np.int64, vec_id=np.int64,
+                            cosine=np.float64)
     idx = IVFIndex(n_centroids=8, n_probe=4, seed=11).fit(emb)
     out = idx.search(
         idx.build(emb), qdf["vec_id"].to_numpy(),
@@ -412,6 +431,11 @@ def _trend_1h(sf_dir: str) -> pd.DataFrame:
 
     tiers = rollup_tiers(_derive_transcripts(sf_dir), smooth=True)
     out = trend_stage(tiers, tier="1h", window=16).to_pandas()
+    if len(out) == 0:  # all rows filtered upstream (q11 class)
+        return _typed_empty(conv_id=object, metric=object,
+                            bucket_start="datetime64[us]",
+                            slope=np.float64, r2=np.float64,
+                            n_obs=np.int64)
     out["slope"] = _r6away(out["slope"])
     out["r2"] = _r6away(out["r2"])
     return out.sort_values(["conv_id", "metric", "bucket_start"], ignore_index=True)

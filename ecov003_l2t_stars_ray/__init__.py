@@ -209,10 +209,18 @@ try:
                             else:
                                 ncols = 0
                             if ncols > 0:
-                                res = fn(batch)
-                                if not isinstance(res, _GenType):
-                                    res = [res]
-                                yield from res
+                                # a UDF not total on 0-row input loses its
+                                # schema carrier but must never crash (nor
+                                # emit an input-schema block that would
+                                # pollute a mixed concat) — drop the batch
+                                try:
+                                    res = fn(batch)
+                                    out = (list(res)
+                                           if isinstance(res, _GenType)
+                                           else [res])
+                                except Exception:
+                                    out = []
+                                yield from out
                                 continue
                         yield from tf([batch], ctx)
                 return gen()

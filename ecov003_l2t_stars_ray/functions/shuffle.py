@@ -103,6 +103,14 @@ def typed_pandas(ds: ray.data.Dataset, dtypes: dict[str, str]) -> pd.DataFrame:
     return pdf
 
 
+def typed_empty(**dtypes) -> pd.DataFrame:
+    """Typed 0-row frame — the standard early-return for a driver-side
+    reducer whose distributed input lost every row to a filter (the q11
+    sf0.1 crash class): keeps the query's output schema intact instead
+    of raising on a column-less frame."""
+    return pd.DataFrame({c: pd.Series(dtype=t) for c, t in dtypes.items()})
+
+
 def _restore_dtypes(df: pd.DataFrame, dtypes: dict[str, str]) -> pd.DataFrame:
     """Cast columns back to their pre-union dtypes (the None-padding the
     union adds upcasts other-side columns to object within each block)."""

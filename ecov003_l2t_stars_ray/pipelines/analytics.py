@@ -25,7 +25,7 @@ import ray
 import ray.data
 
 from ..functions.scalars import round6_away as _r6away
-from ..functions.shuffle import hash_combine, typed_pandas
+from ..functions.shuffle import hash_combine, typed_empty, typed_pandas
 
 US = 1_000_000
 WIDTHS = {"1m": 60 * US, "1h": 3600 * US, "1d": 86400 * US}
@@ -91,13 +91,22 @@ def _dense_1m(sf_dir: str, columns: list[str]) -> pd.DataFrame:
     store, which spills under pressure), not a driver frame — the bucket
     axis grows linearly with the time span, so driver RSS must only pay
     for the columns a single query projects out."""
-    if sf_dir in _DENSE_1M_CACHE:
+    def _proj(dense: ray.data.Dataset) -> pd.DataFrame:
+        if dense.schema() is None:  # all rows filtered (q11 class);
+            # materialized => no execution cost, schema statically known
+            kinds = {"user_id": np.int64, "bucket_start": "datetime64[us]",
+                     "n": np.int64, "gap_filled": bool,
+                     "observed_recently": bool, "value": np.float64,
+                     "value_sd": np.float64}
+            return typed_empty(**{c: kinds[c] for c in columns})
         return (
-            _DENSE_1M_CACHE[sf_dir]
-            .select_columns(columns)
+            dense.select_columns(columns)
             .to_pandas()
             .sort_values(["user_id", "bucket_start"], ignore_index=True)
         )
+
+    if sf_dir in _DENSE_1M_CACHE:
+        return _proj(_DENSE_1M_CACHE[sf_dir])
     ds = _events(sf_dir, ["user_id", "ts"])
     width = WIDTHS["1m"]
 
@@ -164,11 +173,7 @@ def _dense_1m(sf_dir: str, columns: list[str]) -> pd.DataFrame:
     ).materialize()
     _DENSE_1M_CACHE.clear()
     _DENSE_1M_CACHE[sf_dir] = dense
-    return (
-        dense.select_columns(columns)
-        .to_pandas()
-        .sort_values(["user_id", "bucket_start"], ignore_index=True)
-    )
+    return _proj(dense)
 
 
 def gap_fill_1m(sf_dir: str) -> pd.DataFrame:
@@ -1491,11 +1496,13 @@ def window_rank(sf_dir: str) -> pd.DataFrame:
              "running_sum": _r6away(running.astype(np.float64) / 100.0)}
         )
 
-    return (
-        hash_combine(ds, ["user_id"], combine)
-        .to_pandas()
-        .sort_values("event_id", ignore_index=True)
-    )
+    out = hash_combine(ds, ["user_id"], combine).to_pandas()
+    if len(out) == 0:  # all rows filtered upstream (q11 class)
+        return typed_empty(event_id=np.int64, user_id=np.int64,
+                           rn=np.int64, value_rank=np.int64,
+                           prev_value=np.float64, next_value=np.float64,
+                           running_sum=np.float64)
+    return out.sort_values("event_id", ignore_index=True)
 
 
 def trend_ols_1h(sf_dir: str, window: int = 24) -> pd.DataFrame:
@@ -1695,6 +1702,9 @@ def attribution_window_30m(sf_dir: str) -> pd.DataFrame:
         ds.map_batches(rows, batch_format="pandas"), ["user_id"], combine,
         num_partitions=16,
     ).to_pandas()
+    if len(out) == 0:  # all rows filtered upstream (q11 class)
+        return typed_empty(event_id=np.int64, user_id=np.int64,
+                           ts="datetime64[us]", n_views_30m=np.int64)
     out["ts"] = out.pop("ts_us").to_numpy().view("datetime64[us]")
     return out[["event_id", "user_id", "ts", "n_views_30m"]].sort_values(
         "event_id", ignore_index=True
@@ -1910,12 +1920,11 @@ def peak_concurrency(sf_dir: str, hold_s: int = 300) -> pd.DataFrame:
             rows, columns=["event_type", "bsum", "bmax", "t_lo"]
         )
 
-    parts = (
-        merged.map_batches(block_stats, batch_format="pandas")
-        .to_pandas()
-        .sort_values(["event_type", "t_lo"], kind="mergesort",
-                     ignore_index=True)
-    )
+    parts = merged.map_batches(block_stats, batch_format="pandas").to_pandas()
+    if len(parts) == 0:  # all rows filtered upstream (q11 class)
+        return typed_empty(event_type=object, peak_concurrent=np.int64)
+    parts = parts.sort_values(["event_type", "t_lo"], kind="mergesort",
+                              ignore_index=True)
     out = []
     for et, g in parts.groupby("event_type", sort=True):
         off = np.concatenate(

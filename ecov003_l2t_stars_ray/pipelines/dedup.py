@@ -1043,7 +1043,10 @@ class _LevenshteinScan:
         if c in self.cache:
             return self.cache[c]
         tbl = _ray.get(self.refs[c])
-        s = tbl["s"].to_pandas().to_numpy(dtype=object)
+        if "s" not in tbl.column_names:  # schema-less empty chunk (q11 class)
+            s = np.array([], dtype=object)
+        else:
+            s = tbl["s"].to_pandas().to_numpy(dtype=object)
         lens = np.fromiter((len(x) for x in s), dtype=np.int64, count=len(s))
         if len(s) and lens.max() > self.MAX_LEN:
             raise ValueError(
@@ -1280,6 +1283,13 @@ def sorted_neighborhood_pairs(sf_dir: str, w: int = 3) -> pd.DataFrame:
         return pd.concat([pairs, bnd], ignore_index=True)
 
     raw = s.map_batches(block_pairs, batch_format="pandas").to_pandas()
+    if len(raw) == 0:  # all rows filtered upstream (q11 class)
+        return pd.DataFrame(
+            {"lang": pd.Series(dtype=object),
+             "doc_a": pd.Series(dtype=np.int64),
+             "doc_b": pd.Series(dtype=np.int64),
+             "char_diff": pd.Series(dtype=np.int64)}
+        )
     pairs = raw[raw["kind"] == 0][["lang", "doc_a", "doc_b", "char_diff"]]
     bnd = raw[raw["kind"] == 1].copy()
     if len(bnd):
@@ -1358,18 +1368,20 @@ def incremental_dedup(sf_dir: str) -> pd.DataFrame:
         columns=["doc_id", "source", "text"],
     )
     # the split point: lower half = prior snapshot, upper half = new
-    cut = int(
-        ds.map_batches(
-            lambda df: pd.DataFrame(
-                {"lo": [int(df["doc_id"].min())],
-                 "hi": [int(df["doc_id"].max())]}
-            ),
-            batch_format="pandas",
+    mm = ds.map_batches(
+        lambda df: pd.DataFrame(
+            {"lo": [int(df["doc_id"].min())],
+             "hi": [int(df["doc_id"].max())]}
+        ),
+        batch_format="pandas",
+    ).to_pandas()
+    if len(mm) == 0:  # all rows filtered upstream (q11 class)
+        return pd.DataFrame(
+            {"source": pd.Series(dtype=object),
+             "n_new": pd.Series(dtype=np.int64),
+             "n_dup_vs_prior": pd.Series(dtype=np.int64)}
         )
-        .to_pandas()
-        .agg({"lo": "min", "hi": "max"})
-        .pipe(lambda s: (s["lo"] + s["hi"]) // 2)
-    )
+    cut = int((int(mm["lo"].min()) + int(mm["hi"].max())) // 2)
 
     def project(df: pd.DataFrame) -> pd.DataFrame:
         fp = df["text"].astype(str).map(

@@ -22,7 +22,7 @@ import pandas as pd
 import ray
 import ray.data
 
-from ..functions.shuffle import hash_combine, typed_pandas
+from ..functions.shuffle import hash_combine, typed_empty, typed_pandas
 
 US = 1_000_000
 HOUR_US = 3600 * US
@@ -1749,6 +1749,9 @@ def rfm_segments(sf_dir: str) -> pd.DataFrame:
     out = hash_combine(
         ds.map_batches(partial, batch_format="pandas"), ["custkey"], combine
     ).to_pandas()
+    if len(out) == 0:  # all rows filtered upstream (q11 class)
+        return typed_empty(custkey=np.int64, recency_days=np.int64,
+                           frequency=np.int64, monetary=np.float64)
     out = out.sort_values("custkey", ignore_index=True)
     anchor = int(out["maxday"].max())
     return pd.DataFrame(
@@ -2360,15 +2363,12 @@ def growth_accounting(sf_dir: str) -> pd.DataFrame:
             .rename(columns={"size": "n"})
         )
 
-    out = (
-        hash_combine(
-            ds.map_batches(partial, batch_format="pandas"), ["user_id"],
-            combine,
-        )
-        .to_pandas()
-        .groupby(["week", "status"], as_index=False)["n"]
-        .sum()
-    )
+    out = hash_combine(
+        ds.map_batches(partial, batch_format="pandas"), ["user_id"], combine
+    ).to_pandas()
+    if len(out) == 0:  # all rows filtered upstream (q11 class)
+        return typed_empty(week=np.int64, status=object, n=np.int64)
+    out = out.groupby(["week", "status"], as_index=False)["n"].sum()
     max_w = int(out.loc[out["status"] != "churned", "week"].max())
     out = out[out["week"] <= max_w].sort_values(
         ["week", "status"], ignore_index=True

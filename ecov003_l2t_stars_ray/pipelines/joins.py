@@ -33,7 +33,7 @@ import ray
 import ray.data
 
 from ..functions.scalars import round6_away as _r6away
-from ..functions.shuffle import hash_combine, hash_join, typed_pandas
+from ..functions.shuffle import hash_combine, hash_join, typed_empty, typed_pandas
 
 CUTOFF = pd.Timestamp("2000-01-01")
 
@@ -236,7 +236,10 @@ def q5_local_supplier(sf_dir: str) -> pd.DataFrame:
         f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name", "n_regionkey"]
     )
     region = pd.read_parquet(f"{sf_dir}/region.parquet")
-    asia_key = region.loc[region["r_name"] == "ASIA", "r_regionkey"].iloc[0]
+    asia_sel = region.loc[region["r_name"] == "ASIA", "r_regionkey"]
+    if len(asia_sel) == 0:  # empty dimension tables (q11 class)
+        return typed_empty(n_name=object, revenue=np.float64)
+    asia_key = asia_sel.iloc[0]
     asia = nation[nation["n_regionkey"] == asia_key]
     name_of = asia.set_index("n_nationkey")["n_name"]
 
@@ -1262,13 +1265,16 @@ def q8_market_share(
     is ONE int/int division + round(6) mirrored in the oracle."""
     nat = pd.read_parquet(f"{sf_dir}/nation.parquet")
     reg = pd.read_parquet(f"{sf_dir}/region.parquet")
-    rk = reg.loc[reg["r_name"].astype(str) == region, "r_regionkey"].iloc[0]
+    rk_sel = reg.loc[reg["r_name"].astype(str) == region, "r_regionkey"]
+    nk_sel = nat.loc[nat["n_name"].astype(str) == nation, "n_nationkey"]
+    if len(rk_sel) == 0 or len(nk_sel) == 0:  # empty dims (q11 class)
+        return typed_empty(o_year=np.int64, mkt_share=np.float64,
+                           total_revenue=np.float64)
+    rk = rk_sel.iloc[0]
     region_nations = set(
         nat.loc[nat["n_regionkey"] == rk, "n_nationkey"].astype(np.int64)
     )
-    target_key = int(
-        nat.loc[nat["n_name"].astype(str) == nation, "n_nationkey"].iloc[0]
-    )
+    target_key = int(nk_sel.iloc[0])
 
     cust = pd.read_parquet(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
@@ -1557,6 +1563,9 @@ def q11_concentrated_parts(
         ),
         batch_format="pandas",
     ).to_pandas()
+    if len(sums) == 0:  # all rows filtered upstream (q11 class)
+        return typed_empty(partkey=np.int64, value_u=np.int64,
+                           part_value=np.float64)
     total = int(sums["s"].sum())
     n_parts = int(sums["n"].sum())
     if denom is None:

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import os
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray
@@ -263,6 +264,14 @@ def write_tiers(tiers: ray.data.Dataset, out_dir: str) -> None:
 def tiers_to_pandas(tiers: ray.data.Dataset) -> pd.DataFrame:
     """Materialize tier rows for tests/small results (sorted, stable)."""
     df = tiers.to_pandas()
+    if len(df) == 0:  # empty source (q11 class): keep the tier schema
+        kinds = dict(conv_id=object, metric=object, tier=object,
+                     bucket_start="datetime64[us]", count=np.int64,
+                     gap_filled=bool)
+        return pd.DataFrame(
+            {c: pd.Series(dtype=kinds.get(c, np.float64))
+             for c in TIER_OUT_COLUMNS}
+        )
     for c in ("conv_id", "metric", "tier"):  # dictionary -> plain strings
         df[c] = df[c].astype(str)
     df = df[~df["metric"].str.startswith("_")]  # bookkeeping rows

@@ -21,6 +21,7 @@ import ray
 import ray.data
 
 from ..functions.scalars import round6_away as _r6away
+from ..functions.shuffle import typed_empty
 
 
 def _to_matrix(col: pd.Series) -> np.ndarray:
@@ -184,6 +185,9 @@ class IVFIndex:
 
     def fit(self, emb: ray.data.Dataset, sample_size: int = 2048) -> "IVFIndex":
         sample = emb.limit(sample_size).to_pandas()
+        if len(sample) == 0:  # empty corpus (q11 class): no centroids
+            self.centroids = np.zeros((0, 1), dtype=np.float64)
+            return self
         m = _to_matrix(sample["embedding"])
         rng = np.random.default_rng(self.seed)
         c = m[rng.choice(len(m), size=min(self.n_centroids, len(m)), replace=False)]
@@ -271,6 +275,9 @@ def ivf_near_dups(
     from ..functions.shuffle import hash_combine
 
     idx = IVFIndex(n_centroids=n_centroids, n_probe=n_probe, seed=seed).fit(emb)
+    if idx.centroids is None or len(idx.centroids) == 0:  # empty corpus
+        return typed_empty(vec_a=np.int64, vec_b=np.int64,
+                           cosine=np.float64)
     ref = ray.put(idx.centroids)
 
     def assign_multi(df: pd.DataFrame) -> pd.DataFrame:
@@ -356,9 +363,11 @@ def kmeans_embed(sf_dir: str, k: int = 8, iters: int = 8) -> pd.DataFrame:
     seed_df = (
         emb.map_batches(md5_bottomk, batch_format="pandas")
         .to_pandas()
-        .sort_values(["h", "vec_id"], kind="mergesort")
-        .head(k)
     )
+    if len(seed_df) == 0:  # empty corpus (q11 class)
+        return typed_empty(vec_id=np.int64, cluster=np.int64,
+                           cosine=np.float64)
+    seed_df = seed_df.sort_values(["h", "vec_id"], kind="mergesort").head(k)
     c = _to_matrix(seed_df["embedding"])
 
     def partial_update(ref):
@@ -453,6 +462,8 @@ def label_compactness(sf_dir: str) -> pd.DataFrame:
         )
 
     parts = ds.map_batches(sums, batch_format="pandas").to_pandas()
+    if len(parts) == 0:  # empty corpus (q11 class)
+        return typed_empty(label=np.int64, n=np.int64, mean_cos=np.float64)
     agg = parts.groupby("label")
     labels = np.array(sorted(parts["label"].unique()), dtype=np.int64)
     cent = {}
@@ -532,10 +543,12 @@ def embedding_dim_variance(sf_dir: str) -> pd.DataFrame:
             }
         )
 
+    mo = ds.map_batches(moments, batch_format="pandas").to_pandas()
+    if len(mo) == 0:  # empty corpus (q11 class)
+        return typed_empty(dim=np.int64, n=np.int64, mean_x=np.float64,
+                           var_x=np.float64)
     agg = (
-        ds.map_batches(moments, batch_format="pandas")
-        .to_pandas()
-        .groupby("dim", as_index=False)[["n", "s1", "s2"]]
+        mo.groupby("dim", as_index=False)[["n", "s1", "s2"]]
         .sum()
         .sort_values("dim", ignore_index=True)
     )

@@ -36,7 +36,7 @@ import numpy as np
 import pandas as pd
 import ray.data
 
-from ..functions.shuffle import hash_combine, typed_pandas
+from ..functions.shuffle import hash_combine, typed_empty, typed_pandas
 from .analytics import _events
 
 
@@ -228,12 +228,14 @@ def tdigest_latency_quantiles(
                            for q, v in zip(qs, qv)}})
         return pd.DataFrame(out)
 
-    return (
-        hash_combine(hash_combine(ds, ["user_id"], gaps_partial),
-                     ["user_id"], finalize)
-        .to_pandas()
-        .sort_values("user_id", ignore_index=True)
-    )
+    out = hash_combine(
+        hash_combine(ds, ["user_id"], gaps_partial), ["user_id"], finalize
+    ).to_pandas()
+    if len(out) == 0:  # all rows filtered upstream (q11 class)
+        return typed_empty(user_id=np.int64, n_gaps=np.int64,
+                           **{f"p{int(q * 100):02d}_s": np.float64
+                              for q in qs})
+    return out.sort_values("user_id", ignore_index=True)
 
 
 # ------------------------------------------------------------- HyperLogLog
@@ -303,14 +305,13 @@ def hll_distinct(sf_dir: str, p: int = 12) -> pd.DataFrame:
                         "approx_distinct": round(_hll_estimate(regs))})
         return pd.DataFrame(out)
 
-    return (
-        hash_combine(
-            ds.map_batches(partial, batch_format="pandas"), ["event_type"],
-            combine,
-        )
-        .to_pandas()
-        .sort_values("event_type", ignore_index=True)
-    )
+    out = hash_combine(
+        ds.map_batches(partial, batch_format="pandas"), ["event_type"],
+        combine,
+    ).to_pandas()
+    if len(out) == 0:  # all rows filtered upstream (q11 class)
+        return typed_empty(event_type=object, approx_distinct=np.int64)
+    return out.sort_values("event_type", ignore_index=True)
 
 
 # --------------------------------------------- stratified deterministic sample

@@ -25,7 +25,7 @@ import pandas as pd
 import ray
 import ray.data
 
-from ..functions.shuffle import hash_combine, typed_pandas
+from ..functions.shuffle import hash_combine, typed_empty, typed_pandas
 
 US = 1_000_000
 HOUR_US = 3600 * US
@@ -105,11 +105,12 @@ def gini_revenue(sf_dir: str) -> pd.DataFrame:
             }
         )
 
-    parts = (
-        totals.map_batches(block_stats, batch_format="pandas")
-        .to_pandas()
-        .sort_values(["minc", "maxc"], kind="mergesort", ignore_index=True)
-    )
+    parts = totals.map_batches(block_stats, batch_format="pandas").to_pandas()
+    if len(parts) == 0:  # all rows filtered upstream (q11 class)
+        return typed_empty(n_customers=np.int64, total_revenue=np.float64,
+                           gini=np.float64)
+    parts = parts.sort_values(["minc", "maxc"], kind="mergesort",
+                              ignore_index=True)
     n = int(parts["n"].sum())
     sx = int(parts["sx"].sum())
     nb = parts["n"].to_numpy(np.int64)
@@ -141,14 +142,14 @@ def pareto_revenue_share(sf_dir: str, pcts=(50, 80, 90)) -> pd.DataFrame:
     pct*total is tie-order invariant (equal values contribute identical
     prefix multisets), so no tiebreak column is needed on either side."""
     totals = _per_customer_cents(sf_dir).materialize()
-    sx = int(
-        totals.map_batches(
-            lambda df: pd.DataFrame({"s": [df["cents"].sum()]}),
-            batch_format="pandas",
-        )
-        .to_pandas()["s"]
-        .sum()
-    )
+    stp = totals.map_batches(
+        lambda df: pd.DataFrame({"s": [df["cents"].sum()]}),
+        batch_format="pandas",
+    ).to_pandas()
+    if len(stp) == 0:  # all rows filtered upstream (q11 class)
+        return typed_empty(pct=np.int64, n_customers=np.int64,
+                           revenue_covered=np.float64)
+    sx = int(stp["s"].sum())
     pcts = sorted(int(p) for p in pcts)
     hi = max(pcts)
     n_cov = {p: 0 for p in pcts}
@@ -335,6 +336,9 @@ def dod_revenue(sf_dir: str) -> pd.DataFrame:
         .sum()
         .sort_values("day", ignore_index=True)
     )
+    if len(agg) == 0:  # all rows filtered upstream (q11 class)
+        return typed_empty(day=np.int64, revenue=np.float64,
+                           pct_change=np.float64)
     cents = agg["cents"].to_numpy(np.int64)
     prev = np.roll(cents.astype(np.float64), 1)
     pct = _r6away(cents.astype(np.float64) / prev - 1.0)
@@ -610,6 +614,9 @@ def autocorr_lag1_hourly(sf_dir: str) -> pd.DataFrame:
         .groupby(["event_type", "hr"], as_index=False)["c"]
         .sum()
     )
+    if len(h) == 0:  # all rows filtered upstream (q11 class)
+        return typed_empty(event_type=object, n_pairs=np.int64,
+                           autocorr=np.float64)
     lo = int(h["hr"].min())
     hi = int(h["hr"].max())
     H = hi - lo + 1
@@ -1054,7 +1061,12 @@ def nation_revenue_hhi(sf_dir: str) -> pd.DataFrame:
         _per_customer_cents(sf_dir)
         .map_batches(lanes, batch_format="pandas")
         .to_pandas()
-        .groupby("n_name", as_index=False)[
+    )
+    if len(out) == 0:  # all rows filtered upstream (q11 class)
+        return typed_empty(n_name=object, n_customers=np.int64,
+                           total_cents=np.int64, hhi=np.float64)
+    out = (
+        out.groupby("n_name", as_index=False)[
             ["n_customers", "total_cents", "sq_hi", "sq_lo"]
         ]
         .sum()
@@ -1125,6 +1137,9 @@ def cusum_changepoint(sf_dir: str) -> pd.DataFrame:
         .groupby(["event_type", "h"], as_index=False)["x"]
         .sum()
     )
+    if len(cnt) == 0:  # all rows filtered upstream (q11 class)
+        return typed_empty(event_type=object, max_cusum=np.int64,
+                           first_hour=np.int64)
     h0, h1 = int(cnt["h"].min()), int(cnt["h"].max())
     H = h1 - h0 + 1
     rows = []
@@ -1185,6 +1200,8 @@ def type_cross_correlation(sf_dir: str) -> pd.DataFrame:
         .groupby(["event_type", "h"], as_index=False)["x"]
         .sum()
     )
+    if len(cnt) == 0:  # all rows filtered upstream (q11 class)
+        return typed_empty(type_a=object, type_b=object, corr=np.float64)
     h0, h1 = int(cnt["h"].min()), int(cnt["h"].max())
     H = h1 - h0 + 1
     types = sorted(cnt["event_type"].unique())
@@ -1487,6 +1504,10 @@ def psi_value_drift(sf_dir: str) -> pd.DataFrame:
         return pd.DataFrame({"lo": [d.min()], "hi": [d.max()]})
 
     mm = ds.map_batches(minmax, batch_format="pandas").to_pandas()
+    if len(mm) == 0 or mm["lo"].isna().all():  # all rows filtered (q11 class)
+        return typed_empty(event_type=object, bin=np.int64,
+                           n_early=np.int64, n_late=np.int64,
+                           psi_term=np.float64)
     cut = (int(mm["lo"].min()) + int(mm["hi"].max())) // 2
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
@@ -1568,6 +1589,9 @@ def acf_profile_hourly(sf_dir: str, max_lag: int = 24) -> pd.DataFrame:
         .groupby(["event_type", "hr"], as_index=False)["c"]
         .sum()
     )
+    if len(h) == 0:  # all rows filtered upstream (q11 class)
+        return typed_empty(event_type=object, lag=np.int64,
+                           n_pairs=np.int64, autocorr=np.float64)
     lo, hi = int(h["hr"].min()), int(h["hr"].max())
     H = hi - lo + 1
     rows = []
@@ -1955,6 +1979,9 @@ def quantile_align_sources(sf_dir: str) -> pd.DataFrame:
         .sum()
     )
     qs = list(range(10, 100, 10))
+    if len(cells) == 0:  # all rows filtered upstream (q11 class)
+        return typed_empty(source=object, q=np.int64, n_docs=np.int64,
+                           src_value=np.int64, global_value=np.int64)
 
     def crossing(vals: np.ndarray, cnts: np.ndarray) -> dict[int, int]:
         order = np.argsort(vals, kind="mergesort")
@@ -2231,6 +2258,10 @@ def order_size_dispersion(sf_dir: str) -> pd.DataFrame:
     c = hist["c"].to_numpy(np.int64)
     n = hist["n_orders"].to_numpy(np.int64)
     tot = int(n.sum())
+    if tot == 0:  # all rows filtered upstream (q11 class)
+        return typed_empty(n_lines=np.int64, n_orders=np.int64,
+                           mean_size=np.float64, var_size=np.float64,
+                           dispersion=np.float64)
     s1 = int((c * n).sum())
     s2 = int((c * c * n).sum())
     mean = float(s1) / float(tot)

@@ -12,6 +12,7 @@ import pandas as pd
 import ray.data
 
 from ..functions.scalars import round6_away as _r6away
+from ..functions.shuffle import typed_empty
 from ..functions.text import (
     detect_language,
     fingerprint_md5,
@@ -380,10 +381,12 @@ def span_dedup_hashed(
     ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
         spans, batch_format="pandas"
     )
+    out = hash_combine(ds, ["h1"], combine).to_pandas()
+    if len(out) == 0:  # all rows filtered upstream (q11 class)
+        return typed_empty(n_docs=np.int64, n_occ=np.int64,
+                           n_spans=np.int64)
     return (
-        hash_combine(ds, ["h1"], combine)
-        .to_pandas()
-        .groupby(["n_docs", "n_occ"], as_index=False)["n_spans"].sum()
+        out.groupby(["n_docs", "n_occ"], as_index=False)["n_spans"].sum()
         .sort_values(["n_docs", "n_occ"], ignore_index=True)
     )
 
@@ -527,11 +530,12 @@ def pack_sequences(sf_dir: str, budget: int = 256) -> pd.DataFrame:
     ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
         partial, batch_format="pandas"
     )
-    return (
-        hash_combine(ds, ["doc_id"], pack, num_partitions=8)
-        .to_pandas()
-        .sort_values("doc_id", ignore_index=True)
-    )
+    out = hash_combine(ds, ["doc_id"], pack, num_partitions=8).to_pandas()
+    if len(out) == 0:  # all rows filtered upstream (q11 class)
+        return typed_empty(doc_id=np.int64, n_tokens=np.int64,
+                           bin_id=np.int64, offset=np.int64,
+                           truncated=bool)
+    return out.sort_values("doc_id", ignore_index=True)
 
 
 class _EvalHits:
@@ -878,14 +882,14 @@ def doc_rarity_score(sf_dir: str) -> pd.DataFrame:
         lambda g: g.groupby("term", as_index=False)["cnt"].sum(),
     ).materialize()  # reduced |vocab| table, reused twice
 
-    total = int(
-        tc.map_batches(
-            lambda df: pd.DataFrame({"s": [np.int64(df["cnt"].sum())]}),
-            batch_format="pandas",
-        )
-        .to_pandas()["s"]
-        .sum()
-    )
+    stp = tc.map_batches(
+        lambda df: pd.DataFrame({"s": [np.int64(df["cnt"].sum())]}),
+        batch_format="pandas",
+    ).to_pandas()
+    if len(stp) == 0:  # all rows filtered upstream (q11 class)
+        return typed_empty(doc_id=np.int64, n_tokens=np.int64,
+                           rarity_u=np.int64, rarity_mean=np.float64)
+    total = int(stp["s"].sum())
 
     def add_bits(df: pd.DataFrame) -> pd.DataFrame:
         q = total // df["cnt"].to_numpy(np.int64)
@@ -1116,6 +1120,10 @@ def k_anonymity_audit(sf_dir: str, k: int = 10) -> pd.DataFrame:
         .sum()
     )
     c = g["c"].to_numpy(np.int64)
+    if len(c) == 0:  # all rows filtered upstream (q11 class)
+        return typed_empty(n_groups=np.int64, min_group_size=np.int64,
+                           n_groups_below_k=np.int64,
+                           n_docs_below_k=np.int64)
     below = c < k
     return pd.DataFrame(
         {
@@ -1297,14 +1305,14 @@ def vocab_encode_docs(sf_dir: str) -> pd.DataFrame:
                  "sum_token_ids": pa.array(sums, pa.int64())}
             )
 
-    out = (
-        ds.map_batches(
-            Encode, fn_constructor_args=(vref,), batch_format="pyarrow",
-            concurrency=(1, 4),
-        )
-        .to_pandas()
-        .sort_values("doc_id", ignore_index=True)
-    )
+    out = ds.map_batches(
+        Encode, fn_constructor_args=(vref,), batch_format="pyarrow",
+        concurrency=(1, 4),
+    ).to_pandas()
+    if len(out) == 0:  # all rows filtered upstream (q11 class)
+        return typed_empty(doc_id=np.int64, n_tokens=np.int64,
+                           sum_token_ids=np.int64)
+    out = out.sort_values("doc_id", ignore_index=True)
     out["doc_id"] = out["doc_id"].astype(np.int64)
     return out
 

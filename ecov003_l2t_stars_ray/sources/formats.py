@@ -65,6 +65,14 @@ def _census(ds: ray.data.Dataset) -> pd.DataFrame:
 
 
 def _roundtrip(sf_dir: str, fmt: str) -> pd.DataFrame:
+    import pyarrow.parquet as pq
+
+    from ..functions.shuffle import typed_empty
+
+    if pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows == 0:
+        # nothing to round-trip: write_json/csv emits no files (q11 class)
+        return typed_empty(source=object, n_docs=np.int64,
+                           sum_ids=np.int64, sum_chars=np.int64)
     docs = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet",
         columns=["doc_id", "source", "n_chars", "text"],

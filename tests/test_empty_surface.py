@@ -37,11 +37,6 @@ def empty_sf(tmp_path_factory) -> str:
     return str(d)
 
 
-@pytest.mark.xfail(
-    strict=False,
-    reason="round-5 burn-down in progress: 210 -> 45 failures remain "
-    "(per-query empty guards); flip to strict pass when zero",
-)
 def test_every_query_survives_empty_tables(empty_sf):
     import sys
 

@@ -214,6 +214,13 @@ def run_bench() -> dict:
     import __ray_entry__ as entrymod
 
     qs = entrymod.queries()
+    if os.environ.get("BENCH_BREAK_QUERY"):
+        # fault-isolation self-test hook (VERDICT r4 item 2): force one
+        # query to raise and prove the JSON artifact still parses
+        def _boom(_sf):
+            raise RuntimeError("BENCH_BREAK_QUERY deliberate failure")
+
+        qs[os.environ["BENCH_BREAK_QUERY"]] = _boom
     q_times: dict[str, float] = {}
     q_list = [] if os.environ.get("BENCH_SKIP_QUERIES") else [
         "rollup_1m", "rollup_1h", "rollup_1d", "latency_stats",
